@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Star-schema construction over the driver testdata, re-expressing the
+  * reference's medallion/star capabilities Spark-first:
+  *
+  *   - dims with deterministic surrogate keys (reference
+  *     `load_to_postgres.py:19-56` / `SQL/01_create_schema.sql:1-22`):
+  *     `row_number` over sorted natural keys — NOT
+  *     `monotonically_increasing_id()`, which is partition-dependent and
+  *     therefore nondeterministic on a cluster.
+  *   - facts at (region, year, month) grain (reference
+  *     `silver_to_gold.py:64-84` carbon-intensity mart): pre-aggregate
+  *     BEFORE joining dims, so the join input is |regions × months| rows,
+  *     not |lineitem| rows.
+  *
+  * Scale notes (100 TB): `region`/`nation` are constant-size → always
+  * `broadcast()`. `customer` scales with SF → leave it to Catalyst/AQE
+  * (shuffle-hash or broadcast depending on actual size). The only
+  * unavoidable big shuffles are lineitem⋈orders (on orderkey) and the
+  * group-bys, which are partial-aggregated map-side by Spark.
+  */
+object StarSchema {
+
+  /** Exact, order-independent SUM of a 2-decimal money column: cast to
+    * DECIMAL first so Spark's partial/final aggregation order (which is
+    * nondeterministic under shuffle) cannot perturb the result, then back
+    * to double for a stable output schema. Matches
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` in the DuckDB oracle.
+    */
+  def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same, for per-row derived money expressions (e.g. price*(1-disc))
+    * that carry up to 4 exact decimal digits.
+    */
+  def sumMoney6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(22,6)")).cast("double")
+
+  /** Orders enriched with region name + (year, month) — the testdata
+    * analog of the reference's (region, date) grain
+    * (`silver_to_gold.py:28-34`). customer⋈nation⋈region collapses to
+    * broadcast joins; orders⋈customer shuffles on custkey.
+    */
+  def orderRegion(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("year"),
+      month(col("o_orderdate")).as("month"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name").as("region_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("region_name"), col("year"), col("month"))
+  }
+
+  /** The carbon-intensity-mart analog (`silver_to_gold.py:64-84`):
+    * per (region, year, month): total quantity, total discounted revenue,
+    * and null-safe revenue-per-quantity (P9: explicit `when`-null on zero
+    * divisor, not non-ANSI Divide behavior).
+    */
+  def factMonthly(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val joined = li.join(
+      orderRegion(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"))
+    val agg = joined.groupBy("region_name", "year", "month").agg(
+      sum(col("l_quantity")).as("total_qty"), // integral-valued doubles: exact in any order
+      sumMoney6(col("rev")).as("total_revenue"))
+    agg.withColumn("rev_per_qty",
+      col("total_revenue") /
+        when(col("total_qty") === 0, lit(null)).otherwise(col("total_qty")))
+  }
+
+  /** Deterministic surrogate-keyed region dim (M3/D2/O3). The single
+    * global window over a 5-row distinct input is intentionally cheap —
+    * dims are small by definition; facts never use a global window.
+    */
+  def dimRegion(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name").as("region_name")).distinct()
+      .withColumn("region_id",
+        row_number().over(Window.orderBy("region_name")).cast("int"))
+
+  /** (year, month) time dim from the union of orders and events time
+    * domains (D3: distinct pairs from multiple marts,
+    * `load_to_postgres.py:138-141` — but sorted, so ids are deterministic;
+    * SURVEY §7.4.5).
+    */
+  def dimTime(s: SparkSession, d: String): DataFrame = {
+    val fromOrders = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+    val fromEvents = Tables.events(s, d)
+      .select(year(col("ts")).as("year"), month(col("ts")).as("month"))
+    fromOrders.union(fromEvents).distinct()
+      .withColumn("time_id",
+        row_number().over(Window.orderBy("year", "month")).cast("int"))
+  }
+
+  /** Fact with surrogate keys: broadcast-join the dims onto the
+    * pre-aggregated fact (J3/J4 — the reference's python dict lookup
+    * collapses into broadcast hash joins inside one plan,
+    * `load_to_postgres.py:59-68,152-180`).
+    */
+  def factMonthlyKeyed(s: SparkSession, d: String): DataFrame =
+    factMonthly(s, d)
+      .join(broadcast(dimRegion(s, d)), Seq("region_name"))
+      .join(broadcast(dimTime(s, d)), Seq("year", "month"))
+      .select("region_id", "time_id", "region_name", "year", "month",
+        "total_qty", "total_revenue", "rev_per_qty")
+}
