@@ -26,4 +26,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.ParityQueries.oracleSql
+
+  /** Queries intentionally registered WITHOUT oracle SQL (driver records a
+    * weaker rows-only check): ops whose semantics aren't expressible in
+    * portable ANSI SQL (hash-dependent sketches etc.).
+    */
+  def rowsOnlyQueries: Set[String] = Set.empty
 }

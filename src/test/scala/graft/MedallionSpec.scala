@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datagen.EnergyGen
+import graft.pipeline.{Analysis, EnergyStar, Medallion, StarOps}
+
+/** Reference-parity invariants (FIXTURES.md §A) over the deterministic
+  * generated bronze data, on a reduced 6-month window for test speed.
+  */
+class MedallionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val start = "2023-01-01"
+  private val end = "2023-06-30"
+  private val nDays = 181
+  private lazy val energyBronze = EnergyGen.energyBronze(spark, start, end).cache()
+  private lazy val emissionsBronze = EnergyGen.emissionsBronze(spark, start, end).cache()
+  private lazy val energySilver = Medallion.cleanEnergy(energyBronze).cache()
+  private lazy val emissionsSilver = Medallion.cleanEmissions(emissionsBronze).cache()
+
+  test("bronze energy has expected shape and dirt profile") {
+    val base = nDays * 4 * 4
+    val n = energyBronze.count()
+    assert(n > base && n < base * 1.03, s"expected ~1% dupes over $base, got $n")
+    val na = energyBronze.filter(col("consumption_mwh") === "N/A").count()
+    val nulls = energyBronze.filter(col("consumption_mwh").isNull).count()
+    assert(na > 0 && na < base * 0.03)
+    assert(nulls > 0 && nulls < base * 0.05)
+    assert(energyBronze.columns.toSeq ==
+      Seq("date", "region", "energy_source", "consumption_mwh", "temperature_c"))
+  }
+
+  test("bronze generation is deterministic (hash PRNG, not rand)") {
+    val a = EnergyGen.energyBronze(spark, start, end)
+    val b = EnergyGen.energyBronze(spark, start, end).repartition(7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("silver: dedup removed injected duplicates; types coerced") {
+    assert(energySilver.count() == energySilver.dropDuplicates().count())
+    val sch = energySilver.schema
+    assert(sch("date").dataType.typeName == "date")
+    assert(sch("consumption_mwh").dataType.typeName == "double")
+  }
+
+  test("silver: no nulls (range filter drops them), ranges hold") {
+    Seq("date", "region", "energy_source", "consumption_mwh", "temperature_c")
+      .foreach { c =>
+        assert(energySilver.filter(col(c).isNull).isEmpty, s"nulls in $c")
+      }
+    assert(energySilver.filter(!col("temperature_c").between(-40, 60)).isEmpty)
+    assert(energySilver.filter(!col("consumption_mwh").between(0, 2000000)).isEmpty)
+    assert(emissionsSilver.filter(!col("co2_tonnes").between(0, 5000000)).isEmpty)
+  }
+
+  test("gold marts: grain = dims x months; no null measures except co2_per_mwh") {
+    val months = 6
+    val em = Medallion.energyMonthly(energySilver)
+    assert(em.count() == 4 * 4 * months)
+    val mm = Medallion.emissionsMonthly(emissionsSilver)
+    assert(mm.count() == 4 * 3 * months)
+    val ci = Medallion.carbonIntensity(energySilver, emissionsSilver)
+    assert(ci.count() == 4 * months)
+    assert(ci.filter(col("total_energy_mwh").isNull ||
+      col("total_co2_tonnes").isNull).isEmpty)
+    // co2_per_mwh null iff zero energy
+    assert(ci.filter(col("co2_per_mwh").isNull && col("total_energy_mwh") =!= 0).isEmpty)
+  }
+
+  test("median imputation: exact interpolating median fills nulls") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(10.0), None)
+      .toDF("x")
+    val imputed = Medallion.imputeMedian("x")(df)
+    // median of (1,2,3,10) = 2.5 (interpolated, pandas-compatible)
+    assert(imputed.filter(col("x") === 2.5).count() == 1)
+    assert(imputed.filter(col("x").isNull).isEmpty)
+  }
+
+  test("star schema: dims deterministic, facts keyed, analysis queries run") {
+    val star = EnergyStar.build(
+      Medallion.energyMonthly(energySilver),
+      Medallion.emissionsMonthly(emissionsSilver),
+      Medallion.carbonIntensity(energySilver, emissionsSilver))
+    // sorted natural keys -> East=1, North=2, South=3, West=4
+    val regions = star.dimRegion.orderBy("region_id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(regions.toSeq == Seq("East" -> 1, "North" -> 2, "South" -> 3, "West" -> 4))
+    assert(star.factCarbonIntensity.count() == 4 * 6)
+    StarOps.assertNoNulls(star.factCarbonIntensity,
+      Seq("region_id", "time_id", "total_energy_mwh"), "test")
+    assert(Analysis.q1TableCounts(star).count() == 7)
+    val q3 = Analysis.q3TopIntensityMonths(star)
+    assert(q3.count() == 4 * 5) // top 5 per region
+    assert(q3.filter(col("rn") > 5).isEmpty)
+    assert(Analysis.q4AvgConsumptionPerSource(star).count() == 4)
+    assert(Analysis.q6NullIntensityCount(star).collect()(0).getLong(0) == 0L)
+  }
+
+  test("upsertDim: idempotent, ids continue after max") {
+    import spark.implicits._
+    val existing = Seq(("East", 1), ("North", 2)).toDF("region_name", "region_id")
+    val incoming = Seq("North", "West", "South").toDF("region_name")
+    val once = StarOps.upsertDim(existing, incoming, "region_id", "region_name")
+    val got = once.orderBy("region_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq("East" -> 1, "North" -> 2, "South" -> 3, "West" -> 4))
+    val twice = StarOps.upsertDim(once, incoming, "region_id", "region_name")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("upsertFact: updates override, inserts append, idempotent") {
+    import spark.implicits._
+    val existing = Seq((1, 1, 10.0), (1, 2, 20.0)).toDF("rid", "tid", "v")
+    val updates = Seq((1, 2, 99.0), (2, 1, 5.0)).toDF("rid", "tid", "v")
+    val once = StarOps.upsertFact(existing, updates, Seq("rid", "tid"))
+    val got = once.orderBy("rid", "tid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 1, 10.0), (1, 2, 99.0), (2, 1, 5.0)))
+    val twice = StarOps.upsertFact(once, updates, Seq("rid", "tid"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("assertNoNulls fails fast on null keys") {
+    import spark.implicits._
+    val bad = Seq((Some(1), Some(1.0)), (None, Some(2.0))).toDF("k", "v")
+    intercept[IllegalStateException] {
+      StarOps.assertNoNulls(bad, Seq("k"), "test")
+    }
+  }
+}
