@@ -17,19 +17,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.ParityQueries.queries("q03_topk_months_per_region")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (text analysis, dedup, similarity
+    * search, events, multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.ParityQueries.queries
+    ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
+      ops.Dedup.queries ++ ops.SimilaritySearch.queries ++
+      ops.EventsOps.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.ParityQueries.oracleSql
+    ops.ParityQueries.oracleSql ++ ops.TextAnalysis.oracleSql ++
+      ops.Dedup.oracleSql ++ ops.SimilaritySearch.oracleSql ++
+      ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
     * portable ANSI SQL (hash-dependent sketches etc.).
     */
-  def rowsOnlyQueries: Set[String] = Set.empty
+  def rowsOnlyQueries: Set[String] =
+    ops.TextAnalysis.rowsOnly ++ ops.Dedup.rowsOnly ++
+      ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
+      ops.Multimodal.rowsOnly
 }

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication at training-data scale. Five families, each with
+  * a different scale/recall trade-off:
+  *
+  *   - exact: hash-groupBy on content digest — one shuffle on the digest,
+  *     the 100 TB workhorse.
+  *   - n-gram Jaccard: shingle-set overlap via exploded shingle self-join
+  *     — exact pair similarity; the frequency cap bounds join fan-out on
+  *     pathological shingles (skew guard).
+  *   - MinHash+LSH: per-row signatures (NO shuffle to compute — HOFs over
+  *     the shingle array), banded bucketing, candidate join, exact-Jaccard
+  *     verification. Sub-quadratic; the scale path for near-dup.
+  *   - SimHash: 64-bit sketch + pigeonhole chunk join for hamming<=3.
+  *   - embedding cosine: near-dup via vector similarity.
+  *
+  * Hash-based signatures use xxhash64 → deterministic on any cluster,
+  * but not expressible in portable SQL → those queries are rows-only.
+  */
+object Dedup {
+
+  private val Prime = 2038074743L
+  /** (a, b) parameters for 32 minhash permutations h_j(x) = (a·x+b) mod p,
+    * derived from a fixed seed sequence — stable across runs and versions.
+    * Reduced mod p so a·x stays below (p−1)² < Long.Max: no ANSI overflow.
+    */
+  private val Perms: Seq[(Long, Long)] =
+    (1 to 32).map(j => ((2654435761L * j + 1) % Prime, (40503L * j + 7) % Prime))
+
+  /** MinHash signature (array<long>, one min per permutation) computed
+    * per-row from the distinct shingle array — pure narrow transform.
+    */
+  def minhashSignature(shingleCol: Column): Column = {
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(Prime)))
+    array(Perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
+    }: _*)
+  }
+
+  /** 64-bit SimHash from token hashes: bit i set iff Σ ±1 votes > 0. */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** doc_id, lang, distinct word-3-gram shingles + set size. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      shingles(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+
+  /** Exact Jaccard pairs via exploded shingle join. `maxDocFreq` drops
+    * shingles present in more than N docs (stopword-like shingles create
+    * quadratic fan-out at corpus scale; real pipelines always cap).
+    */
+  def jaccardPairs(s: SparkSession, d: String, threshold: Double,
+                   maxDocFreq: Int = 100): DataFrame = {
+    val sets = shingleSets(s, d).cache()
+    val posting = sets.select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+    val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val filtered = posting.join(rare.select("shingle"), Seq("shingle"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("doc_id"), col("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: digest groupBy, keep min doc_id as canonical
+    "q25_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")),
+
+    // n-gram Jaccard near-dup pairs (exact similarity, capped fan-out)
+    "q26_dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d, threshold = 0.2).orderBy("doc_a", "doc_b")),
+
+    // MinHash+LSH: 32 perms, 8 bands x 4 rows; verify candidates exactly
+    "q27_dedup_minhash_lsh" -> ((s, d) => {
+      val sets = shingleSets(s, d)
+        .withColumn("sig", minhashSignature(col("sh"))).cache()
+      val bands = sets.select(col("doc_id"), col("lang"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(lit(b), col("sig")(4 * b), col("sig")(4 * b + 1),
+              col("sig")(4 * b + 2), col("sig")(4 * b + 3)).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // exact verification on the candidate set only
+      val withSets = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      withSets.filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash near-dup: hamming<=3 via 4x16-bit pigeonhole chunks
+    "q28_dedup_simhash" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        simhash(tokens(col("text"))).as("sig")).cache()
+      val chunks = sigs.select(col("doc_id"), col("lang"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), 16 * c).bitwiseAND(0xFFFFL).as("cval"))): _*)).as("cc"))
+        .select(col("doc_id"), col("lang"), col("sig"), col("cc.chunk"), col("cc.cval"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // embedding-cosine near-dup pairs
+    "q29_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS content_md5,
+        |       MIN(doc_id) AS keep_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_doc_id""".stripMargin,
+
+    "q26_dedup_ngram_jaccard" ->
+      """WITH sets AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(CASE WHEN len(w) >= 3
+        |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+        |           ELSE [] END) AS sh
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), sized AS (
+        |  SELECT doc_id, lang, sh, CAST(len(sh) AS INTEGER) AS n_sh FROM sets WHERE len(sh) > 0
+        |), posting AS (
+        |  SELECT doc_id, lang, UNNEST(sh) AS shingle FROM sized
+        |), rare AS (
+        |  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 100
+        |), filtered AS (
+        |  SELECT p.* FROM posting p JOIN rare r ON p.shingle = r.shingle
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM filtered a JOIN filtered b
+        |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sized sa ON sa.doc_id = i.doc_a
+        |JOIN sized sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q29_dedup_embedding" ->
+      """SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |WHERE cos >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+
+  /** xxhash64-signature ops — not expressible in portable SQL. */
+  val rowsOnly: Set[String] = Set("q27_dedup_minhash_lsh", "q28_dedup_simhash")
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.StarSchema.sumMoney
+
+/** Event-stream analytics in batch form (the same logical plans run under
+  * Structured Streaming — see graft.streaming.EventsStreaming; these
+  * batch twins are the oracle-checkable surface).
+  */
+object EventsOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling-window (hourly) counts + value totals per event type
+    "q32_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // gap-based sessionization (30-min inactivity) via lag + running sum
+    "q33_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("session_seq")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events
+        |  )
+        |), sessions AS (
+        |  SELECT user_id,
+        |         SUM(new_session) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                     > INTERVAL 30 MINUTE THEN 1
+        |                ELSE 0 END AS new_session
+        |    FROM events
+        |  )
+        |)
+        |SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set.empty
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *   - Brute-force top-k: exact baseline. The query side is small (a
+  *     filter on vec_id) and broadcast against the full corpus, so the
+  *     plan is one broadcast-nested-loop with per-row codegen'd HOF math
+  *     — at 100 TB the corpus side stays partitioned, never collected.
+  *   - LSH (random hyperplanes): the scale path. Bucket signatures are
+  *     computed per-row from hash-derived hyperplanes (deterministic, no
+  *     model state), candidates meet in a bucket equi-join (shuffle on
+  *     bucket key instead of a cross join), then exact re-rank.
+  */
+object SimilaritySearch {
+
+  private val Dim = 64
+
+  /** Hash-derived hyperplane weight for (table t, plane p, dim i) in
+    * [-0.5, 0.5): deterministic at any partitioning, no stored model.
+    */
+  private def w(t: Int, p: Int, i: Int) = {
+    val Mod = 1000000007L
+    pmod(xxhash64(lit(s"lsh_$t" + "_" + p + "_" + i)), lit(Mod)).cast("double") / Mod.toDouble - 0.5
+  }
+
+  /** Sign-bucket signature for one LSH table: `planes` sign bits. */
+  def lshBucket(vec: org.apache.spark.sql.Column, table: Int, planes: Int): org.apache.spark.sql.Column =
+    (0 until planes).map { p =>
+      val proj = (0 until Dim).map(i => element_at(vec, i + 1) * w(table, p, i)).reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force cosine top-k for a query subset
+    "q30_knn_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w5 = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w5).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN: 3 tables x 6 hyperplanes (64 buckets/table —
+    // coarse buckets trade precision for recall; the exact re-rank below
+    // restores precision), rows-only (hash-derived planes aren't portable
+    // SQL)
+    "q31_knn_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val sigs = e.select(col("vec_id"), col("v"),
+        explode(array((0 until 3).map(t =>
+          struct(lit(t).as("tbl"), lshBucket(col("v"), t, 6).as("bucket"))): _*)).as("sig"))
+        .select(col("vec_id"), col("v"), col("sig.tbl"), col("sig.bucket"))
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("tbl"), col("bucket"))
+      val cand = broadcast(q).join(sigs, Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v").distinct()
+      val w5 = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w5).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_r FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS cos,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(e.embedding AS DOUBLE[])) DESC,
+        |                    e.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+        |)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set("q31_knn_lsh")
+}

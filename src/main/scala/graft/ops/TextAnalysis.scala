@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` — the corpus-statistics layer a
+  * training-data pipeline runs before filtering: token counts, quality
+  * scores, language ID, fingerprints. All per-row narrow transforms (no
+  * shuffle except the final presentation sort), so they scale linearly
+  * with corpus size.
+  */
+object TextAnalysis {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace + BPE-ish lexical tokens + diversity
+    "q21_text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(tokens(col("text"))).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq_tokens"))
+        .orderBy("doc_id")),
+
+    // quality scoring: ratios + composite score + bucket
+    "q22_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        uniqueTokenRatio(col("text")).as("uniq_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+        .withColumn("quality_bucket",
+          when(col("quality") >= 0.8, "high")
+            .when(col("quality") >= 0.5, "medium")
+            .otherwise("low"))
+        .orderBy("doc_id")),
+
+    // language ID: marker votes + deterministic argmax + label agreement
+    "q23_langid" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        (Seq(col("doc_id"), col("lang")) ++
+          LangMarkers.map { case (l, m) => langScore(col("text"), m).as(s"s_$l") }): _*)
+      val Seq(en, fr, es, de, zh) = LangMarkers.map(m => col(s"s_${m._1}"))
+      scored.withColumn("predicted",
+        when(en >= fr && en >= es && en >= de && en >= zh, "en")
+          .when(fr >= es && fr >= de && fr >= zh, "fr")
+          .when(es >= de && es >= zh, "es")
+          .when(de >= zh, "de")
+          .otherwise("zh"))
+        .withColumn("agrees", (col("predicted") === col("lang")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // rolling-hash fingerprint (xxhash64-based -> rows-only checked)
+    "q24_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        xxhash64(col("text")).as("content_hash"))
+        .orderBy("doc_id"))
+  )
+
+  private val langScoreSql: String = LangMarkers.map { case (l, m) =>
+    val set = m.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($set))) AS INTEGER) AS s_$l"
+  }.mkString(",\n         ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS n_uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_text_quality" ->
+      """SELECT *,
+        |       CASE WHEN quality >= 0.8 THEN 'high'
+        |            WHEN quality >= 0.5 THEN 'medium'
+        |            ELSE 'low' END AS quality_bucket
+        |FROM (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(w) END AS stopword_ratio,
+        |         CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END AS uniq_ratio,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END AS punct_ratio,
+        |         0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+        |           + 0.3 * (1.0 - (CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(w) END))
+        |           + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+        |              ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END) AS quality
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_langid" ->
+      s"""SELECT *,
+         |       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |            WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |            WHEN s_de >= s_zh THEN 'de'
+         |            ELSE 'zh' END AS predicted,
+         |       CAST((CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |            WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |            WHEN s_de >= s_zh THEN 'de'
+         |            ELSE 'zh' END) = lang AS INTEGER) AS agrees
+         |FROM (
+         |  SELECT doc_id, lang,
+         |         $langScoreSql
+         |  FROM documents
+         |)
+         |ORDER BY doc_id""".stripMargin
+  )
+
+  /** Hash-based ops with no portable SQL equivalent. */
+  val rowsOnly: Set[String] = Set("q24_fingerprint")
+}
