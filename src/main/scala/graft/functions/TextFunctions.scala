@@ -66,8 +66,16 @@ object TextFunctions {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), w => w.isInCollection(markers)))
 
-  /** Word n-gram shingles (distinct), empty array for short docs. */
+  /** Word n-gram shingles (distinct, first-occurrence order), empty
+    * array for short docs. Native single-pass expression.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.expressions.WordShingles(expression(tokens(text)), n))
+  }
+
+  /** HOF reference formulation of [[shingles]] (for differential tests). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - (n - 1)), i =>

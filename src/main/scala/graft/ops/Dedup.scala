@@ -32,26 +32,20 @@ object Dedup {
   private val Perms: Seq[(Long, Long)] =
     (1 to 32).map(j => ((2654435761L * j + 1) % Prime, (40503L * j + 7) % Prime))
 
-  /** MinHash signature (array<long>, one min per permutation) computed
-    * per-row from the distinct shingle array — pure narrow transform.
-    */
-  def minhashSignature(shingleCol: Column): Column = {
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(Prime)))
-    array(Perms.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
-    }: _*)
-  }
+  import org.apache.spark.sql.graft.ColumnBridge.{column => asCol, expression => asExpr}
 
-  /** 64-bit SimHash from token hashes: bit i set iff Σ ±1 votes > 0. */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** MinHash signature (array<long>, one min per permutation), computed
+    * in a single pass over the shingle array by a native expression —
+    * pure narrow transform, no shuffle, no per-permutation intermediate.
+    */
+  def minhashSignature(shingleCol: Column): Column =
+    asCol(graft.expressions.MinHashSignature(asExpr(shingleCol), 32, Prime, Perms))
+
+  /** 64-bit SimHash: bit i set iff Σ ±1 votes over token-hash bits > 0 —
+    * single-pass native expression.
+    */
+  def simhash(tokensCol: Column): Column =
+    asCol(graft.expressions.SimHash(asExpr(tokensCol)))
 
   /** doc_id, lang, distinct word-3-gram shingles + set size. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
@@ -68,7 +62,11 @@ object Dedup {
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
                    maxDocFreq: Int = 100): DataFrame = {
     val sets = shingleSets(s, d).cache()
-    val posting = sets.select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+    // join on the 8-byte shingle hash, not the string: same pairs (64-bit
+    // collision odds are ~n²/2⁶⁴), much smaller shuffle payload
+    val posting = sets.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val filtered = posting.join(rare.select("shingle"), Seq("shingle"))

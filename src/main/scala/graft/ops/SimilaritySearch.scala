@@ -21,19 +21,26 @@ object SimilaritySearch {
 
   private val Dim = 64
 
-  /** Hash-derived hyperplane weight for (table t, plane p, dim i) in
-    * [-0.5, 0.5): deterministic at any partitioning, no stored model.
+  /** Deterministic hyperplane for (table t, plane p): fixed LCG stream
+    * seeded by (t, p) — same planes on every run, machine, and cluster
+    * size; no stored model state. Materialized host-side as a literal
+    * array so the projection is one native DotProduct per plane.
     */
-  private def w(t: Int, p: Int, i: Int) = {
-    val Mod = 1000000007L
-    pmod(xxhash64(lit(s"lsh_$t" + "_" + p + "_" + i)), lit(Mod)).cast("double") / Mod.toDouble - 0.5
+  private def planeWeights(t: Int, p: Int): Array[Double] = {
+    var x = t * 1000003L + p * 7919L + 987654321L
+    Array.fill(Dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
   }
 
-  /** Sign-bucket signature for one LSH table: `planes` sign bits. */
+  /** Sign-bucket signature for one LSH table: `planes` sign bits of
+    * hyperplane projections (native fused dot products).
+    */
   def lshBucket(vec: org.apache.spark.sql.Column, table: Int, planes: Int): org.apache.spark.sql.Column =
     (0 until planes).map { p =>
-      val proj = (0 until Dim).map(i => element_at(vec, i + 1) * w(table, p, i)).reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(vec, typedLit(planeWeights(table, p))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

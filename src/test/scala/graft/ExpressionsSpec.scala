@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{VectorFunctions => VF}
+
+/** Native Catalyst expressions vs their HOF reference implementations:
+  * identical results (same accumulation order ⇒ bitwise-equal doubles),
+  * plus SQL registration via GraftExtensions.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native dot/cosine bitwise-match the HOF reference on testdata") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    val diffs = pairs.select(
+      (VF.dot(col("a.v"), col("b.v")) =!= VF.dotHof(col("a.v"), col("b.v"))).as("d1"),
+      (VF.cosine(col("a.v"), col("b.v")) =!= VF.cosineHof(col("a.v"), col("b.v"))).as("d2"))
+    assert(diffs.filter(col("d1") || col("d2")).isEmpty)
+  }
+
+  test("native dot matches a scala left-fold reference on random vectors") {
+    val rnd = new scala.util.Random(1234)
+    val cases = (1 to 30).map { _ =>
+      val n = 1 + rnd.nextInt(100)
+      (Array.fill(n)(rnd.nextDouble() * 2000 - 1000),
+        Array.fill(n)(rnd.nextDouble() * 2000 - 1000))
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(VF.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val want = cases.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("dot of mismatched lengths is null, not an error") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VF.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("extensions register SQL functions: cosine_similarity/dot_product/simhash64") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) c,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) d,
+        |       simhash64(array('a', 'b', 'a')) s""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(r.getDouble(1) == 11.0)
+    // simhash64 of a fixed token bag is a stable value
+    val again = spark.sql("SELECT simhash64(array('a', 'b', 'a'))").collect()(0)
+    assert(r.getLong(2) == again.getLong(0))
+    // float arrays are coerced via the Cast wrapper
+    val f = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .collect()(0)
+    assert(f.getDouble(0) == 3.0)
+  }
+
+  test("native shingles match the HOF reference on the documents corpus") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      (TF.shingles(col("text"), 3) =!= TF.shinglesHof(col("text"), 3)).as("d"))
+    assert(diff.filter(col("d")).isEmpty)
+  }
+
+  test("minhash signature: similar sets share most minima, is deterministic") {
+    val sh1 = (1 to 50).map(i => s"s$i")
+    val sh2 = (1 to 48).map(i => s"s$i") ++ Seq("x", "y")
+    val df = Seq((sh1.toArray, sh2.toArray)).toDF("a", "b")
+    val r = df.select(
+      graft.ops.Dedup.minhashSignature(col("a")).as("ma"),
+      graft.ops.Dedup.minhashSignature(col("b")).as("mb")).collect()(0)
+    val ma = r.getSeq[Long](0)
+    val mb = r.getSeq[Long](1)
+    assert(ma.length == 32)
+    val agree = ma.zip(mb).count { case (x, y) => x == y }
+    assert(agree >= 24, s"estimated jaccard ${agree / 32.0} too far from 0.92")
+    val again = df.select(graft.ops.Dedup.minhashSignature(col("a"))).collect()(0)
+    assert(again.getSeq[Long](0) == ma)
+  }
+}
