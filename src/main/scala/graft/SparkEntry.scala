@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.SimilaritySearch.queries ++
-      ops.EventsOps.queries ++ ops.Multimodal.queries
+      ops.EventsOps.queries ++ ops.Multimodal.queries ++
+      ops.AnalyticsExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,7 +33,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.ParityQueries.oracleSql ++ ops.TextAnalysis.oracleSql ++
       ops.Dedup.oracleSql ++ ops.SimilaritySearch.oracleSql ++
-      ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql
+      ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql ++
+      ops.AnalyticsExtras.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -41,5 +43,5 @@ object SparkEntry {
   def rowsOnlyQueries: Set[String] =
     ops.TextAnalysis.rowsOnly ++ ops.Dedup.rowsOnly ++
       ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
-      ops.Multimodal.rowsOnly
+      ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the properties that make these plans
+  * survive a 100 TB scale-up. A correctness-green query that silently
+  * loses its pushdown or broadcasts a fact table is a production
+  * incident — pin the plan shape here.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("q13_range_filter")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull"), s"expected IsNotNull pushed to scan:\n$p")
+  }
+
+  test("star joins broadcast the dim side, never the fact side") {
+    val p = plan("q20_fact_star_keyed")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // region/nation are broadcast; no shuffle-side cartesian products
+    assert(!p.contains("CartesianProduct"), s"cartesian product in star join:\n$p")
+  }
+
+  test("column pruning: scans read only referenced columns") {
+    // AQE wraps the scans, so assert on the ReadSchema in the plan text:
+    // the lineitem scan must not drag all 11 columns for a 2-column agg
+    val p = plan("q04_avg_price_by_brand")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no ReadSchema in plan:\n$p")
+    schemas.foreach { s =>
+      val nCols = if (s.isEmpty) 0 else s.split(",").length
+      assert(nCols <= 3, s"scan reads too many columns: $s")
+    }
+  }
+
+  test("aggregations are two-phase (partial map-side combine)") {
+    val p = plan("q02_monthly_intensity")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("native vector expressions appear in the plan (not HOF fallback)") {
+    val p = plan("q30_knn_bruteforce")
+    assert(p.contains("cosine_similarity"), s"native expression missing:\n$p")
+    assert(!p.contains("aggregate(zip_with"), s"HOF fallback in hot path:\n$p")
+  }
+
+  test("generator cross join stays broadcast-sized") {
+    val p = plan("q15_date_dim_gen")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+  }
+}
