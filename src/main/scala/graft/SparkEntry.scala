@@ -23,8 +23,8 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
-      ops.Dedup.queries ++ ops.SimilaritySearch.queries ++
-      ops.EventsOps.queries ++ ops.Multimodal.queries ++
+      ops.Dedup.queries ++ ops.SimilaritySearch.allQueries ++
+      ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
       ops.AnalyticsExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -39,7 +39,51 @@ object EventsOps {
     })
   )
 
+  val jsonQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // semi-structured column: from_json with an explicit schema, typed
+    // field extraction (the props column is the JSON-ish payload a real
+    // event stream carries)
+    "q41_parse_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("event_type"), col("j.k").as("k"))
+        .withColumn("k_bucket",
+          when(col("k") >= 50, "high").when(col("k") >= 10, "mid").otherwise("low"))
+        .orderBy("event_id")),
+
+    // exact interpolating grouped quantiles (percentile, not approx)
+    "q44_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          count(lit(1)).as("records"))
+        .orderBy("l_returnflag"))
+  )
+
   val oracleSql: Map[String, String] = Map(
+    "q41_parse_json" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 THEN 'high'
+        |            WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 10 THEN 'mid'
+        |            ELSE 'low' END AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q44_quantiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.75) AS p75,
+        |       COUNT(*) AS records
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q32_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |       COUNT(*) AS n,
@@ -80,4 +124,7 @@ object EventsOps {
   )
 
   val rowsOnly: Set[String] = Set.empty
+
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ jsonQueries
 }

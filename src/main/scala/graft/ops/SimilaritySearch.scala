@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -89,6 +89,94 @@ object SimilaritySearch {
     })
   )
 
+  /** Deterministic distributed k-means (Lloyd) entirely in DataFrame ops:
+    * seeds = lowest vec_ids, assignment via broadcast argmin, update via
+    * posexplode + per-dimension mean + ordered re-assembly (sort_array,
+    * NOT bare collect_list — arrival order is nondeterministic under
+    * shuffle). `iters` rounds; centroids stay a small broadcastable frame
+    * while the corpus side never leaves its partitions — the IVF shape
+    * that scales.
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val dims = Dim
+    var centroids = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignClusters(vectors, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), p => p("m")).as("c"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector (broadcast argmin via window). */
+  def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cluster").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c")) +
+        dot(col("c"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  val ivfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF ANN: k-means coarse quantizer, probe = query's own cluster,
+    // exact re-rank inside it; rows-only (iterative float math is not
+    // portable SQL)
+    "q42_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val centroids = kmeansCentroids(e, k = 16, iters = 2)
+      val assigned = assignClusters(e, centroids).cache()
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
+      val w5 = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).join(assigned, Seq("cluster"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w5).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-dup at scale: LSH bucket join instead of the O(n²)
+    // cross join of q29, exact cosine verification of bucket-mates.
+    // 8 tables × 4 hyperplanes: sized for the corpus's 0.4-cos threshold
+    // (θ≈66°: P(bucket match) = (1−θ/π)⁴ ≈ 0.16/table → ~75% recall over
+    // 8 tables). A true near-dup corpus (cos ≥ 0.9) would use more bits
+    // per table and fewer tables.
+    "q43_dedup_embedding_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val sigs = e.select(col("vec_id"), col("v"),
+        explode(array((0 until 8).map(t =>
+          struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
+        .select(col("vec_id"), col("v"), col("sig.tbl"), col("sig.bucket"))
+      sigs.as("a").join(sigs.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .distinct()
+        .withColumn("cos", cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ ivfQueries
+
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_r FROM (
@@ -106,5 +194,6 @@ object SimilaritySearch {
         |ORDER BY query_id, rank""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set("q31_knn_lsh")
+  val rowsOnly: Set[String] =
+    Set("q31_knn_lsh", "q42_knn_ivf", "q43_dedup_embedding_lsh")
 }

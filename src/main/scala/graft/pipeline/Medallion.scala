@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Medallion {
 
+  /** String→date with null-on-error, ANSI-safe: plain `to_date` THROWS
+    * under ANSI mode (Spark 4 default) on unparseable input — the
+    * pandas-`errors="coerce"` contract needs the try_ variant.
+    */
+  private def tryToDate(c: org.apache.spark.sql.Column) =
+    try_to_timestamp(c, lit("yyyy-MM-dd")).cast("date")
+
+  /** Pandas `.str.strip()` removes ALL whitespace; Spark `trim` removes
+    * only spaces. Mirror the reference's semantics.
+    */
+  private def strip(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Silver cleaning for energy (bronze_to_silver.py:17-45): full-row
     * dedup on raw values, string→date/double coercion with null-on-error
     * (`try_cast` ≡ pandas `errors="coerce"`), trim, range validation
@@ -22,9 +35,9 @@ object Medallion {
     bronze
       .dropDuplicates()
       .select(
-        to_date(col("date"), "yyyy-MM-dd").as("date"),
-        trim(col("region")).as("region"),
-        trim(col("energy_source")).as("energy_source"),
+        tryToDate(col("date")).as("date"),
+        strip(col("region")).as("region"),
+        strip(col("energy_source")).as("energy_source"),
         expr("try_cast(consumption_mwh AS double)").as("consumption_mwh"),
         expr("try_cast(temperature_c AS double)").as("temperature_c"))
       .filter(col("temperature_c").between(-40, 60))
@@ -37,9 +50,9 @@ object Medallion {
     bronze
       .dropDuplicates()
       .select(
-        to_date(col("date"), "yyyy-MM-dd").as("date"),
-        trim(col("region")).as("region"),
-        trim(col("sector")).as("sector"),
+        tryToDate(col("date")).as("date"),
+        strip(col("region")).as("region"),
+        strip(col("sector")).as("sector"),
         expr("try_cast(co2_tonnes AS double)").as("co2_tonnes"))
       .filter(col("co2_tonnes").between(0, 5000000))
       .transform(imputeMedian("co2_tonnes"))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import scala.concurrent.duration._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -53,6 +54,69 @@ object EventsStreaming {
           (userId, total)
       }
       .toDF("user_id", "n_events")
+  }
+
+  /** One closed session per user: events bridged by ≤30-min gaps. */
+  case class SessionSummary(user_id: Long, n_events: Long,
+                            start_micros: Long, end_micros: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState with event-time
+    * timeout — the streaming twin of the batch q33_sessionize: state per
+    * user holds the open session; a watermark-driven timeout closes and
+    * emits it. This is the custom-state hook a feature-store /
+    * attribution pipeline needs (bounded state, late-data aware).
+    */
+  def sessionize(s: SparkSession, events: DataFrame,
+                 gap: FiniteDuration = 30.minutes): DataFrame = {
+    import s.implicits._
+    val gapMicros = gap.toMicros
+
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column itself — projecting it into a
+      // derived expression would drop the watermark and EventTimeTimeout
+      // would be rejected
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        // state = the one open session: (start_us, end_us, n_events)
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => {
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap: close & emit
+            val out = state.getOption.map { case (st, en, n) =>
+              SessionSummary(userId, n, st, en)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            // fold open state + sorted batch into gap-bridged runs
+            val incoming = batch.map(_._2.getTime * 1000L).toArray.sorted
+              .map(t => (t, t, 1L))
+            val all = state.getOption.toArray ++ incoming
+            var runs = List.empty[(Long, Long, Long)]
+            all.sortBy(_._1).foreach { case (st, en, c) =>
+              runs match {
+                case (ps, pe, pc) :: rest if st - pe <= gapMicros =>
+                  runs = (ps, math.max(pe, en), pc + c) :: rest
+                case _ => runs = (st, en, c) :: runs
+              }
+            }
+            val sorted = runs.reverse
+            // all but the newest run are closed (nothing can land inside
+            // them: later events in this batch already didn't bridge)
+            val closed = sorted.init
+            val open = sorted.last
+            state.update(open)
+            state.setTimeoutTimestamp(open._2 / 1000 + gapMicros / 1000)
+            closed.iterator.map { case (st, en, c) =>
+              SessionSummary(userId, c, st, en)
+            }
+          }
+        })
+      .toDF()
   }
 
   /** Drive a streaming frame to completion against the (bounded) parquet

@@ -40,6 +40,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == got.count())
   }
 
+  test("streaming sessionization closes sessions the batch twin finds") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.sessionize(spark, stream), "sessions_test")
+    // AvailableNow on a bounded source: watermark advances to max(ts)
+    // after the batch, so sessions ending >1h+gap before it are closed.
+    // Each closed session's event count must match the batch q33 logic:
+    // total closed-session events per user <= batch per-user counts
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val perUser = got.groupBy("user_id")
+      .agg(sum(col("n_events")).as("closed_events"))
+    val joined = perUser.join(batch, "user_id")
+    assert(got.count() > 0)
+    assert(joined.filter(col("closed_events") > col("n_events")).isEmpty)
+    // session invariant: no zero/negative counts, start <= end
+    assert(got.filter(col("n_events") <= 0 ||
+      col("start_micros") > col("end_micros")).isEmpty)
+  }
+
   test("stateful running user counts consume all events") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runningUserCounts(spark, stream)
