@@ -38,6 +38,15 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("bucketed tables join without an exchange (co-located SMJ)") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // the catalog is in-memory per JVM: a previous run's directory
+    // survives the (no-op) DROP, so clear the location too
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
