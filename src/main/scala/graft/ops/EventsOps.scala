@@ -40,6 +40,28 @@ object EventsOps {
   )
 
   val jsonQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each event matched to the user's latest order at or
+    // before the event time, deterministic tie-break on orderkey.
+    // Composed as equi-join on the user + range predicate + per-event
+    // argmax window (SURVEY §7.3: compose built-ins before reaching for
+    // a custom operator). The equi-join keys the shuffle, so the range
+    // part never becomes a cross join.
+    "q45_asof_last_order" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+        .orderBy("event_id")
+    }),
+
     // semi-structured column: from_json with an explicit schema, typed
     // field extraction (the props column is the JSON-ish payload a real
     // event stream carries)
@@ -65,6 +87,20 @@ object EventsOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q45_asof_last_order" ->
+      """SELECT event_id, user_id, last_orderkey, last_totalprice FROM (
+        |  SELECT e.event_id, e.user_id,
+        |         o.o_orderkey AS last_orderkey,
+        |         o.o_totalprice AS last_totalprice,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
     "q41_parse_json" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
