@@ -86,7 +86,39 @@ object EventsOps {
         .orderBy("l_returnflag"))
   )
 
+  private val AsOfOracle =
+    """SELECT event_id, user_id, last_orderkey, last_totalprice FROM (
+      |  SELECT e.event_id, e.user_id,
+      |         o.o_orderkey AS last_orderkey,
+      |         o.o_totalprice AS last_totalprice,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      |)
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  val asofQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the same as-of semantics through the custom AsOfJoinExec physical
+    // operator (graft.plans.AsOfJoin) — hash-clustered build + binary
+    // search, no per-event window; oracle-checked independently of the
+    // composed q45
+    "q46_asof_custom_op" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val o = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      graft.plans.AsOf.join(s, e, o,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"))
+        .orderBy("event_id")
+    }))
+
   val oracleSql: Map[String, String] = Map(
+    "q46_asof_custom_op" -> AsOfOracle,
     "q45_asof_last_order" ->
       """SELECT event_id, user_id, last_orderkey, last_totalprice FROM (
         |  SELECT e.event_id, e.user_id,
@@ -162,5 +194,5 @@ object EventsOps {
   val rowsOnly: Set[String] = Set.empty
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ jsonQueries
+    queries ++ jsonQueries ++ asofQueries
 }

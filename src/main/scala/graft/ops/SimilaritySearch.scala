@@ -98,17 +98,15 @@ object SimilaritySearch {
     * that scales.
     */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    val dims = Dim
+    val meanVec = udaf(graft.functions.VectorMean)
     var centroids = vectors.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
     (0 until iters).foreach { _ =>
       val assigned = assignClusters(vectors, centroids)
+      // centroid update: typed Aggregator (one buffer per cluster,
+      // partial+final) — no posexplode, no per-dimension shuffle rows
       centroids = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cluster")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), p => p("m")).as("c"))
+        .groupBy("cluster").agg(meanVec(col("v")).as("c"))
     }
     centroids
   }

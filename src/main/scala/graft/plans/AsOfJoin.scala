@@ -1,0 +1,162 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+
+/** AS-OF JOIN as a first-class operator (SURVEY §7.3 path (c): custom
+  * `LogicalPlan` + `Strategy` + `SparkPlan`, registered through
+  * `SparkSessionExtensions`).
+  *
+  * Semantics: inner as-of — for each left row, the single right row with
+  * the same equi-key and the greatest right-time ≤ left-time; ties on
+  * right-time resolved by the greatest tie-break value. Left rows with no
+  * eligible right row are dropped.
+  *
+  * Physical strategy: both sides hash-clustered on the equi-keys (one
+  * shuffle each, like a shuffled-hash join — NO cross join, NO
+  * per-row window). The right partition is grouped per key with rows
+  * pre-sorted by (time, tieBreak) via requiredChildOrdering; each left
+  * row then binary-searches its key group. Memory is bounded by the
+  * right partition (the dimension-like side), the same contract as a
+  * shuffled-hash join build side.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    tieBreak: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    tieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Right side arrives sorted by (keys, time, tieBreak): per-key groups
+    * are contiguous and internally time-ordered, so the per-key buffer is
+    * binary-searchable as built.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Nil,
+    (rightKeys :+ rightTime :+ tieBreak).map(SortOrder(_, Ascending)))
+
+  /** Times compare as raw longs (TimestampType = micros, DateType = days
+    * widened to long via the analyzer-inserted cast in the API layer).
+    */
+  private def timeAsLong(e: Expression, value: Any): Long = e.dataType match {
+    case TimestampType | TimestampNTZType | LongType => value.asInstanceOf[Long]
+    case DateType => value.asInstanceOf[Int].toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of time must be timestamp/date/long, got ${other.catalogString}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val rightKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+      val leftKeyProj = UnsafeProjection.create(leftKeys, leftOut)
+      val boundRightTime = BindReferences.bindReference(rightTime, rightOut)
+      val boundLeftTime = BindReferences.bindReference(leftTime, leftOut)
+
+      // build: per-key right rows, insertion order == (time, tieBreak)
+      val buffers = new mutable.HashMap[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]]
+      rIt.foreach { r =>
+        val t = boundRightTime.eval(r)
+        if (t != null) {
+          val key = rightKeyProj(r)
+          val buf = buffers.getOrElseUpdate(key.copy(),
+            new mutable.ArrayBuffer[(Long, InternalRow)])
+          buf += ((timeAsLong(rightTime, t), r.copy()))
+        }
+      }
+
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      lIt.flatMap { l =>
+        val t = boundLeftTime.eval(l)
+        if (t == null) Iterator.empty
+        else buffers.get(leftKeyProj(l)) match {
+          case None => Iterator.empty
+          case Some(buf) =>
+            // binary search: last index with rightTime <= leftTime
+            val target = timeAsLong(leftTime, t)
+            var lo = 0
+            var hi = buf.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (buf(mid)._1 <= target) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (found < 0) Iterator.empty
+            else Iterator.single(resultProj(joined(l, buf(found)._2)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API: `AsOf.join(events, orders, keys..., times...)`.
+  * Requires `AsOfJoinStrategy` injected (GraftExtensions) or registered
+  * via `AsOf.install(spark)`.
+  */
+object AsOf {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Inner as-of join on `leftOn == rightOn` with `rightTime <= leftTime`,
+    * latest-wins, ties broken by greatest `tieBreak` (a right-side
+    * column).
+    */
+  def join(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftTime: String, rightTime: String, tieBreak: String): DataFrame = {
+    install(spark)
+    val lPlan = ColumnBridge.analyzedPlan(leftDf)
+    val rPlan = ColumnBridge.analyzedPlan(rightDf)
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val node = AsOfJoin(lPlan, rPlan,
+      leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak))
+    ColumnBridge.ofRows(spark, node)
+  }
+}

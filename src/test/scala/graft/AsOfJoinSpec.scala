@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.AsOf
+
+/** The custom AsOfJoinExec vs the composed join+window formulation:
+  * identical results on real data, plus the edge cases (ties, no match,
+  * null times) pinned on handcrafted frames.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("custom operator matches the composed join+window on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val custom = AsOf.join(spark, e, o,
+        Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+      .select("event_id", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val composed = e.join(o, e("user_id") === o("o_custkey") &&
+        o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "o_orderkey", "o_totalprice")
+    assert(custom.count() > 0)
+    assert(custom.exceptAll(composed).isEmpty && composed.exceptAll(custom).isEmpty)
+  }
+
+  test("latest-at-or-before wins; equal times break by max tiebreak") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 12:00:00"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3")).toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 20L, 101.0), // exact match: eligible
+      (1L, ts("2024-01-01 10:00:00"), 30L, 102.0), // tie: higher qid wins
+      (1L, ts("2024-01-01 11:00:00"), 40L, 103.0),
+      (2L, ts("2024-01-01 09:30:00"), 50L, 104.0)) // after t3: no match
+      .toDF("qsym", "qts", "qid", "price")
+    val r = AsOf.join(spark, trades, quotes,
+        Seq("sym"), Seq("qsym"), "ts", "qts", "qid")
+      .select("trade", "qid", "price").orderBy("trade")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(
+      ("t1", 30L, 102.0), // 10:00 tie -> qid 30
+      ("t2", 40L, 103.0))) // t3 dropped: no quote <= 09:00
+  }
+
+  test("null right times are ignored; null left times drop the row") {
+    val l = Seq((1L, Option(ts("2024-01-01 10:00:00")), "a"),
+      (1L, Option.empty[Timestamp], "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, Option(ts("2024-01-01 09:00:00")), 1L),
+      (1L, Option.empty[Timestamp], 2L)).toDF("rk", "rt", "rid")
+    val out = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid")
+      .select("tag", "rid").collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(out.toSeq == Seq(("a", 1L)))
+  }
+
+  test("plan uses AsOfJoinExec, not a cross join") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val p = AsOf.join(spark, e, o, Seq("user_id"), Seq("o_custkey"),
+      "ts", "o_orderdate", "o_orderkey").queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of fell back to a cross join:\n$p")
+  }
+}

@@ -70,6 +70,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff.filter(col("d")).isEmpty)
   }
 
+  test("VectorMean aggregator: element-wise mean with map-side combine") {
+    val df = Seq(
+      (0, Array(1.0, 2.0, 3.0)),
+      (0, Array(3.0, 4.0, 5.0)),
+      (1, Array(10.0, 20.0, 30.0))).toDF("g", "v")
+      .repartition(3) // force partial buffers to merge
+    val meanVec = udaf(graft.functions.VectorMean)
+    val r = df.groupBy("g").agg(meanVec(col("v")).as("m"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Double](1) == Seq(2.0, 3.0, 4.0))
+    assert(r(1).getSeq[Double](1) == Seq(10.0, 20.0, 30.0))
+  }
+
   test("minhash signature: similar sets share most minima, is deterministic") {
     val sh1 = (1 to 50).map(i => s"s$i")
     val sh2 = (1 to 48).map(i => s"s$i") ++ Seq("x", "y")
