@@ -23,7 +23,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
-      ops.Dedup.queries ++ ops.SimilaritySearch.allQueries ++
+      ops.Dedup.allQueries ++ ops.SimilaritySearch.allQueries ++
       ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
       ops.AnalyticsExtras.queries
 

@@ -160,6 +160,58 @@ object Dedup {
     })
   )
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: each doc adopts the smallest doc_id reachable
+    * through pair edges; converged when a full round changes nothing.
+    * This is the step that turns pairwise near-dup evidence into
+    * KEEP/DROP decisions (canonical = min id per component). Each round
+    * is one join + one aggregate — the label-propagation shape that runs
+    * on a cluster; rounds are O(log(diameter)) in practice.
+    */
+  def dedupComponents(pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = updated.as("u")
+        .join(labels.as("l"), Seq("doc_id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels
+  }
+
+  val componentQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup groups: jaccard pairs -> connected components -> canonical
+    // keep id + member count per group (rows-only: depends on the pair
+    // graph produced above)
+    "q47_dedup_groups" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d, threshold = 0.2)
+      dedupComponents(pairs)
+        .groupBy(col("label").as("keep_doc_id"))
+        .agg(count(lit(1)).as("group_size"),
+          max(col("doc_id")).as("max_member"))
+        .orderBy("keep_doc_id")
+    }))
+
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ componentQueries
+
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
       """SELECT md5(text) AS content_md5,
@@ -209,6 +261,7 @@ object Dedup {
         |ORDER BY vec_a, vec_b""".stripMargin
   )
 
-  /** xxhash64-signature ops — not expressible in portable SQL. */
-  val rowsOnly: Set[String] = Set("q27_dedup_minhash_lsh", "q28_dedup_simhash")
+  /** xxhash64-signature / iterative ops — not expressible in portable SQL. */
+  val rowsOnly: Set[String] =
+    Set("q27_dedup_minhash_lsh", "q28_dedup_simhash", "q47_dedup_groups")
 }

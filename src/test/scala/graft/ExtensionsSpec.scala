@@ -126,6 +126,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) >= 16 && row.getInt(4) >= 16) // width, height
   }
 
+  test("dedup components: chains collapse to min-id groups") {
+    // pairs forming a chain 1-2-3 and an island 7-9
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val labels = ops.Dedup.dedupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("langid argmax is deterministic and total") {
     val r = ops.TextAnalysis.queries("q23_langid")(spark, "/root/testdata/sf0.001")
     assert(r.filter(col("predicted").isNull).isEmpty)

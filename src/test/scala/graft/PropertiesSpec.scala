@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Medallion, StarOps}
+import graft.ops.ScaleOps
+
+/** Property-based invariants (raw ScalaCheck driven from ScalaTest — the
+  * scalatestplus bridge isn't on the offline classpath). Small frame
+  * sizes keep each Spark job cheap; 20 cases per property.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(20).withWorkers(1)
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val kvGen: Gen[List[(Int, Int, Double)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.chooseNum(1, 5)
+      t <- Gen.chooseNum(1, 4)
+      v <- Gen.chooseNum(-100, 100).map(_.toDouble)
+    } yield (k, t, v))
+
+  test("upsertFact is idempotent and key-complete for any frames") {
+    check("upsertFact") {
+      Prop.forAll(kvGen, kvGen) { (base0, upd0) =>
+        // one row per pk on each side (merge contract)
+        val base = base0.distinctBy(r => (r._1, r._2))
+        val upd = upd0.distinctBy(r => (r._1, r._2))
+        val b = base.toDF("k", "t", "v")
+        val u = upd.toDF("k", "t", "v")
+        val once = StarOps.upsertFact(b, u, Seq("k", "t")).cache()
+        val twice = StarOps.upsertFact(once, u, Seq("k", "t"))
+        val idempotent = twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty
+        val keys = once.select("k", "t").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        val expectKeys = base.map(r => (r._1, r._2)).toSet ++ upd.map(r => (r._1, r._2)).toSet
+        val updatesWin = upd.forall { case (k, t, v) =>
+          once.filter(col("k") === k && col("t") === t)
+            .collect().headOption.exists(_.getDouble(2) == v)
+        }
+        idempotent && keys == expectKeys && updatesWin
+      }
+    }
+  }
+
+  test("saltedSum equals plain sum for any frame and salt count") {
+    check("saltedSum") {
+      Prop.forAll(kvGen, Gen.chooseNum(1, 16)) { (rows, salts) =>
+        val df = rows.toDF("k", "t", "v")
+        val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+        val salted = ScaleOps.saltedSum(df, Seq("k"), "v", salts)
+        salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty
+      }
+    }
+  }
+
+  test("cleaning is idempotent: cleaning clean data changes nothing") {
+    check("cleanIdempotent") {
+      Prop.forAll(Gen.listOfN(15, for {
+        d <- Gen.chooseNum(1, 28)
+        r <- Gen.oneOf("North", "South")
+        s <- Gen.oneOf("Gas", "Oil")
+        c <- Gen.chooseNum(0, 1000000).map(_.toDouble)
+        t <- Gen.chooseNum(-40, 60).map(_.toDouble)
+      } yield (f"2023-01-$d%02d", r, s, c.toString, t.toString))) { rows =>
+        val bronze = rows.toDF("date", "region", "energy_source",
+          "consumption_mwh", "temperature_c")
+        val once = Medallion.cleanEnergy(bronze)
+        val twice = Medallion.cleanEnergy(
+          once.select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+            col("region"), col("energy_source"),
+            col("consumption_mwh").cast("string"),
+            col("temperature_c").cast("string")))
+        twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty
+      }
+    }
+  }
+
+  test("minhash band agreement is monotone in true jaccard") {
+    // not a strict property of single draws - check on expectation with
+    // fixed pairs: supersets agree at least as much as subsets
+    val base = (1 to 40).map(i => s"s$i")
+    val near = base.take(38) ++ Seq("x1", "x2")
+    val far = (100 to 140).map(i => s"v$i")
+    val df = Seq((base.toArray, near.toArray, far.toArray)).toDF("a", "b", "c")
+    val r = df.select(
+      graft.ops.Dedup.minhashSignature(col("a")).as("sa"),
+      graft.ops.Dedup.minhashSignature(col("b")).as("sb"),
+      graft.ops.Dedup.minhashSignature(col("c")).as("sc")).collect()(0)
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count(p => p._1 == p._2)
+    val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1); val sc = r.getSeq[Long](2)
+    assert(agree(sa, sb) > agree(sa, sc))
+    assert(agree(sa, sc) <= 2) // disjoint sets: near-zero agreement
+  }
+}
