@@ -183,10 +183,13 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // localCheckpoint truncates the per-round lineage — without it each
+      // round re-plans the whole history and driver-side planning time
+      // dominates (the classic iterative-algorithm trap)
       val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = updated.as("u")
         .join(labels.as("l"), Seq("doc_id"))
         .filter(col("u.label") =!= col("l.label")).count()
