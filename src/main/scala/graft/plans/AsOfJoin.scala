@@ -154,9 +154,20 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-    val node = AsOfJoin(lPlan, rPlan,
-      leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak))
+    val lk = leftOn.map(attr(lPlan, _))
+    val rk = rightOn.map(attr(rPlan, _))
+    // key lookup compares UnsafeRow bytes: mismatched key types (int vs
+    // long) would silently produce an empty join — fail loudly instead
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}:${a.dataType.catalogString} vs " +
+          s"${b.name}:${b.dataType.catalogString}")
+    }
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
+    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak))
     ColumnBridge.ofRows(spark, node)
   }
 }
