@@ -165,7 +165,16 @@ object AsOf {
     }
     val lt = attr(lPlan, leftTime)
     val rt = attr(rPlan, rightTime)
-    require(lt.dataType == rt.dataType,
+    // TIMESTAMP and TIMESTAMP_NTZ both carry epoch micros as long and
+    // compare consistently under the pinned UTC session — treat them as
+    // one comparable class; DATE (days) must not mix with either.
+    def timeClass(d: org.apache.spark.sql.types.DataType): String = d match {
+      case TimestampType | TimestampNTZType | LongType => "micros"
+      case DateType => "days"
+      case other => throw new IllegalArgumentException(
+        s"as-of time must be timestamp/date/long, got ${other.catalogString}")
+    }
+    require(timeClass(lt.dataType) == timeClass(rt.dataType),
       s"as-of time type mismatch: ${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
     val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak))
     ColumnBridge.ofRows(spark, node)
