@@ -74,6 +74,18 @@ object EventsOps {
           when(col("k") >= 50, "high").when(col("k") >= 10, "mid").otherwise("low"))
         .orderBy("event_id")),
 
+    // pivot: wide cross-tab of daily counts per event type (explicit
+    // value list — never let pivot infer values with a distinct scan at
+    // corpus scale; na.fill(0) aligns empty cells with SQL FILTER counts)
+    "q48_pivot_daily_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")),
+
     // exact interpolating grouped quantiles (percentile, not approx)
     "q44_quantiles" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -141,6 +153,17 @@ object EventsOps {
         |            ELSE 'low' END AS k_bucket
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "q48_pivot_daily_events" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events
+        |GROUP BY CAST(ts AS DATE)
+        |ORDER BY day""".stripMargin,
 
     "q44_quantiles" ->
       """SELECT l_returnflag,
