@@ -119,6 +119,40 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** Continuous warehouse maintenance: an Update-mode streaming
+    * aggregation (state holds the running totals per key) feeds
+    * `foreachBatch`, which MERGEs the corrected rows into the parquet
+    * fact with the same idempotent upsert the batch loader uses
+    * (StarOps.upsertFact) — the streaming version of
+    * `load_to_postgres.py`'s `INSERT ... ON CONFLICT`. `foreachBatch` is
+    * exactly the merge hook a Delta/Iceberg sink would formalize; on
+    * plain parquet the commit is write-tmp-then-swap.
+    */
+  def upsertHourlyFact(s: SparkSession, events: DataFrame,
+                       factDir: String): StreamingQuery = {
+    val totals = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+    totals.writeStream
+      .outputMode(OutputMode.Update) // emits only keys corrected this batch
+      .foreachBatch { (updates: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dst = new java.io.File(factDir)
+        val merged =
+          if (dst.exists())
+            graft.pipeline.StarOps.upsertFact(
+              s.read.parquet(factDir), updates.toDF(), Seq("hour", "event_type"))
+          else updates.toDF()
+        val tmpDir = factDir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        import scala.reflect.io.Directory
+        new Directory(dst).deleteRecursively()
+        new java.io.File(tmpDir).renameTo(dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Drive a streaming frame to completion against the (bounded) parquet
     * source via a memory sink; returns the materialized result table.
     * Used by tests and local verification — production would write to a

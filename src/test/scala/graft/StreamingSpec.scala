@@ -61,6 +61,28 @@ class StreamingSpec extends AnyFunSuite {
       col("start_micros") > col("end_micros")).isEmpty)
   }
 
+  test("foreachBatch streaming upsert converges to the batch fact") {
+    import org.apache.spark.sql.functions._
+    val factDir = "/tmp/graft_stream/fact_hourly"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(factDir)).deleteRecursively()
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val q = EventsStreaming.upsertHourlyFact(spark, stream, factDir)
+    q.awaitTermination()
+    val got = spark.read.parquet(factDir)
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // idempotent: re-running the whole stream over the same input
+    // converges to the same fact (upsert replaces by key)
+    val q2 = EventsStreaming.upsertHourlyFact(spark,
+      EventsStreaming.readEvents(spark, dir), factDir)
+    q2.awaitTermination()
+    val again = spark.read.parquet(factDir)
+    assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty)
+  }
+
   test("stateful running user counts consume all events") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runningUserCounts(spark, stream)
