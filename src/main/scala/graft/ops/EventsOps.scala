@@ -156,11 +156,11 @@ object EventsOps {
 
     "q48_pivot_daily_events" ->
       """SELECT CAST(ts AS DATE) AS day,
-        |       COUNT(*) FILTER (event_type = 'click') AS click,
-        |       COUNT(*) FILTER (event_type = 'error') AS error,
-        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
-        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events
         |GROUP BY CAST(ts AS DATE)
         |ORDER BY day""".stripMargin,
