@@ -165,16 +165,21 @@ object Dedup {
     * through pair edges; converged when a full round changes nothing.
     * This is the step that turns pairwise near-dup evidence into
     * KEEP/DROP decisions (canonical = min id per component). Each round
-    * is one join + one aggregate — the label-propagation shape that runs
-    * on a cluster; rounds are O(log(diameter)) in practice.
+    * is ONE Spark action: the join+aggregate materializes through an
+    * eager localCheckpoint, and the converged-or-not signal rides a
+    * LongAccumulator on that same job — no separate detection join/count.
+    * Rounds are O(log(diameter)) in practice.
     */
   def dedupComponents(pairs: DataFrame): DataFrame = {
-    // undirected edge list, both directions
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions; cached — every round probes it
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -183,28 +188,38 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      // localCheckpoint truncates the per-round lineage — without it each
-      // round re-plans the whole history and driver-side planning time
-      // dominates (the classic iterative-algorithm trap)
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      // changed-count accumulates as a side effect of the one job the
+      // eager localCheckpoint runs (localCheckpoint also truncates the
+      // per-round lineage — without it each round re-plans the whole
+      // history and driver-side planning dominates). A retried task can
+      // overcount the accumulator; harmless — worst case is one extra
+      // no-op round, never a missed update.
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          col("label").as("old_label"))
+        .as[(Long, Long, Long)]
+        .map { case (id, nw, old) => if (nw != old) acc.add(1L); (id, nw) }
+        .toDF("doc_id", "label")
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.as("l"), Seq("doc_id"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
+      changed = acc.value
       rounds += 1
     }
+    edges.unpersist()
     labels
   }
 
   val componentQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-dup groups: jaccard pairs -> connected components -> canonical
-    // keep id + member count per group (rows-only: depends on the pair
-    // graph produced above)
+    // keep id + member count per group. Oracle-checked: the pair SQL is
+    // portable (q26) and the component labels are re-derived in DuckDB by
+    // a recursive transitive-closure CTE + MIN per node.
     "q47_dedup_groups" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d, threshold = 0.2)
+      // eager checkpoint: the shingle-join pair graph is computed ONCE;
+      // the edge union and every propagation round read the materialized
+      // result instead of re-running the expensive join per branch
+      val pairs = jaccardPairs(s, d, threshold = 0.2).localCheckpoint()
       dedupComponents(pairs)
         .groupBy(col("label").as("keep_doc_id"))
         .agg(count(lit(1)).as("group_size"),
@@ -214,6 +229,40 @@ object Dedup {
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ componentQueries
+
+  /** The q26 pair pipeline as a reusable DuckDB CTE chain (ends with a
+    * `pairs(doc_a, doc_b)` relation at jaccard >= 0.2) — shared verbatim
+    * by the q26 oracle and the q47 connected-components oracle so both
+    * check against the exact same pair graph.
+    */
+  private val PairCtes =
+    """sets AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(CASE WHEN len(w) >= 3
+      |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |), sized AS (
+      |  SELECT doc_id, lang, sh, CAST(len(sh) AS INTEGER) AS n_sh FROM sets WHERE len(sh) > 0
+      |), posting AS (
+      |  SELECT doc_id, lang, UNNEST(sh) AS shingle FROM sized
+      |), rare AS (
+      |  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 100
+      |), filtered AS (
+      |  SELECT p.* FROM posting p JOIN rare r ON p.shingle = r.shingle
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM filtered a JOIN filtered b
+      |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+      |  FROM inter i
+      |  JOIN sized sa ON sa.doc_id = i.doc_a
+      |  JOIN sized sb ON sb.doc_id = i.doc_b
+      |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
+      |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -225,33 +274,30 @@ object Dedup {
         |ORDER BY keep_doc_id""".stripMargin,
 
     "q26_dedup_ngram_jaccard" ->
-      """WITH sets AS (
-        |  SELECT doc_id, lang,
-        |         list_distinct(CASE WHEN len(w) >= 3
-        |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
-        |           ELSE [] END) AS sh
-        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)
-        |), sized AS (
-        |  SELECT doc_id, lang, sh, CAST(len(sh) AS INTEGER) AS n_sh FROM sets WHERE len(sh) > 0
-        |), posting AS (
-        |  SELECT doc_id, lang, UNNEST(sh) AS shingle FROM sized
-        |), rare AS (
-        |  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= 100
-        |), filtered AS (
-        |  SELECT p.* FROM posting p JOIN rare r ON p.shingle = r.shingle
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM filtered a JOIN filtered b
-        |    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT doc_a, doc_b,
-        |       CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
-        |FROM inter i
-        |JOIN sized sa ON sa.doc_id = i.doc_a
-        |JOIN sized sb ON sb.doc_id = i.doc_b
-        |WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $PairCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // connected components in portable SQL: recursive transitive closure
+    // over the undirected edge list, then MIN(reachable) per node = the
+    // same min-label fixpoint dedupComponents converges to.
+    "q47_dedup_groups" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+         |), labels AS (
+         |  SELECT node AS doc_id, MIN(r) AS label FROM reach GROUP BY node
+         |)
+         |SELECT label AS keep_doc_id, COUNT(*) AS group_size, MAX(doc_id) AS max_member
+         |FROM labels
+         |GROUP BY label
+         |ORDER BY keep_doc_id""".stripMargin,
 
     "q29_dedup_embedding" ->
       """SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
@@ -264,7 +310,7 @@ object Dedup {
         |ORDER BY vec_a, vec_b""".stripMargin
   )
 
-  /** xxhash64-signature / iterative ops — not expressible in portable SQL. */
+  /** xxhash64-signature ops — not expressible in portable SQL. */
   val rowsOnly: Set[String] =
-    Set("q27_dedup_minhash_lsh", "q28_dedup_simhash", "q47_dedup_groups")
+    Set("q27_dedup_minhash_lsh", "q28_dedup_simhash")
 }
