@@ -16,9 +16,16 @@ object EventsStreaming {
     * from a batch read of the same path — streaming sources require an
     * explicit schema).
     */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
+  def readEvents(s: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = s.read.parquet(dir).schema
-    val raw = s.readStream.schema(schema).parquet(dir)
+    val reader = s.readStream.schema(schema)
+    // bounding files-per-trigger splits a bounded directory into several
+    // micro-batches — the watermark then advances BETWEEN batches, which
+    // is how tests exercise late-data/timeout paths
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
     // same ns→µs normalization as Tables.events
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
@@ -62,9 +69,13 @@ object EventsStreaming {
 
   /** Gap-based sessionization via flatMapGroupsWithState with event-time
     * timeout — the streaming twin of the batch q33_sessionize: state per
-    * user holds the open session; a watermark-driven timeout closes and
-    * emits it. This is the custom-state hook a feature-store /
-    * attribution pipeline needs (bounded state, late-data aware).
+    * user holds every still-open run; a run is closed and emitted ONLY
+    * once the watermark guarantees no event can extend it
+    * (run_end + gap <= watermark). This is the custom-state hook a
+    * feature-store / attribution pipeline needs (bounded state,
+    * late-data aware): an event arriving late-but-within-watermark can
+    * still bridge or extend any run held in state, and is never matched
+    * against a session that was already emitted.
     */
   def sessionize(s: SparkSession, events: DataFrame,
                  gap: FiniteDuration = 30.minutes): DataFrame = {
@@ -81,39 +92,44 @@ object EventsStreaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        // state = the one open session: (start_us, end_us, n_events)
+        // state = ALL open runs, each (start_us, end_us, n_events); both
+        // the data path and the timeout path run the same merge+close
+        // logic (the timeout batch just has no incoming events)
         (userId: Long, batch: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[(Long, Long, Long)]) => {
-          if (state.hasTimedOut) {
-            // watermark passed the open session's end + gap: close & emit
-            val out = state.getOption.map { case (st, en, n) =>
-              SessionSummary(userId, n, st, en)
+         state: GroupState[Seq[(Long, Long, Long)]]) => {
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // exact micros (getTime truncates to millis — the batch twin
+          // q33 compares full-precision event times)
+          val incoming = batch
+            .map(t => org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaTimestamp(t._2))
+            .toArray.sorted.map(t => (t, t, 1L))
+          // fold open runs + sorted batch into gap-bridged runs
+          val all = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+            .sortBy(_._1)
+          var runs = List.empty[(Long, Long, Long)]
+          all.foreach { case (st, en, c) =>
+            runs match {
+              case (ps, pe, pc) :: rest if st - pe <= gapMicros =>
+                runs = (ps, math.max(pe, en), pc + c) :: rest
+              case _ => runs = (st, en, c) :: runs
             }
-            state.remove()
-            out.iterator
-          } else {
-            // fold open state + sorted batch into gap-bridged runs
-            val incoming = batch.map(_._2.getTime * 1000L).toArray.sorted
-              .map(t => (t, t, 1L))
-            val all = state.getOption.toArray ++ incoming
-            var runs = List.empty[(Long, Long, Long)]
-            all.sortBy(_._1).foreach { case (st, en, c) =>
-              runs match {
-                case (ps, pe, pc) :: rest if st - pe <= gapMicros =>
-                  runs = (ps, math.max(pe, en), pc + c) :: rest
-                case _ => runs = (st, en, c) :: runs
-              }
-            }
-            val sorted = runs.reverse
-            // all but the newest run are closed (nothing can land inside
-            // them: later events in this batch already didn't bridge)
-            val closed = sorted.init
-            val open = sorted.last
+          }
+          // close = watermark has passed the point where a new event
+          // could still bridge into the run; everything else stays open
+          val (closed, open) = runs.reverse.partition(_._2 + gapMicros <= wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
             state.update(open)
-            state.setTimeoutTimestamp(open._2 / 1000 + gapMicros / 1000)
-            closed.iterator.map { case (st, en, c) =>
-              SessionSummary(userId, c, st, en)
-            }
+            // fire when the watermark passes the earliest open run's
+            // close point; Spark requires the timeout to be strictly
+            // beyond the current watermark, so clamp (a run whose close
+            // point the watermark already passed was closed above)
+            state.setTimeoutTimestamp(math.max(wmMicros / 1000 + 1,
+              (open.head._2 + gapMicros) / 1000))
+          }
+          closed.iterator.map { case (st, en, c) =>
+            SessionSummary(userId, c, st, en)
           }
         })
       .toDF()
@@ -137,20 +153,57 @@ object EventsStreaming {
       .outputMode(OutputMode.Update) // emits only keys corrected this batch
       .foreachBatch { (updates: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val dst = new java.io.File(factDir)
+        recoverLive(dst) // crash between swap renames: restore from .old
         val merged =
           if (dst.exists())
             graft.pipeline.StarOps.upsertFact(
               s.read.parquet(factDir), updates.toDF(), Seq("hour", "event_type"))
           else updates.toDF()
-        val tmpDir = factDir + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-        import scala.reflect.io.Directory
-        new Directory(dst).deleteRecursively()
-        new java.io.File(tmpDir).renameTo(dst)
-        ()
+        // multi-file write: the fact keeps its natural partitioning (a
+        // single-file coalesce would serialize the write and cap the
+        // table at one task on read)
+        val tmpDir = new java.io.File(factDir + ".tmp")
+        merged.write.mode("overwrite").parquet(tmpDir.getPath)
+        commitSwap(tmpDir, dst)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Crash-safe publish of a staged directory: live → .old, tmp → live,
+    * delete .old. Every rename result is CHECKED; a failure at any step
+    * leaves either the previous or the new data intact and readable —
+    * never neither (the delete-then-rename it replaces could destroy the
+    * live table on a crash between the two calls).
+    */
+  def commitSwap(tmp: java.io.File, live: java.io.File): Unit = {
+    import scala.reflect.io.Directory
+    if (!tmp.exists())
+      throw new java.io.IOException(
+        s"commit failed: staged dir $tmp missing; live data untouched")
+    val old = new java.io.File(live.getPath + ".old")
+    if (old.exists()) new Directory(old).deleteRecursively()
+    if (live.exists() && !live.renameTo(old))
+      throw new java.io.IOException(
+        s"commit failed: could not stage $live aside; live data untouched")
+    if (!tmp.renameTo(live)) {
+      // roll back so readers keep the previous fact
+      if (old.exists() && !old.renameTo(live))
+        throw new java.io.IOException(
+          s"commit failed AND rollback failed: previous data is at $old")
+      throw new java.io.IOException(
+        s"commit failed: could not publish $tmp; previous data restored")
+    }
+    if (old.exists()) new Directory(old).deleteRecursively()
+  }
+
+  /** Recovery for a crash between commitSwap's two renames: the live dir
+    * is gone but the previous version survives at `.old` — restore it.
+    */
+  def recoverLive(live: java.io.File): Unit = {
+    val old = new java.io.File(live.getPath + ".old")
+    if (!live.exists() && old.exists() && !old.renameTo(live))
+      throw new java.io.IOException(s"recovery failed: could not restore $old -> $live")
   }
 
   /** Drive a streaming frame to completion against the (bounded) parquet

@@ -61,6 +61,95 @@ class StreamingSpec extends AnyFunSuite {
       col("start_micros") > col("end_micros")).isEmpty)
   }
 
+  /** Write `rows` as one parquet file named `name` inside `dir`, with a
+    * controlled modification time (FileStreamSource processes oldest
+    * first, so mod times order the micro-batches).
+    */
+  private def writeEventsFile(dir: String, name: String,
+                              rows: Seq[(Long, String)], modTime: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val stage = s"$dir.stage_$name"
+    rows.toDF("user_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+      .select("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = Paths.get(dir, name)
+    Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(modTime)
+  }
+
+  test("sessionize across micro-batches: watermark gates emission, late events bridge") {
+    import java.nio.file.{Files, Paths}
+    val base = "/tmp/graft_stream/sess_multi"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    Files.createDirectories(Paths.get(base))
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    // batch 1: user 1 run (00:00, 00:10); user 2 single event 00:05.
+    // Watermark after it = 00:10 - 1h, so nothing is emitted yet.
+    writeEventsFile(base, "a.parquet", Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (2L, "2024-01-01 00:05:00")), t0)
+    // batch 2: user 1 event at 12:00 advances the watermark to 11:00;
+    // user 2's 00:20 is LATE relative to that batch's max but above the
+    // current watermark — it must bridge into the still-open 00:05 run,
+    // which only works if that run was held in state, not emitted early.
+    writeEventsFile(base, "b.parquet", Seq(
+      (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 00:20:00")), t0 + 60000)
+    val stream = EventsStreaming.readEvents(spark, base, maxFilesPerTrigger = Some(1))
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.sessionize(spark, stream), "sessions_multi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def us(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // only runs with end + gap <= final watermark (11:00) close: user 1's
+    // morning run and user 2's bridged 2-event run. User 1's 12:00 run
+    // (12:30 > 11:00) stays open and must NOT be emitted.
+    assert(got == Set(
+      (1L, 2L, us("2024-01-01T00:00:00Z"), us("2024-01-01T00:10:00Z")),
+      (2L, 2L, us("2024-01-01T00:05:00Z"), us("2024-01-01T00:20:00Z"))))
+    // the emitted runs match the batch q33 semantics on the same events:
+    // both are maximal gap-bridged runs, counted exactly once
+  }
+
+  test("commitSwap publishes atomically and failures leave previous data readable") {
+    import java.nio.file.{Files, Paths}
+    val root = "/tmp/graft_stream/swap"
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    Files.createDirectories(Paths.get(root))
+    val live = new java.io.File(s"$root/live")
+    def writeDir(d: java.io.File, tag: String): Unit = {
+      Files.createDirectories(d.toPath)
+      Files.writeString(d.toPath.resolve("data.txt"), tag)
+    }
+    def readTag(d: java.io.File): String =
+      Files.readString(d.toPath.resolve("data.txt"))
+    // first publish: no live dir yet
+    val tmp1 = new java.io.File(s"$root/t1")
+    writeDir(tmp1, "v1")
+    EventsStreaming.commitSwap(tmp1, live)
+    assert(readTag(live) == "v1" && !tmp1.exists())
+    // replace: v2 goes live, v1 cleaned up
+    val tmp2 = new java.io.File(s"$root/t2")
+    writeDir(tmp2, "v2")
+    EventsStreaming.commitSwap(tmp2, live)
+    assert(readTag(live) == "v2")
+    assert(!new java.io.File(s"$root/live.old").exists())
+    // failed swap (staged dir missing): throws, previous version intact
+    val err = intercept[java.io.IOException] {
+      EventsStreaming.commitSwap(new java.io.File(s"$root/missing"), live)
+    }
+    assert(err.getMessage.contains("live data untouched"))
+    assert(readTag(live) == "v2")
+    // crash between the two renames (live moved aside, new never landed):
+    // recoverLive restores the previous version
+    assert(live.renameTo(new java.io.File(s"$root/live.old")))
+    EventsStreaming.recoverLive(live)
+    assert(readTag(live) == "v2")
+  }
+
   test("foreachBatch streaming upsert converges to the batch fact") {
     import org.apache.spark.sql.functions._
     val factDir = "/tmp/graft_stream/fact_hourly"
