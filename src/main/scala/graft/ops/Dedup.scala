@@ -34,6 +34,12 @@ object Dedup {
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => asCol, expression => asExpr}
 
+  /** Bound on the exact (all-pairs) embedding-dedup slice: ≤ Cap² pair
+    * candidates no matter the corpus size. The Spark query and the DuckDB
+    * oracle apply the same cap.
+    */
+  val EmbeddingExactCap = 1000
+
   /** MinHash signature (array<long>, one min per permutation), computed
     * in a single pass over the shingle array by a native expression —
     * pure narrow transform, no shuffle, no per-permutation intermediate.
@@ -147,9 +153,14 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // embedding-cosine near-dup pairs
+    // embedding-cosine near-dup pairs — the EXACT baseline, deliberately
+    // capped to a bounded slice (all-pairs is quadratic; an uncapped
+    // registered query would be a scale landmine). q43 is the uncapped
+    // sub-quadratic LSH path for the full corpus; RecallSpec gates it
+    // against this exact form.
     "q29_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < EmbeddingExactCap)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -300,14 +311,15 @@ object Dedup {
          |ORDER BY keep_doc_id""".stripMargin,
 
     "q29_dedup_embedding" ->
-      """SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                CAST(b.embedding AS DOUBLE[])) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |)
-        |WHERE cos >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+      s"""SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                                CAST(b.embedding AS DOUBLE[])) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < $EmbeddingExactCap AND b.vec_id < $EmbeddingExactCap
+         |)
+         |WHERE cos >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 
   /** xxhash64-signature ops — not expressible in portable SQL. */

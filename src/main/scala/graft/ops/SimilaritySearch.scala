@@ -111,15 +111,30 @@ object SimilaritySearch {
     centroids
   }
 
-  /** Nearest centroid per vector (broadcast argmin via window). */
+  /** Nearest centroid per vector — a narrow per-row argmin. The centroid
+    * set is MODEL STATE (k rows, k << n): collect it and fold it into the
+    * row expression as an array-of-structs literal; array_min's
+    * lexicographic struct ordering picks min score, ties by min cluster
+    * id. No crossJoin, no shuffle, no n·k window sort — the corpus never
+    * leaves its partitions (the old crossJoin+row_number shape pushed n·k
+    * rows through a sort: tolerable at k=16, wrong at k=4096).
+    */
   def assignClusters(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("cluster").asc)
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("d2", dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c")) +
-        dot(col("c"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val cents = centroids.select(col("cluster").cast("int"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignClusters: empty centroid set")
+    // argmin of ‖v−c‖² over c: ‖v‖² is constant per row, so comparing
+    // ‖c‖² − 2·v·c ranks candidates identically without computing it
+    val candidates = array(cents.map { case (cid, c) =>
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (dot(col("v"), typedLit(c.toSeq)) * lit(-2.0) + lit(cNorm)).as("score"),
+        lit(cid).as("cluster"))
+    }: _*)
+    vectors
+      .withColumn("cluster", array_min(candidates).getField("cluster"))
       .select(col("vec_id"), col("v"), col("cluster"))
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall gates for the approximate (rows-only) ANN/sketch queries: each
+  * approximate path is measured against its exact twin on sf0.01. These
+  * are the only correctness statements a hash-bucketed query can have —
+  * "it runs" proves nothing about whether the buckets find anything.
+  *
+  * Thresholds are set from the structures' design recall (e.g. q43's
+  * 8 tables × 4 hyperplanes ≈ 75% at cos 0.4), with slack for the
+  * corpus draw — a regression that breaks bucketing (wrong band key,
+  * degenerate hyperplanes, dropped verification) lands at ~0, far below
+  * any gate.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.01"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(df.columns(0), df.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recall(got: Set[(Long, Long)], want: Set[(Long, Long)]): Double =
+    if (want.isEmpty) 1.0 else got.intersect(want).size.toDouble / want.size
+
+  test("q31 LSH KNN: recall >= 0.8 of the exact top-k (q30)") {
+    val exact = pairs(SparkEntry.queries("q30_knn_bruteforce")(spark, d))
+    val lsh = pairs(SparkEntry.queries("q31_knn_lsh")(spark, d))
+    val r = recall(lsh, exact)
+    assert(exact.size == 50)
+    assert(r >= 0.8, s"q31 recall $r vs exact top-k")
+  }
+
+  test("q42 IVF KNN: recall >= 0.8 of the exact top-k (q30)") {
+    val exact = pairs(SparkEntry.queries("q30_knn_bruteforce")(spark, d))
+    val ivf = pairs(SparkEntry.queries("q42_knn_ivf")(spark, d))
+    val r = recall(ivf, exact)
+    assert(r >= 0.8, s"q42 recall $r vs exact top-k")
+  }
+
+  test("q27 MinHash+LSH: full recall of the exact jaccard pairs (q26)") {
+    val exact = pairs(SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, d))
+    val lsh = pairs(SparkEntry.queries("q27_dedup_minhash_lsh")(spark, d))
+    assert(exact.nonEmpty)
+    // 8 bands x 4 rows at jaccard >= 0.2: every exact pair should bucket
+    // together in at least one band; candidates are exact-verified, so
+    // precision is 1.0 by construction — assert both directions
+    assert(recall(lsh, exact) == 1.0, s"q27 missed ${exact.diff(lsh)}")
+    assert(lsh.subsetOf(exact), s"q27 extra pairs ${lsh.diff(exact)}")
+  }
+
+  test("q43 embedding LSH: recall >= 0.7 of the exact cosine pairs (q29)") {
+    // at sf0.01 the corpus (500 vectors) sits inside q29's exact cap, so
+    // the capped query IS the uncapped ground truth here
+    val exact = pairs(SparkEntry.queries("q29_dedup_embedding")(spark, d))
+    val lsh = pairs(SparkEntry.queries("q43_dedup_embedding_lsh")(spark, d))
+    assert(exact.nonEmpty)
+    val r = recall(lsh, exact)
+    assert(r >= 0.7, s"q43 recall $r vs exact pairs")
+    // LSH candidates are exact-verified at the same threshold: no false
+    // positives possible
+    assert(lsh.subsetOf(exact), s"q43 extra pairs ${lsh.diff(exact)}")
+  }
+}
