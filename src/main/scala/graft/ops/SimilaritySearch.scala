@@ -61,16 +61,21 @@ object SimilaritySearch {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN: 3 tables x 6 hyperplanes (64 buckets/table —
-    // coarse buckets trade precision for recall; the exact re-rank below
-    // restores precision), rows-only (hash-derived planes aren't portable
-    // SQL)
+    // LSH-bucketed ANN: 12 tables x 4 hyperplanes. Sizing is driven by
+    // the recall gate (RecallSpec: >= 0.8 of the exact top-5): a top-5
+    // neighbor at cos ~0.5 (θ≈60°) collides per-table with prob
+    // (1−θ/π)⁴ ≈ 0.20, so recall over 12 independent tables is
+    // 1−(1−0.20)¹² ≈ 0.93. (The previous 3×6 config capped out at ~0.24
+    // — mathematically unable to meet the gate.) More tables cost a
+    // wider candidate explode (12 rows/vector) but candidates still meet
+    // in a bucket equi-join; the exact re-rank keeps precision at 1.
+    // Rows-only (hash-derived planes aren't portable SQL).
     "q31_knn_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val sigs = e.select(col("vec_id"), col("v"),
-        explode(array((0 until 3).map(t =>
-          struct(lit(t).as("tbl"), lshBucket(col("v"), t, 6).as("bucket"))): _*)).as("sig"))
+        explode(array((0 until 12).map(t =>
+          struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
         .select(col("vec_id"), col("v"), col("sig.tbl"), col("sig.bucket"))
       val q = sigs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
