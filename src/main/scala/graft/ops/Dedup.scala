@@ -171,15 +171,36 @@ object Dedup {
     })
   )
 
-  /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: each doc adopts the smallest doc_id reachable
-    * through pair edges; converged when a full round changes nothing.
-    * This is the step that turns pairwise near-dup evidence into
-    * KEEP/DROP decisions (canonical = min id per component). Each round
-    * is ONE Spark action: the join+aggregate materializes through an
-    * eager localCheckpoint, and the converged-or-not signal rides a
-    * LongAccumulator on that same job — no separate detection join/count.
-    * Rounds are O(log(diameter)) in practice.
+  /** Bound on [[dedupComponents]] rounds. Each round at least doubles
+    * the distance labels have propagated (see the recurrence in the
+    * Scaladoc), so 40 rounds cover any component diameter below 2⁴⁰ —
+    * hitting the cap means the fixpoint logic itself is broken, and the
+    * loop fails loudly rather than return unconverged (wrong) labels.
+    */
+  private val MaxComponentRounds = 40
+
+  /** Connected components over a near-dup pair graph: min-label
+    * propagation with a pointer-jumping hop — each doc adopts the
+    * smallest doc_id reachable through pair edges; converged when a full
+    * round changes nothing. This is the step that turns pairwise
+    * near-dup evidence into KEEP/DROP decisions (canonical = min id per
+    * component).
+    *
+    * Each round takes, per node, min(own label, neighbors' labels), then
+    * hops ONCE more through the label table (label-of-label). The hop is
+    * what makes convergence logarithmic: if labels point `d` ids back
+    * along a chain at round start, neighbor-min reaches d+1 and the hop
+    * doubles it to 2d+1 — so a path of length L converges in ~log₂L
+    * rounds, not the L rounds plain propagation needs (a >20-hop chain
+    * under the old cap silently returned unconverged labels).
+    *
+    * Each round is ONE Spark action: join+aggregate+hop materialize
+    * through an eager localCheckpoint (which also truncates per-round
+    * lineage — without it driver-side re-planning dominates), and the
+    * converged-or-not signal rides a LongAccumulator on that same job —
+    * no separate detection join/count. A retried task can overcount the
+    * accumulator; harmless — worst case is one extra no-op round, never
+    * a missed update.
     */
   def dedupComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
@@ -193,23 +214,29 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < MaxComponentRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      // changed-count accumulates as a side effect of the one job the
-      // eager localCheckpoint runs (localCheckpoint also truncates the
-      // per-round lineage — without it each round re-plans the whole
-      // history and driver-side planning dominates). A retried task can
-      // overcount the accumulator; harmless — worst case is one extra
-      // no-op round, never a missed update.
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      val tentative = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid_label"),
           col("label").as("old_label"))
+      // pointer-jumping hop: resolve the tentative label through the
+      // round-start label table. A label is always a node id in the same
+      // component (it entered via an edge or a previous hop), so the
+      // looked-up parent label is too; min keeps the fixpoint = component
+      // minimum. Left join: the component-min node's own id resolves to
+      // itself, never drops.
+      val parent = labels
+        .select(col("doc_id").as("mid_label"), col("label").as("parent_label"))
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      labels = tentative.join(parent, Seq("mid_label"), "left")
+        .select(col("doc_id"),
+          least(col("mid_label"), coalesce(col("parent_label"), col("mid_label"))).as("new_label"),
+          col("old_label"))
         .as[(Long, Long, Long)]
         .map { case (id, nw, old) => if (nw != old) acc.add(1L); (id, nw) }
         .toDF("doc_id", "label")
@@ -218,6 +245,10 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupComponents did not converge after $MaxComponentRounds rounds " +
+          s"($changed labels still changing) — refusing to return unconverged labels")
     labels
   }
 

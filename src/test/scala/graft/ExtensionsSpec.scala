@@ -135,6 +135,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedup components: a 64-hop chain converges (pointer jumping)") {
+    // a path graph 0-1-2-...-64: diameter 64, far beyond what plain
+    // one-hop min-label propagation covers inside the round cap — only
+    // the label-of-label hop (log₂64 ≈ 6 rounds) converges this
+    val pairs = (0L until 64L).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val labels = ops.Dedup.dedupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 65)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("langid argmax is deterministic and total") {
     val r = ops.TextAnalysis.queries("q23_langid")(spark, "/root/testdata/sf0.001")
     assert(r.filter(col("predicted").isNull).isEmpty)
