@@ -116,7 +116,13 @@ object EventsStreaming {
             }
           }
           // close = watermark has passed the point where a new event
-          // could still bridge into the run; everything else stays open
+          // could still bridge into the run. Equality is safe: Spark's
+          // late-row pre-filter drops ts <= watermark (not strictly <),
+          // and a bridging event needs ts <= run_end + gap <= wm — so by
+          // the time equality holds here, no surviving event can extend
+          // the run. Pinned by the StreamingSpec boundary test; a strict
+          // close would only delay emission (and on bounded sources
+          // suppress runs sitting exactly at end+gap == final wm).
           val (closed, open) = runs.reverse.partition(_._2 + gapMicros <= wmMicros)
           if (open.isEmpty) state.remove()
           else {

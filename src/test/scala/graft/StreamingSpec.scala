@@ -114,6 +114,49 @@ class StreamingSpec extends AnyFunSuite {
     // both are maximal gap-bridged runs, counted exactly once
   }
 
+  test("sessionize boundary: ts == watermark is dropped as late, so equality-close is safe") {
+    // Pins the Spark semantic the close predicate (end + gap <= wm)
+    // depends on: the stateful-op late-row pre-filter drops ts <=
+    // watermark (NOT strictly <). A bridging event needs
+    // ts <= run_end + gap, so once run_end + gap <= wm every potential
+    // bridge is already unreachable and emitting at equality can never
+    // split a session. If a Spark upgrade ever relaxed the filter to
+    // strict <, this test would fail with a bridged 2-event session —
+    // the signal to flip the close predicate to strict.
+    import java.nio.file.{Files, Paths}
+    val base = "/tmp/graft_stream/sess_boundary"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    Files.createDirectories(Paths.get(base))
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    // batch 1: user 5 run [00:00]; user 9 at 01:30 sets watermark to 00:30
+    writeEventsFile(base, "a.parquet", Seq(
+      (5L, "2024-01-01 00:00:00"), (9L, "2024-01-01 01:30:00")), t0)
+    // batch 2: user 5 data arrival runs the close check at wm = 00:30,
+    // where user 5's [00:00] run sits exactly at end + gap == wm
+    writeEventsFile(base, "b.parquet", Seq(
+      (5L, "2024-01-01 01:15:00")), t0 + 60000)
+    // batch 3: an event at exactly ts == wm == 00:30 — the only event
+    // that could still bridge the [00:00] run (ts - run_end == gap).
+    // Spark drops it before the state function ever sees it.
+    writeEventsFile(base, "c.parquet", Seq(
+      (5L, "2024-01-01 00:30:00")), t0 + 120000)
+    // batch 4: advance the watermark to 22:59 so closed runs flush
+    writeEventsFile(base, "d.parquet", Seq(
+      (9L, "2024-01-01 23:59:00")), t0 + 180000)
+    val stream = EventsStreaming.readEvents(spark, base, maxFilesPerTrigger = Some(1))
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.sessionize(spark, stream), "sessions_boundary")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def us(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // the boundary event contributes to NO session (dropped as late):
+    // [00:00] stays a 1-event session and no [00:30] session appears
+    assert(got == Set(
+      (5L, 1L, us("2024-01-01T00:00:00Z"), us("2024-01-01T00:00:00Z")),
+      (5L, 1L, us("2024-01-01T01:15:00Z"), us("2024-01-01T01:15:00Z")),
+      (9L, 1L, us("2024-01-01T01:30:00Z"), us("2024-01-01T01:30:00Z"))))
+  }
+
   test("commitSwap publishes atomically and failures leave previous data readable") {
     import java.nio.file.{Files, Paths}
     val root = "/tmp/graft_stream/swap"
