@@ -40,14 +40,23 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.8, s"q42 recall $r vs exact top-k")
   }
 
-  test("q27 MinHash+LSH: full recall of the exact jaccard pairs (q26)") {
-    val exact = pairs(SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, d))
+  test("q27 MinHash+LSH: full recall of the high-confidence jaccard pairs (q26)") {
+    val exactRows = SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = exactRows.map(t => (t._1, t._2)).toSet
     val lsh = pairs(SparkEntry.queries("q27_dedup_minhash_lsh")(spark, d))
     assert(exact.nonEmpty)
-    // 8 bands x 4 rows at jaccard >= 0.2: every exact pair should bucket
-    // together in at least one band; candidates are exact-verified, so
-    // precision is 1.0 by construction — assert both directions
-    assert(recall(lsh, exact) == 1.0, s"q27 missed ${exact.diff(lsh)}")
+    // 8 bands x 4 rows: P(>=1 band collision) = 1-(1-j^4)^8 — ~0.9998 at
+    // j=0.9 but only ~0.40 at j=0.5. An exact-recall gate is therefore a
+    // sound correctness statement only for pairs whose jaccard makes a
+    // collision near-certain; a borderline pair missing a bucket is LSH
+    // working as designed, not a regression — gating on it would flake
+    // whenever testdata is regenerated with near-threshold pairs.
+    val strong = exactRows.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
+    assert(strong.nonEmpty, "corpus has no high-jaccard pairs to gate on")
+    assert(recall(lsh, strong) == 1.0, s"q27 missed ${strong.diff(lsh)}")
+    // candidates are exact-verified at the same threshold, so precision
+    // is 1.0 by construction — a false positive means broken verification
     assert(lsh.subsetOf(exact), s"q27 extra pairs ${lsh.diff(exact)}")
   }
 
