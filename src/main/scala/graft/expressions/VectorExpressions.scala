@@ -23,8 +23,10 @@ private[expressions] object VectorTypeCheck {
   * codegen: no allocation, no virtual calls in the loop.
   */
 
-/** Σ aᵢ·bᵢ over two array<double> columns (null if either side null or
-  * lengths differ).
+/** Σ aᵢ·bᵢ over two array<double> columns (null if either side is null,
+  * lengths differ, or any element is null — matching how DuckDB's list
+  * functions propagate element NULLs; reading a null slot as 0.0 would
+  * silently fabricate a value).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,11 +46,15 @@ case class DotProduct(left: Expression, right: Expression)
       var dot = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) {
-        dot += x.getDouble(i) * y.getDouble(i)
-        i += 1
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else {
+          dot += x.getDouble(i) * y.getDouble(i)
+          i += 1
+        }
       }
-      dot
+      if (anyNull) null else dot
     }
   }
 
@@ -64,9 +70,12 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })
@@ -76,9 +85,10 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Cosine similarity dot/(‖a‖·‖b‖) in one fused pass; null on zero norm
-  * or length mismatch. Same formula shape as DuckDB's
-  * list_cosine_similarity (dot / (sqrt(aa) * sqrt(bb))).
+/** Cosine similarity dot/(‖a‖·‖b‖) in one fused pass; null on zero norm,
+  * length mismatch, or any null element (matching DuckDB's
+  * list_cosine_similarity null propagation). Same formula shape as
+  * DuckDB's list_cosine_similarity (dot / (sqrt(aa) * sqrt(bb))).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -100,16 +110,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var nb = 0.0
       var i = 0
       val n = x.numElements()
-      while (i < n) {
-        val xv = x.getDouble(i)
-        val yv = y.getDouble(i)
-        dot += xv * yv
-        na += xv * xv
-        nb += yv * yv
-        i += 1
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else {
+          val xv = x.getDouble(i)
+          val yv = y.getDouble(i)
+          dot += xv * yv
+          na += xv * xv
+          nb += yv * yv
+          i += 1
+        }
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) null else dot / denom
+      if (anyNull || denom == 0.0) null else dot / denom
     }
   }
 
@@ -132,6 +146,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $na = 0.0;
          |  double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xv = $a.getDouble($i);
          |    final double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv;
@@ -139,7 +154,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $nb += $yv * $yv;
          |  }
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
+         |  if (${ev.isNull} || $denom == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / $denom;

@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, Timesta
   * `LogicalPlan` + `Strategy` + `SparkPlan`, registered through
   * `SparkSessionExtensions`).
   *
-  * Semantics: inner as-of — for each left row, the single right row with
-  * the same equi-key and the greatest right-time ≤ left-time; ties on
-  * right-time resolved by the greatest tie-break value. Left rows with no
-  * eligible right row are dropped.
+  * Semantics: for each left row, the single right row with the same
+  * equi-key and the greatest right-time ≤ left-time; ties on right-time
+  * resolved by the greatest tie-break value. Inner (default): left rows
+  * with no eligible right row are dropped. Left-outer: they survive with
+  * the right side null-extended. NULL equi-keys match nothing on either
+  * side (SQL equality semantics — NOT UnsafeRow byte equality, which
+  * would make NULL = NULL).
   *
   * Physical strategy: both sides hash-clustered on the equi-keys (one
   * shuffle each, like a shuffled-hash join — NO cross join, NO
@@ -27,14 +30,19 @@ import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, Timesta
   * pre-sorted by (time, tieBreak) via requiredChildOrdering; each left
   * row then binary-searches its key group. Memory is bounded by the
   * right partition (the dimension-like side), the same contract as a
-  * shuffled-hash join build side.
+  * shuffled-hash join build side; `maxBuildGroupSize` fails fast with a
+  * clear error if one key group exceeds it (a skewed build key would
+  * otherwise OOM an executor with an opaque heap error).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tieBreak: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    tieBreak: Expression, leftOuter: Boolean = false,
+    maxBuildGroupSize: Long = AsOf.DefaultMaxBuildGroupSize) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -42,8 +50,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, maxGroup) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer, maxGroup) :: Nil
     case _ => Nil
   }
 }
@@ -52,9 +60,12 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tieBreak: Expression) extends BinaryExecNode {
+    tieBreak: Expression, leftOuter: Boolean = false,
+    maxBuildGroupSize: Long = AsOf.DefaultMaxBuildGroupSize) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -86,38 +97,58 @@ case class AsOfJoinExec(
       val boundRightTime = BindReferences.bindReference(rightTime, rightOut)
       val boundLeftTime = BindReferences.bindReference(leftTime, leftOut)
 
-      // build: per-key right rows, insertion order == (time, tieBreak)
+      // build: per-key right rows, insertion order == (time, tieBreak).
+      // Rows with a null time OR any null key are skipped — a NULL key
+      // must not equal anything (UnsafeRow byte equality would happily
+      // match NULL = NULL and silently diverge from SQL join semantics).
       val buffers = new mutable.HashMap[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]]
       rIt.foreach { r =>
         val t = boundRightTime.eval(r)
         if (t != null) {
           val key = rightKeyProj(r)
-          val buf = buffers.getOrElseUpdate(key.copy(),
-            new mutable.ArrayBuffer[(Long, InternalRow)])
-          buf += ((timeAsLong(rightTime, t), r.copy()))
+          if (!key.anyNull) {
+            val buf = buffers.getOrElseUpdate(key.copy(),
+              new mutable.ArrayBuffer[(Long, InternalRow)])
+            if (buf.length >= maxBuildGroupSize)
+              throw new IllegalStateException(
+                s"as-of join build side exceeded $maxBuildGroupSize rows for key " +
+                  s"${rightKeys.mkString(", ")} — the right side must be the " +
+                  "dimension-like side; pre-aggregate it, or raise " +
+                  "graft.asof.maxBuildGroupSize if the skew is expected")
+            buf += ((timeAsLong(rightTime, t), r.copy()))
+          }
         }
       }
 
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      def unmatched(l: InternalRow): Iterator[InternalRow] =
+        if (leftOuter) Iterator.single(resultProj(joined(l, nullRight)))
+        else Iterator.empty
       lIt.flatMap { l =>
         val t = boundLeftTime.eval(l)
-        if (t == null) Iterator.empty
-        else buffers.get(leftKeyProj(l)) match {
-          case None => Iterator.empty
-          case Some(buf) =>
-            // binary search: last index with rightTime <= leftTime
-            val target = timeAsLong(leftTime, t)
-            var lo = 0
-            var hi = buf.length - 1
-            var found = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (buf(mid)._1 <= target) { found = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (found < 0) Iterator.empty
-            else Iterator.single(resultProj(joined(l, buf(found)._2)))
+        if (t == null) unmatched(l)
+        else {
+          val key = leftKeyProj(l)
+          // NULL probe keys match nothing (same reasoning as the build side)
+          val bufOpt = if (key.anyNull) None else buffers.get(key)
+          bufOpt match {
+            case None => unmatched(l)
+            case Some(buf) =>
+              // binary search: last index with rightTime <= leftTime
+              val target = timeAsLong(leftTime, t)
+              var lo = 0
+              var hi = buf.length - 1
+              var found = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (buf(mid)._1 <= target) { found = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (found < 0) unmatched(l)
+              else Iterator.single(resultProj(joined(l, buf(found)._2)))
+          }
         }
       }
     }
@@ -135,18 +166,26 @@ case class AsOfJoinExec(
 object AsOf {
   import org.apache.spark.sql.graft.ColumnBridge
 
+  /** Build-side guard: max right rows buffered per key group before the
+    * join fails fast (instead of OOMing the executor on a skewed build
+    * key). Override per-session with `graft.asof.maxBuildGroupSize`.
+    */
+  val DefaultMaxBuildGroupSize: Long = 8L * 1000 * 1000
+
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
-  /** Inner as-of join on `leftOn == rightOn` with `rightTime <= leftTime`,
+  /** As-of join on `leftOn == rightOn` with `rightTime <= leftTime`,
     * latest-wins, ties broken by greatest `tieBreak` (a right-side
-    * column).
+    * column). `leftOuter = true` keeps unmatched left rows with the
+    * right side null-extended.
     */
   def join(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
-           leftTime: String, rightTime: String, tieBreak: String): DataFrame = {
+           leftTime: String, rightTime: String, tieBreak: String,
+           leftOuter: Boolean = false): DataFrame = {
     install(spark)
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
     val rPlan = ColumnBridge.analyzedPlan(rightDf)
@@ -176,7 +215,10 @@ object AsOf {
     }
     require(timeClass(lt.dataType) == timeClass(rt.dataType),
       s"as-of time type mismatch: ${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
-    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak))
+    val maxGroup = spark.conf.getOption("graft.asof.maxBuildGroupSize")
+      .map(_.toLong).getOrElse(DefaultMaxBuildGroupSize)
+    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak),
+      leftOuter, maxGroup)
     ColumnBridge.ofRows(spark, node)
   }
 }

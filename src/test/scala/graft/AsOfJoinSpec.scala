@@ -65,6 +65,55 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L)))
   }
 
+  test("null keys match nothing on either side (SQL equality, not byte equality)") {
+    val l = Seq((Option(1L), ts("2024-01-01 10:00:00"), "a"),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), ts("2024-01-01 09:00:00"), 1L),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 2L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid")
+      .select("tag", "rid").collect().map(x => (x.getString(0), x.getLong(1)))
+    // a null-key left row must NOT pick up the null-key right row
+    assert(out.toSeq == Seq(("a", 1L)))
+  }
+
+  test("left outer keeps unmatched rows with a null-extended right side") {
+    val l = Seq((Option(1L), Option(ts("2024-01-01 10:00:00")), "hit"),
+      (Option(2L), Option(ts("2024-01-01 10:00:00")), "nokey"),
+      (Option(1L), Option(ts("2024-01-01 08:00:00")), "early"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "nulltime"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 7L, 99.0)).toDF("rk", "rt", "rid", "price")
+    val out = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid",
+        leftOuter = true)
+      .select("tag", "rid", "price").collect()
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    assert(out == Set(("hit", Some(7L)), ("nokey", None), ("early", None),
+      ("nullkey", None), ("nulltime", None)))
+    // inner on the same frames keeps only the match
+    val inner = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid")
+      .select("tag").collect().map(_.getString(0))
+    assert(inner.toSeq == Seq("hit"))
+  }
+
+  test("build-side group guard fails fast with a clear error on skewed keys") {
+    spark.conf.set("graft.asof.maxBuildGroupSize", "2")
+    try {
+      val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+      val r = Seq((1L, ts("2024-01-01 01:00:00"), 1L),
+        (1L, ts("2024-01-01 02:00:00"), 2L),
+        (1L, ts("2024-01-01 03:00:00"), 3L)).toDF("rk", "rt", "rid")
+      val err = intercept[org.apache.spark.SparkException] {
+        AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid").collect()
+      }
+      assert(err.getMessage.contains("maxBuildGroupSize") ||
+        Option(err.getCause).exists(_.getMessage.contains("maxBuildGroupSize")))
+    } finally spark.conf.unset("graft.asof.maxBuildGroupSize")
+  }
+
   test("plan uses AsOfJoinExec, not a cross join") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")

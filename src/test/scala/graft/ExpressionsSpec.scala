@@ -44,6 +44,28 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.select(VF.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("a null array element propagates to a null result (codegen + interpreted)") {
+    // codegen path: DataFrame projection over a containsNull array
+    val df = Seq((Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))))
+      .toDF("a", "b")
+    val r = df.select(VF.dot(col("a"), col("b")).as("d"),
+      VF.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "null element must not be read as 0.0 (DuckDB propagates NULL)")
+    // interpreted path: direct eval on literal arrays with a null slot
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arrT = ArrayType(DoubleType, containsNull = true)
+    val withNull = Literal.create(Seq[Any](1.0, null), arrT)
+    val plain = Literal.create(Seq[Any](3.0, 4.0), arrT)
+    assert(graft.expressions.DotProduct(withNull, plain).eval() == null)
+    assert(graft.expressions.DotProduct(plain, withNull).eval() == null)
+    assert(graft.expressions.CosineSimilarity(withNull, plain).eval() == null)
+    assert(graft.expressions.CosineSimilarity(plain, withNull).eval() == null)
+    // sanity: the same shapes without the null slot still compute
+    assert(graft.expressions.DotProduct(plain, plain).eval() == 25.0)
+  }
+
   test("extensions register SQL functions: cosine_similarity/dot_product/simhash64") {
     GraftExtensions.register(spark)
     val r = spark.sql(
