@@ -67,7 +67,10 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
                    maxDocFreq: Int = 100): DataFrame = {
-    val sets = shingleSets(s, d).cache()
+    // materialized once (posting list AND the size lookup both read it);
+    // localCheckpoint, not cache — cache() pins executor storage for the
+    // session (CacheManager holds the plan), a leak across a 48-query run
+    val sets = shingleSets(s, d).localCheckpoint()
     // join on the 8-byte shingle hash, not the string: same pairs (64-bit
     // collision odds are ~n²/2⁶⁴), much smaller shuffle payload
     val posting = sets.select(col("doc_id"), col("lang"),
@@ -109,7 +112,7 @@ object Dedup {
     // MinHash+LSH: 32 perms, 8 bands x 4 rows; verify candidates exactly
     "q27_dedup_minhash_lsh" -> ((s, d) => {
       val sets = shingleSets(s, d)
-        .withColumn("sig", minhashSignature(col("sh"))).cache()
+        .withColumn("sig", minhashSignature(col("sh"))).localCheckpoint()
       val bands = sets.select(col("doc_id"), col("lang"),
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"),
@@ -137,7 +140,7 @@ object Dedup {
     "q28_dedup_simhash" -> ((s, d) => {
       val sigs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
-        simhash(tokens(col("text"))).as("sig")).cache()
+        simhash(tokens(col("text"))).as("sig")).localCheckpoint()
       val chunks = sigs.select(col("doc_id"), col("lang"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
@@ -179,6 +182,16 @@ object Dedup {
     */
   private val MaxComponentRounds = 40
 
+  /** When the label frame (|V| of the pair graph — near-dup docs only,
+    * far smaller than the corpus) fits under this row count, every
+    * per-round join broadcasts it and rounds run shuffle-free except the
+    * neighbor-min aggregation. 2M rows × 16 bytes ≈ 32 MB — comfortably
+    * inside executor broadcast budgets. Above the cap the same loop runs
+    * with shuffle hash/sort-merge joins: the 100 TB path, identical
+    * semantics, no driver-side state either way.
+    */
+  private val ComponentBroadcastCap = 2000000L
+
   /** Connected components over a near-dup pair graph: min-label
     * propagation with a pointer-jumping hop — each doc adopts the
     * smallest doc_id reachable through pair edges; converged when a full
@@ -191,64 +204,64 @@ object Dedup {
     * what makes convergence logarithmic: if labels point `d` ids back
     * along a chain at round start, neighbor-min reaches d+1 and the hop
     * doubles it to 2d+1 — so a path of length L converges in ~log₂L
-    * rounds, not the L rounds plain propagation needs (a >20-hop chain
-    * under the old cap silently returned unconverged labels).
+    * rounds, not the L rounds plain propagation needs. The hop joins the
+    * tentative label against the SAME round-start label table in one
+    * select chain — a label is always a node id in the same component
+    * (it entered via an edge or a previous hop), so the looked-up parent
+    * label is too; min keeps the fixpoint = component minimum; left join
+    * so the component-min node's own id resolves to itself, never drops.
     *
-    * Each round is ONE Spark action: join+aggregate+hop materialize
-    * through an eager localCheckpoint (which also truncates per-round
-    * lineage — without it driver-side re-planning dominates), and the
-    * converged-or-not signal rides a LongAccumulator on that same job —
-    * no separate detection join/count. A retried task can overcount the
-    * accumulator; harmless — worst case is one extra no-op round, never
-    * a missed update.
+    * Perf shape: ONE materialization per round (a single eager
+    * localCheckpoint of the whole neighbor-min → hop chain, which also
+    * truncates lineage — without it driver-side re-planning dominates),
+    * entirely columnar (no typed ser/de bridge out of Tungsten), and the
+    * convergence signal is a `limit(1)`-bounded scan over the
+    * just-materialized frame — milliseconds, no recompute. Small graphs
+    * (≤ [[ComponentBroadcastCap]] nodes) broadcast the label side so a
+    * round costs one tiny aggregation and two broadcast-hash joins;
+    * large graphs fall back to shuffle joins with the identical plan
+    * shape.
     */
   def dedupComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    // undirected edge list, both directions; cached — every round probes it
+    // undirected edge list, both directions; materialized once — every
+    // round probes it (localCheckpoint, not cache: freed on GC, no
+    // session-lifetime storage pin)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    val small = labels.count() <= ComponentBroadcastCap
+    def lab(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxComponentRounds) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .join(lab(labels.select(col("doc_id").as("dst"), col("label").as("dst_label"))),
+          Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      val tentative = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid_label"),
-          col("label").as("old_label"))
-      // pointer-jumping hop: resolve the tentative label through the
-      // round-start label table. A label is always a node id in the same
-      // component (it entered via an edge or a previous hop), so the
-      // looked-up parent label is too; min keeps the fixpoint = component
-      // minimum. Left join: the component-min node's own id resolves to
-      // itself, never drops.
       val parent = labels
         .select(col("doc_id").as("mid_label"), col("label").as("parent_label"))
-      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
-      labels = tentative.join(parent, Seq("mid_label"), "left")
+      val next = labels.withColumnRenamed("label", "old_label")
+        .join(lab(neighborMin), Seq("doc_id"), "left")
+        .withColumn("mid_label",
+          least(col("old_label"), coalesce(col("nbr_label"), col("old_label"))))
+        .join(lab(parent), Seq("mid_label"), "left")
         .select(col("doc_id"),
-          least(col("mid_label"), coalesce(col("parent_label"), col("mid_label"))).as("new_label"),
+          least(col("mid_label"), coalesce(col("parent_label"), col("mid_label"))).as("label"),
           col("old_label"))
-        .as[(Long, Long, Long)]
-        .map { case (id, nw, old) => if (nw != old) acc.add(1L); (id, nw) }
-        .toDF("doc_id", "label")
-        .localCheckpoint()
-      changed = acc.value
+      val materialized =
+        (if (small) next.coalesce(1) else next).localCheckpoint()
+      changed = materialized.filter(col("label") =!= col("old_label")).limit(1).count()
+      labels = materialized.drop("old_label")
       rounds += 1
     }
-    edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"dedupComponents did not converge after $MaxComponentRounds rounds " +
-          s"($changed labels still changing) — refusing to return unconverged labels")
+          "— refusing to return unconverged labels")
     labels
   }
 

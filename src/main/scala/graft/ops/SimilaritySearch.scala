@@ -151,7 +151,10 @@ object SimilaritySearch {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val centroids = kmeansCentroids(e, k = 16, iters = 2)
-      val assigned = assignClusters(e, centroids).cache()
+      // localCheckpoint, not cache(): both the query side and the corpus
+      // side read it, and checkpoint blocks are freed on GC instead of
+      // pinning executor storage for the whole session
+      val assigned = assignClusters(e, centroids).localCheckpoint()
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
       val w5 = Window.partitionBy("query_id")
@@ -172,25 +175,51 @@ object SimilaritySearch {
     // (θ≈66°: P(bucket match) = (1−θ/π)⁴ ≈ 0.16/table → ~75% recall over
     // 8 tables). A true near-dup corpus (cos ≥ 0.9) would use more bits
     // per table and fewer tables.
+    //
+    // Scale shape: the bucket self-join and the candidate `distinct` run
+    // over (vec_id, tbl, bucket) ONLY — 24 bytes/row — and the 64-dim
+    // vectors are re-joined afterwards just for the surviving id pairs
+    // (an id-pair dedup first, vector payload after: ~16× less exchange
+    // traffic than deduping (id, id, vec, vec) rows). A per-(tbl,bucket)
+    // population cap mirrors q26's maxDocFreq skew guard: one degenerate
+    // bucket — a mass of near-identical spam vectors — would otherwise
+    // go quadratic inside the bucket; capped buckets are dropped (their
+    // members still meet in the 7 other tables' finer buckets).
     "q43_dedup_embedding_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val sigs = e.select(col("vec_id"), col("v"),
+      val sigs = e.select(col("vec_id"),
         explode(array((0 until 8).map(t =>
           struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
-        .select(col("vec_id"), col("v"), col("sig.tbl"), col("sig.bucket"))
-      sigs.as("a").join(sigs.as("b"),
+        .select(col("vec_id"), col("sig.tbl"), col("sig.bucket"))
+      val keepBuckets = sigs.groupBy("tbl", "bucket")
+        .agg(count(lit(1)).as("pop"))
+        .filter(col("pop") <= MaxBucketPopulation)
+        .select("tbl", "bucket")
+      val capped = sigs.join(keepBuckets, Seq("tbl", "bucket"))
+      val candIds = capped.as("a").join(capped.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      candIds
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
         .withColumn("cos", cosine(col("va"), col("vb")))
         .filter(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_r"))
         .orderBy("vec_a", "vec_b")
     })
   )
+
+  /** Skew guard for the q43 bucket join: per-(table, bucket) population
+    * above which the bucket is dropped rather than self-joined (a bucket
+    * of b members contributes b²/2 candidate pairs — one pathological
+    * bucket of near-identical vectors is quadratic at corpus scale). At
+    * 100 TB the real lever is more planes per table (finer buckets);
+    * the cap converts the residual worst case into bounded work.
+    */
+  val MaxBucketPopulation = 100000
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ ivfQueries
