@@ -96,6 +96,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash+LSH near-dup pairs — the sub-quadratic 100 TB pair path:
+    * 32-perm signatures (single-pass native expression), 8 bands × 4
+    * rows banded bucketing, candidate equi-join on band keys, exact
+    * Jaccard verification of candidates only (precision 1 — LSH decides
+    * what gets COMPARED, never what gets KEPT). Recall vs the exact q26
+    * pairs is gated in RecallSpec.
+    */
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val sets = shingleSets(s, d)
+      .withColumn("sig", minhashSignature(col("sh"))).localCheckpoint()
+    val bands = sets.select(col("doc_id"), col("lang"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), col("sig")(4 * b), col("sig")(4 * b + 1),
+            col("sig")(4 * b + 2), col("sig")(4 * b + 3)).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+    withSets.filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: digest groupBy, keep min doc_id as canonical
     "q25_dedup_exact" -> ((s, d) =>
@@ -110,31 +142,8 @@ object Dedup {
       jaccardPairs(s, d, threshold = 0.2).orderBy("doc_a", "doc_b")),
 
     // MinHash+LSH: 32 perms, 8 bands x 4 rows; verify candidates exactly
-    "q27_dedup_minhash_lsh" -> ((s, d) => {
-      val sets = shingleSets(s, d)
-        .withColumn("sig", minhashSignature(col("sh"))).localCheckpoint()
-      val bands = sets.select(col("doc_id"), col("lang"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(lit(b), col("sig")(4 * b), col("sig")(4 * b + 1),
-              col("sig")(4 * b + 2), col("sig")(4 * b + 3)).as("bkey"))): _*)).as("bb"))
-        .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bkey"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // exact verification on the candidate set only
-      val withSets = cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      withSets.filter(col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q27_dedup_minhash_lsh" -> ((s, d) =>
+      minhashLshPairs(s, d, threshold = 0.2).orderBy("doc_a", "doc_b")),
 
     // SimHash near-dup: hamming<=3 via 4x16-bit pigeonhole chunks
     "q28_dedup_simhash" -> ((s, d) => {
@@ -280,6 +289,21 @@ object Dedup {
         .agg(count(lit(1)).as("group_size"),
           max(col("doc_id")).as("max_member"))
         .orderBy("keep_doc_id")
+    }),
+
+    // the true 100 TB end-to-end dedup path: SUB-QUADRATIC pair
+    // generation (MinHash+LSH, q27) feeding the same connected-components
+    // grouping — where q47's exact shingle-join pair graph is the
+    // correctness anchor, this is the plan you would actually run on a
+    // full corpus. Rows-only (xxhash64 signatures aren't portable SQL);
+    // RecallSpec gates its groups against q47's exact-pair groups.
+    "q49_dedup_groups_lsh" -> ((s, d) => {
+      val pairs = minhashLshPairs(s, d, threshold = 0.2).localCheckpoint()
+      dedupComponents(pairs)
+        .groupBy(col("label").as("keep_doc_id"))
+        .agg(count(lit(1)).as("group_size"),
+          max(col("doc_id")).as("max_member"))
+        .orderBy("keep_doc_id")
     }))
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
@@ -368,5 +392,5 @@ object Dedup {
 
   /** xxhash64-signature ops — not expressible in portable SQL. */
   val rowsOnly: Set[String] =
-    Set("q27_dedup_minhash_lsh", "q28_dedup_simhash")
+    Set("q27_dedup_minhash_lsh", "q28_dedup_simhash", "q49_dedup_groups_lsh")
 }

@@ -154,6 +154,42 @@ class MedallionSpec extends AnyFunSuite {
     assert(keyed.count() == star.factCarbonIntensity.count())
   }
 
+  test("M5: transactional warehouse load through Derby (idempotent, updating, atomic)") {
+    import graft.sources.{JdbcStage, JdbcWarehouse}
+    val url = JdbcStage.derbyUrl("/tmp/graft_test_derby/warehouse")
+    val star = EnergyStar.build(
+      Medallion.energyMonthly(energySilver),
+      Medallion.emissionsMonthly(emissionsSilver),
+      Medallion.carbonIntensity(energySilver, emissionsSilver))
+    JdbcWarehouse.loadStar(url, star)
+    val once = JdbcStage.readTable(spark, url, "fact_carbon_intensity")
+      .collect().toSet
+    assert(once.size == 4 * 6)
+    assert(JdbcStage.readTable(spark, url, "dim_region").count() == 4)
+    // idempotent reload (the reference's stated design goal,
+    // load_to_postgres.py:13)
+    JdbcWarehouse.loadStar(url, star)
+    assert(JdbcStage.readTable(spark, url, "fact_carbon_intensity")
+      .collect().toSet == once)
+    // MATCHED UPDATE: a changed measure overwrites in place, no dup rows
+    val bumped = star.copy(factCarbonIntensity = star.factCarbonIntensity
+      .withColumn("total_energy_mwh", col("total_energy_mwh") * 2))
+    JdbcWarehouse.loadStar(url, bumped)
+    val after = JdbcStage.readTable(spark, url, "fact_carbon_intensity")
+    assert(after.count() == 4 * 6)
+    val sumOnce = once.toSeq.map(_.getDouble(2)).sum
+    val sumAfter = after.collect().map(_.getDouble(2)).sum
+    assert(math.abs(sumAfter - 2 * sumOnce) < 1e-6 * sumOnce)
+    // M5 atomicity: any failure inside the transaction rolls back ALL of it
+    intercept[RuntimeException] {
+      JdbcWarehouse.inTransaction(url) { conn =>
+        conn.createStatement().executeUpdate("DELETE FROM dim_region")
+        throw new RuntimeException("mid-load failure")
+      }
+    }
+    assert(JdbcStage.readTable(spark, url, "dim_region").count() == 4)
+  }
+
   test("assertNoNulls fails fast on null keys") {
     import spark.implicits._
     val bad = Seq((Some(1), Some(1.0)), (None, Some(2.0))).toDF("k", "v")

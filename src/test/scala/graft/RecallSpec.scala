@@ -60,6 +60,23 @@ class RecallSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"q27 extra pairs ${lsh.diff(exact)}")
   }
 
+  test("q49 LSH-pair components: groups match q47's exact-pair groups on strong pairs") {
+    // q49 = sub-quadratic MinHash-LSH pairs -> connected components; q47
+    // = exact shingle-join pairs -> the same components. On this corpus
+    // every exact pair is high-jaccard (the q27 gate above proves full
+    // recall of strong pairs), so the two pair graphs — and therefore
+    // the component groupings — must coincide exactly. On a corpus with
+    // borderline pairs the right statement would be group-recall over
+    // components whose edges are all strong.
+    val exact = SparkEntry.queries("q47_dedup_groups")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("q49_dedup_groups_lsh")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"q49 groups diverge: missing ${exact.diff(lsh)}, extra ${lsh.diff(exact)}")
+  }
+
   test("q43 embedding LSH: recall >= 0.7 of the exact cosine pairs (q29)") {
     // at sf0.01 the corpus (500 vectors) sits inside q29's exact cap, so
     // the capped query IS the uncapped ground truth here
