@@ -67,15 +67,18 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
                    maxDocFreq: Int = 100): DataFrame = {
-    // materialized once (posting list AND the size lookup both read it);
-    // localCheckpoint, not cache — cache() pins executor storage for the
-    // session (CacheManager holds the plan), a leak across a 48-query run
-    val sets = shingleSets(s, d).localCheckpoint()
-    // join on the 8-byte shingle hash, not the string: same pairs (64-bit
-    // collision odds are ~n²/2⁶⁴), much smaller shuffle payload
-    val posting = sets.select(col("doc_id"), col("lang"),
-      explode(col("sh")).as("shingle"))
+    // The ONLY materialized state is the hashed posting list — 24-byte
+    // rows of (doc_id, lang, 8-byte shingle hash); same pairs as joining
+    // the strings (64-bit collision odds ~n²/2⁶⁴), and the string shingle
+    // ARRAYS never enter the block store. (An earlier version checkpointed
+    // the array frame: at 3 bench runs × 3 queries sharing it, the piled-up
+    // blocks outlived driver GC and later queries paid in memory pressure.)
+    // Set sizes are re-derived as posting counts per doc — shingles() emits
+    // distinct shingles, so the count equals size(sh) exactly.
+    val posting = shingleSets(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val filtered = posting.join(rare.select("shingle"), Seq("shingle"))
@@ -86,7 +89,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("doc_id"), col("n_sh"))
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -104,9 +107,15 @@ object Dedup {
     * pairs is gated in RecallSpec.
     */
   def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    // only (doc_id, lang, sig) is materialized — 32 longs per doc; the
+    // shingle arrays are recomputed for the (small) candidate verification
+    // joins below rather than checkpointed, keeping array blocks out of
+    // the block store (see jaccardPairs for why that residency matters)
+    val sigs = shingleSets(s, d)
+      .select(col("doc_id"), col("lang"), minhashSignature(col("sh")).as("sig"))
+      .localCheckpoint()
     val sets = shingleSets(s, d)
-      .withColumn("sig", minhashSignature(col("sh"))).localCheckpoint()
-    val bands = sets.select(col("doc_id"), col("lang"),
+    val bands = sigs.select(col("doc_id"), col("lang"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b), col("sig")(4 * b), col("sig")(4 * b + 1),

@@ -87,14 +87,25 @@ object EventsOps {
         .orderBy("day")),
 
     // exact interpolating grouped quantiles (percentile, not approx)
+    // ONE array-argument percentile, not three scalar ones: each scalar
+    // percentile() is its own TypedImperativeAggregate that buffers and
+    // sorts every group value independently — the array form pays that
+    // once for all three cut points (3x less buffering on a measure
+    // column that is most of the table)
     "q44_quantiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          // cast to double BEFORE aggregating: the percentile buffer keys
+          // its value-count map on the column's JVM objects, and Decimal
+          // boxing/hashing dominates; doubles are exact here (12,2
+          // decimals sit far inside 2^53) and the final interpolation is
+          // double arithmetic either way
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("ps"),
           count(lit(1)).as("records"))
+        .select(col("l_returnflag"),
+          col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
+          col("records"))
         .orderBy("l_returnflag"))
   )
 

@@ -66,6 +66,10 @@ object RunMedallion {
       Seq("region_id", "time_id", "total_energy_mwh", "total_co2_tonnes"),
       "fact_carbon_intensity load")
     EnergyStar.registerViews(spark, star)
+    // JDBC warehouse load (S5/S6 + M5): stage + one-transaction MERGE
+    // into embedded Derby — the reference's load_to_postgres entry point
+    graft.sources.JdbcWarehouse.loadStar(
+      graft.sources.JdbcStage.derbyUrl(s"$root/warehouse/derby"), star)
     star
   }
 

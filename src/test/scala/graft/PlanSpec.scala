@@ -57,6 +57,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
 
+  test("q43 candidate dedup carries no embedding arrays through exchanges") {
+    // the LSH candidate `distinct` must run over id pairs only — an
+    // exchange whose hashpartitioning includes the vector column means
+    // 64-dim arrays are riding (and being hash-compared in) the shuffle,
+    // the shape the round-4 audit flagged
+    val p = plan("q43_dedup_embedding_lsh")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, s"no hash exchanges in q43 plan:\n$p")
+    exchanges.foreach { keys =>
+      assert(!keys.contains("va") && !keys.contains("vb") && !keys.matches(".*\\bv#.*"),
+        s"embedding vector in exchange keys: $keys")
+    }
+  }
+
   test("year-partitioned gold sink prunes partitions on filtered reads") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft_prune/gold_energy"
