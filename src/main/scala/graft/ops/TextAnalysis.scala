@@ -60,13 +60,69 @@ object TextAnalysis {
         col("doc_id"),
         fingerprint(col("text")).as("fp"),
         xxhash64(col("text")).as("content_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // END-TO-END corpus curation — the pipeline this engine exists for:
+    // quality gate + language agreement + exact dedup, reported per
+    // (lang, verdict). Drop reasons are prioritized duplicate > quality
+    // > language so every doc gets exactly one verdict. Scale shape: the
+    // scoring is narrow per-row; canonical resolution is a groupBy+join
+    // on the 16-byte digest AFTER projecting the text away, so the only
+    // shuffled payload is (ids, scores, digest) — never the documents
+    // themselves; the report agg is tiny. sum_quality goes through
+    // DECIMAL so shuffle order can't perturb the sum (cf. sumMoney).
+    "q50_corpus_curation" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        (Seq(col("doc_id"), col("lang"), col("text"),
+          qualityScore(col("text")).as("quality")) ++
+          LangMarkers.map { case (l, m) => langScore(col("text"), m).as(s"s_$l") }): _*)
+      val Seq(en, fr, es, de, zh) = LangMarkers.map(m => col(s"s_${m._1}"))
+      val predicted = when(en >= fr && en >= es && en >= de && en >= zh, "en")
+        .when(fr >= es && fr >= de && fr >= zh, "fr")
+        .when(es >= de && es >= zh, "es")
+        .when(de >= zh, "de")
+        .otherwise("zh")
+      val perDoc = scored.select(
+        col("doc_id"), col("lang"), col("quality"), predicted.as("predicted"),
+        md5(col("text").cast("binary")).as("digest"))
+      val canon = perDoc.groupBy("digest").agg(min(col("doc_id")).as("canon_id"))
+      perDoc.join(canon, Seq("digest"))
+        .withColumn("verdict",
+          when(col("doc_id") =!= col("canon_id"), "drop_duplicate")
+            .when(col("quality") < 0.5, "drop_quality")
+            .when(col("predicted") =!= col("lang"), "drop_lang_mismatch")
+            .otherwise("keep"))
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality").cast("decimal(18,9)")).cast("double").as("sum_quality"))
+        .orderBy("lang", "verdict")
+    })
   )
 
   private val langScoreSql: String = LangMarkers.map { case (l, m) =>
     val set = m.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($set))) AS INTEGER) AS s_$l"
   }.mkString(",\n         ")
+
+  /** The q22 quality formula over a pre-split `w` token list — shared
+    * verbatim by the q22 and q50 oracles.
+    */
+  private val QualitySql =
+    """0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
+      |           + 0.3 * (1.0 - (CASE WHEN len(w) = 0 THEN 0.0
+      |              ELSE CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(w) END))
+      |           + 0.3 * (CASE WHEN len(w) = 0 THEN 0.0
+      |              ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END)""".stripMargin
+
+  /** The q23 argmax cascade over the s_* marker scores — shared by the
+    * q23 and q50 oracles.
+    */
+  private val PredictedSql =
+    """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+      |            WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+      |            WHEN s_de >= s_zh THEN 'de'
+      |            ELSE 'zh' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -116,7 +172,31 @@ object TextAnalysis {
          |         $langScoreSql
          |  FROM documents
          |)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q50_corpus_curation" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w,
+         |         $langScoreSql
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, md5(text) AS digest,
+         |         $QualitySql AS quality,
+         |         $PredictedSql AS predicted
+         |  FROM base
+         |), canon AS (
+         |  SELECT digest, MIN(doc_id) AS canon_id FROM scored GROUP BY digest
+         |), verdicts AS (
+         |  SELECT s.lang, s.quality,
+         |         CASE WHEN s.doc_id <> c.canon_id THEN 'drop_duplicate'
+         |              WHEN s.quality < 0.5 THEN 'drop_quality'
+         |              WHEN s.predicted <> s.lang THEN 'drop_lang_mismatch'
+         |              ELSE 'keep' END AS verdict
+         |  FROM scored s JOIN canon c ON s.digest = c.digest
+         |)
+         |SELECT lang, verdict, COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) AS sum_quality
+         |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
   )
 
   /** Hash-based ops with no portable SQL equivalent. */
