@@ -188,10 +188,15 @@ object SimilaritySearch {
     "q43_dedup_embedding_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // materialized once — the bucket-population guard and BOTH sides of
+      // the self-join read it, and at 24 bytes/row it's block-store-cheap
+      // (the projection also keeps re-running the 32 hyperplane dot
+      // products per vector from happening 4x)
       val sigs = e.select(col("vec_id"),
         explode(array((0 until 8).map(t =>
           struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
         .select(col("vec_id"), col("sig.tbl"), col("sig.bucket"))
+        .localCheckpoint()
       val keepBuckets = sigs.groupBy("tbl", "bucket")
         .agg(count(lit(1)).as("pop"))
         .filter(col("pop") <= MaxBucketPopulation)
