@@ -141,6 +141,20 @@ object EventsStreaming {
       .toDF()
   }
 
+  /** Dedup-on-ingest — the streaming member of the dedup family (batch
+    * twin: q25's digest groupBy): drop replayed/duplicate events by key,
+    * with state BOUNDED by the watermark. `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes its event time, so
+    * state scales with the watermark window, not the stream's lifetime —
+    * the deliberate trade (a re-ingest arriving after the window
+    * re-admits a copy) that makes streaming dedup feasible at all; an
+    * unbounded `dropDuplicates` would accumulate every key forever.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Continuous warehouse maintenance: an Update-mode streaming
     * aggregation (state holds the running totals per key) feeds
     * `foreachBatch`, which MERGEs the corrected rows into the parquet

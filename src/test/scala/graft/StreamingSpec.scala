@@ -157,6 +157,21 @@ class StreamingSpec extends AnyFunSuite {
       (9L, 1L, us("2024-01-01T01:30:00Z"), us("2024-01-01T01:30:00Z"))))
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    val d = "/tmp/graft_stream_dedup"
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .orderBy("event_id").limit(200)
+    base.write.mode("overwrite").parquet(d)
+    // replay half the events into a second file: a second micro-batch
+    // re-ingesting data the state store has already seen
+    base.limit(100).write.mode("append").parquet(d)
+    val streamed = EventsStreaming.dedupEvents(
+      EventsStreaming.readEvents(spark, d, maxFilesPerTrigger = Some(1)))
+    val out = EventsStreaming.runToMemory(spark, streamed, "dedup_stream_test")
+    assert(out.count() == 200, "each replayed event must be emitted exactly once")
+    assert(out.select("event_id").distinct().count() == 200)
+  }
+
   test("commitSwap publishes atomically and failures leave previous data readable") {
     import java.nio.file.{Files, Paths}
     val root = "/tmp/graft_stream/swap"
