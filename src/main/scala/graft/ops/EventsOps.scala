@@ -46,27 +46,34 @@ object EventsOps {
     // argmax window (SURVEY §7.3: compose built-ins before reaching for
     // a custom operator). The equi-join keys the shuffle, so the range
     // part never becomes a cross join.
-    // as-of composed from built-ins: equi+range join, then argmax as
-    // max(struct(time, tiebreak, payload)) — struct ordering is
-    // lexicographic, so the max picks exactly "ORDER BY o_orderdate DESC,
-    // o_orderkey DESC" LIMIT 1 per event. A two-phase hash aggregate
-    // (map-side combine shrinks the join fan-out before the shuffle)
-    // where the previous window shape sorted the whole fan-out globally
-    // per partition — same oracle, ~3x cheaper, and the scale-correct
-    // composition. q46 is the same semantics as a custom physical
-    // operator, which skips the fan-out entirely.
+    // as-of composed from built-ins: equi+range join, then argmax through
+    // a TWO-PHASE HASH aggregate — the map-side partial shrinks the join
+    // fan-out before it shuffles and nothing sorts, where the old
+    // ROW_NUMBER window shape sorted the whole fan-out per partition.
+    // Struct-valued max/max_by fall back to SortAggregate (struct buffers
+    // aren't hash-aggregable), so the ordering "(o_orderdate DESC,
+    // o_orderkey DESC) LIMIT 1" is packed into ONE long — days<<44 |
+    // orderkey, exact while orderkey < 2^44 (TPC-H SF100k is ~6e11) —
+    // and each payload column rides its own primitive-buffer max_by off
+    // that key. orderkey is unique, so the packed max is unique and both
+    // max_bys pick the same row. Same oracle; plan shape pinned in
+    // PlanSpec. q46 is the same semantics as a custom physical operator,
+    // which skips the fan-out entirely.
     "q45_asof_last_order" -> ((s, d) => {
       val e = Tables.events(s, d).select("event_id", "user_id", "ts")
       val o = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"))
+      // o_orderdate is a midnight-valued TIMESTAMP_NTZ: its epoch day
+      // number (18 bits) carries the full ordering, leaving 44 bits for
+      // the orderkey
+      val packed = shiftleft(
+        unix_date(to_date(col("o_orderdate"))).cast("long"), 44) +
+        col("o_orderkey")
       e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
         .groupBy("event_id", "user_id")
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
-          col("o_totalprice"))).as("last"))
-        .select(col("event_id"), col("user_id"),
-          col("last.o_orderkey").as("last_orderkey"),
-          col("last.o_totalprice").as("last_totalprice"))
+        .agg(max_by(col("o_orderkey"), packed).as("last_orderkey"),
+          max_by(col("o_totalprice"), packed).as("last_totalprice"))
         .orderBy("event_id")
     }),
 

@@ -57,6 +57,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
 
+  test("q45 as-of argmax is a two-phase aggregate, not a window sort") {
+    // the map-side partial max shrinks the join fan-out before it
+    // shuffles; a regression back to the ROW_NUMBER window shape would
+    // sort the whole fan-out instead
+    val p = plan("q45_asof_last_order")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregate in q45:\n$p")
+    assert(!p.contains("row_number"), s"window shape back in q45:\n$p")
+  }
+
   test("q43 candidate dedup carries no embedding arrays through exchanges") {
     // the LSH candidate `distinct` must run over id pairs only — an
     // exchange whose hashpartitioning includes the vector column means

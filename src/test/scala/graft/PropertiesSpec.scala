@@ -84,6 +84,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupComponents matches a union-find oracle on random graphs") {
+    // differential check of the distributed pointer-jumping loop against
+    // a driver-side union-find on random edge lists — covers shapes the
+    // hand-built chain/island tests don't (cycles, stars, cross-links).
+    // 8 seeded graphs keep the Spark-job cost bounded; ScalaCheck's 20
+    // cases x several rounds each would dominate the suite's runtime.
+    val rng = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      val n = 2 + rng.nextInt(24)
+      val edges = (1 to n).map(_ =>
+        (rng.nextInt(20).toLong, rng.nextInt(20).toLong, 0.9))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b, _) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = ops.Dedup.dedupComponents(
+          edges.toDF("doc_a", "doc_b", "jaccard"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want, s"trial $trial (${edges.size} edges): $got vs $want")
+      }
+    }
+  }
+
   test("minhash band agreement is monotone in true jaccard") {
     // not a strict property of single draws - check on expectation with
     // fixed pairs: supersets agree at least as much as subsets
