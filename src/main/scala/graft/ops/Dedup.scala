@@ -240,7 +240,12 @@ object Dedup {
     * large graphs fall back to shuffle joins with the identical plan
     * shape.
     */
-  def dedupComponents(pairs: DataFrame): DataFrame = {
+  /** `broadcastCap` overrides [[ComponentBroadcastCap]] — tests pass 0 to
+    * force the shuffle-join branch (the 100 TB path) on small graphs,
+    * which no realistic test corpus would otherwise reach.
+    */
+  def dedupComponents(pairs: DataFrame,
+                      broadcastCap: Long = ComponentBroadcastCap): DataFrame = {
     // undirected edge list, both directions; materialized once — every
     // round probes it (localCheckpoint, not cache: freed on GC, no
     // session-lifetime storage pin)
@@ -250,7 +255,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    val small = labels.count() <= ComponentBroadcastCap
+    val small = labels.count() <= broadcastCap
     def lab(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var changed = 1L
     var rounds = 0

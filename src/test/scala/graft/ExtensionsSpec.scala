@@ -147,6 +147,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("dedup components: shuffle-join branch (the at-scale path) converges too") {
+    // broadcastCap = 0 forces the non-broadcast branch every real corpus
+    // under 2M near-dup nodes would never reach — the loop the 100 TB
+    // run actually executes
+    val pairs = (0L until 64L).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val labels = ops.Dedup.dedupComponents(pairs, broadcastCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 65)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("langid argmax is deterministic and total") {
     val r = ops.TextAnalysis.queries("q23_langid")(spark, "/root/testdata/sf0.001")
     assert(r.filter(col("predicted").isNull).isEmpty)
