@@ -41,6 +41,12 @@ object Bench {
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // checkpoint/broadcast blocks from the previous query are only
+      // released after a DRIVER GC triggers ContextCleaner; on a large
+      // heap that may never happen mid-run, so later queries pay their
+      // predecessors' block-store residency. Collect between queries —
+      // outside any timed region — so each query starts clean.
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
