@@ -66,15 +66,25 @@ object StarSchema {
     * divisor, not non-ANSI Divide behavior).
     */
   def factMonthly(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // EAGER AGGREGATION below the join: collapse lineitem to one row per
+    // orderkey BEFORE joining orders — exact, because the final grouping
+    // keys (region, year, month) are functionally dependent on orderkey
+    // through orders, and sums of per-order decimal sums equal the flat
+    // decimal sum. The orderkey shuffle then moves |orders| pre-combined
+    // rows instead of |lineitem| raw rows (4x here, ~7x at TPC-H scale)
+    // — the aggregate-below-join rewrite Catalyst doesn't do itself.
+    val perOrder = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-    val joined = li.join(
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("o_qty"), // integral-valued doubles: exact in any order
+        sum(col("rev").cast("decimal(22,6)")).as("o_rev")) // stay DECIMAL until the final sum
+    val joined = perOrder.join(
       orderRegion(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
       Seq("l_orderkey"))
     val agg = joined.groupBy("region_name", "year", "month").agg(
-      sum(col("l_quantity")).as("total_qty"), // integral-valued doubles: exact in any order
-      sumMoney6(col("rev")).as("total_revenue"))
+      sum(col("o_qty")).as("total_qty"),
+      sum(col("o_rev")).cast("double").as("total_revenue"))
     agg.withColumn("rev_per_qty",
       col("total_revenue") /
         when(col("total_qty") === 0, lit(null)).otherwise(col("total_qty")))
