@@ -159,6 +159,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("corpus curation verdicts: duplicate beats quality beats language") {
+    // a long high-quality English text (keep), its exact duplicate
+    // (drop_duplicate even though it would also pass quality), a short
+    // junk text (drop_quality), and a good text with a wrong lang label
+    // (drop_lang_mismatch — quality passes, so the language rule decides)
+    val good = ("the quick brown fox jumps over the lazy dog and " * 12).trim
+    val good2 = ("the small red hen walks past the old barn and " * 12).trim
+    val junk = "a a a a"
+    Seq((1L, good, "en", "t", 1L), (2L, good, "en", "t", 1L),
+      (3L, junk, "en", "t", 1L), (4L, good2, "fr", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_cur/documents.parquet")
+    val got = ops.TextAnalysis.queries("q50_corpus_curation")(spark, "/tmp/graft_test_cur")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("en", "keep") -> 1L,
+      ("en", "drop_duplicate") -> 1L,
+      ("en", "drop_quality") -> 1L,
+      ("fr", "drop_lang_mismatch") -> 1L), s"got $got")
+  }
+
   test("langid argmax is deterministic and total") {
     val r = ops.TextAnalysis.queries("q23_langid")(spark, "/root/testdata/sf0.001")
     assert(r.filter(col("predicted").isNull).isEmpty)
