@@ -40,26 +40,41 @@ object Bench {
     // whichever query happens to run first
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // checkpoint/broadcast blocks from the previous query are only
-      // released after a DRIVER GC triggers ContextCleaner; on a large
-      // heap that may never happen mid-run, so later queries pay their
-      // predecessors' block-store residency. Collect between queries —
-      // outside any timed region — so each query starts clean.
-      System.gc()
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // checkpoint/broadcast blocks from the previous query are only
+        // released after a DRIVER GC triggers ContextCleaner; on a large
+        // heap that may never happen mid-run, so later queries pay their
+        // predecessors' block-store residency. Collect between queries —
+        // outside any timed region — so each query starts clean.
+        System.gc()
+        // a throwing query must NOT be billed as a (near-zero) time: that
+        // would make the bench total IMPROVE when a regression breaks a
+        // query. Record the failure per-query and fail the run instead.
+        var err: Option[String] = None
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          if (err.isEmpty)
+            try exec(fn(spark, sfDir))
+            catch { case t: Throwable => err = Some(t.getClass.getSimpleName) }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> err.toLeft(times(times.length / 2)) // median
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e)) => s"\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => k }
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val note = "methodology: noop-sink action since round 5 (count() let " +
       "Catalyst prune the measured plan); totals not comparable with r4 and earlier"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -11,6 +11,23 @@ import graft.ops.StarSchema.sumMoney
   * batch twins are the oracle-checkable surface).
   */
 object EventsOps {
+
+  /** Total order "(o_orderdate DESC, o_orderkey DESC)" packed into ONE
+    * long: epoch-day << 44 | orderkey. Exact only while orderkey < 2^44
+    * (TPC-H SF100k tops out near 6e11 ≪ 1.76e13) — and that precondition
+    * is ENFORCED, not assumed: a key at or above 2^44 raises rather than
+    * silently corrupting the ordering. The guard is a codegen'd per-row
+    * branch on a column already in hand — no extra pass, no driver
+    * action.
+    */
+  private[graft] def packedOrderKey(orderdate: Column, orderkey: Column): Column = {
+    val guarded = when(orderkey >= lit(1L << 44),
+      raise_error(concat(
+        lit("as-of packing precondition violated: o_orderkey >= 2^44: "),
+        orderkey.cast("string"))))
+      .otherwise(orderkey)
+    shiftleft(unix_date(to_date(orderdate)).cast("long"), 44) + guarded
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling-window (hourly) counts + value totals per event type
@@ -66,10 +83,8 @@ object EventsOps {
           col("o_totalprice"))
       // o_orderdate is a midnight-valued TIMESTAMP_NTZ: its epoch day
       // number (18 bits) carries the full ordering, leaving 44 bits for
-      // the orderkey
-      val packed = shiftleft(
-        unix_date(to_date(col("o_orderdate"))).cast("long"), 44) +
-        col("o_orderkey")
+      // the orderkey (packedOrderKey raises on a key that would overflow)
+      val packed = packedOrderKey(col("o_orderdate"), col("o_orderkey"))
       e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
         .groupBy("event_id", "user_id")
         .agg(max_by(col("o_orderkey"), packed).as("last_orderkey"),
@@ -117,6 +132,26 @@ object EventsOps {
           // decimals sit far inside 2^53) and the final interpolation is
           // double arithmetic either way
           expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("ps"),
+          count(lit(1)).as("records"))
+        .select(col("l_returnflag"),
+          col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
+          col("records"))
+        .orderBy("l_returnflag")),
+
+    // approx twin of q44 — the 100 TB path. Exact grouped percentile
+    // buffers every DISTINCT value per group (fine on bounded domains
+    // like prices, memory-shaped risk on unbounded ones); approx_percentile
+    // is a Greenwald-Khanna sketch whose buffer is bounded by the accuracy
+    // parameter alone, independent of the data domain. Same exact-anchor/
+    // approx-path pattern as the dedup family: ApproxQuantileSpec gates
+    // this against q44 with a relative-error bound. Rows-only (DuckDB's
+    // approx_quantile is a different sketch — values can't hash-match).
+    "q51_quantiles_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), " +
+            "array(0.25D, 0.5D, 0.75D), 10000)").as("ps"),
           count(lit(1)).as("records"))
         .select(col("l_returnflag"),
           col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
@@ -210,17 +245,7 @@ object EventsOps {
         |ORDER BY hour, event_type""".stripMargin,
 
     "q33_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, event_id,
-        |         CASE WHEN prev_ts IS NULL
-        |                OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
-        |              ELSE 0 END AS new_session
-        |  FROM (
-        |    SELECT user_id, event_id, ts,
-        |           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |    FROM events
-        |  )
-        |), sessions AS (
+      """WITH sessions AS (
         |  SELECT user_id,
         |         SUM(new_session) OVER (
         |           PARTITION BY user_id ORDER BY ts, event_id
@@ -240,7 +265,11 @@ object EventsOps {
         |ORDER BY user_id""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set.empty
+  /** q51's GK sketch isn't reproducible by DuckDB's t-digest
+    * approx_quantile — gated against exact q44 in ApproxQuantileSpec
+    * instead.
+    */
+  val rowsOnly: Set[String] = Set("q51_quantiles_approx")
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ jsonQueries ++ asofQueries

@@ -114,6 +114,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.asof.maxBuildGroupSize")
   }
 
+  test("q45 packed-ordering guard: exact below 2^44, raises at 2^44") {
+    val day = java.time.LocalDate.of(2024, 1, 2).toEpochDay
+    val ok = Seq((java.sql.Date.valueOf("2024-01-02"), 123L)).toDF("d", "k")
+    val packed = ok
+      .select(graft.ops.EventsOps.packedOrderKey(col("d"), col("k")).as("p"))
+      .collect().head.getLong(0)
+    assert(packed == (day << 44) + 123L)
+    val bad = Seq((java.sql.Date.valueOf("2024-01-02"), 1L << 44)).toDF("d", "k")
+    val err = intercept[Throwable] {
+      bad.select(graft.ops.EventsOps.packedOrderKey(col("d"), col("k"))).collect()
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs.contains("2^44"), s"expected the packing guard to fire:\n$msgs")
+  }
+
   test("plan uses AsOfJoinExec, not a cross join") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
