@@ -1,0 +1,280 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM media container codecs — no external codec libraries needed.
+  * Three formats whose containers are fully parseable from bytes alone:
+  * BMP (BITMAPINFOHEADER, 24bpp BI_RGB, bottom-up rows padded to 4
+  * bytes), binary PPM (P6, whitespace/comment header grammar), and PCM
+  * WAV (RIFF chunk walk, fmt + data). Encoders emit genuine files of
+  * these formats (the q35 fixture path — driver testdata carries no
+  * binary media columns); decoders validate magic bytes, read
+  * dimensions/geometry from the real headers, and compute an 8-stat
+  * feature vector from the decoded pixel/sample data. Unknown mime
+  * types fall back to honest byte-level statistics (never a fake).
+  */
+object MediaCodec {
+
+  val BmpMime = "image/bmp"
+  val PpmMime = "image/x-portable-pixmap"
+  val WavMime = "audio/wav"
+
+  /** Decoded media: container-reported geometry (images: pixels; audio:
+    * frames × channels; unknown payloads: 0×0) + 8 statistics computed
+    * from the decoded content.
+    */
+  case class Decoded(width: Int, height: Int, feature: Array[Float])
+
+  def decode(mime: String, payload: Array[Byte]): Decoded = mime match {
+    case BmpMime => decodeBmp(payload)
+    case PpmMime => decodePpm(payload)
+    case WavMime => decodeWav(payload)
+    case _ => byteStats(payload)
+  }
+
+  private def byteAt(content: Array[Byte], i: Int): Byte =
+    if (i < content.length) content(i) else 0
+
+  /** Smallest near-square geometry fitting n content bytes at 3 B/px. */
+  private def geometry(n: Int): (Int, Int) = {
+    val w = math.max(1, math.ceil(math.sqrt(n / 3.0)).toInt)
+    val h = math.max(1, math.ceil(n / (3.0 * w)).toInt)
+    (w, h)
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  def encodeBmp(content: Array[Byte]): Array[Byte] = {
+    val (w, h) = geometry(content.length)
+    val stride = (w * 3 + 3) & ~3
+    val imageSize = stride * h
+    val out = new Array[Byte](54 + imageSize)
+    val buf = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imageSize).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // content is treated as RGB-ordered; BMP stores BGR, bottom-up
+    var row = 0
+    while (row < h) {
+      val dst = 54 + (h - 1 - row) * stride
+      var col = 0
+      while (col < w) {
+        val src = (row * w + col) * 3
+        out(dst + col * 3) = byteAt(content, src + 2)
+        out(dst + col * 3 + 1) = byteAt(content, src + 1)
+        out(dst + col * 3 + 2) = byteAt(content, src)
+        col += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  def decodeBmp(p: Array[Byte]): Decoded = {
+    require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', "not a BMP payload")
+    val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    val h = math.abs(hRaw) // negative height = top-down row order
+    val stride = (w * 3 + 3) & ~3
+    require(w > 0 && h > 0 && pixelOffset >= 54 &&
+      pixelOffset + stride.toLong * h <= p.length, "truncated BMP pixel data")
+    // means are row-order-independent, so bottom-up vs top-down needs no
+    // flip here — only the BGR-within-pixel order matters
+    Decoded(w, h, imageFeatures(w, h, (row, col) => {
+      val i = pixelOffset + row * stride + col * 3
+      ((p(i + 2) & 0xFF), (p(i + 1) & 0xFF), (p(i) & 0xFF))
+    }))
+  }
+
+  // ---------------------------------------------------------------- PPM
+
+  def encodePpm(content: Array[Byte]): Array[Byte] = {
+    val (w, h) = geometry(content.length)
+    val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h * 3) { out(header.length + i) = byteAt(content, i); i += 1 }
+    out
+  }
+
+  def decodePpm(p: Array[Byte]): Decoded = {
+    require(p.length >= 2 && p(0) == 'P' && p(1) == '6', "not a P6 PPM payload")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    def nextInt(): Int = {
+      while (pos < p.length && (isWs(p(pos)) || p(pos) == '#'))
+        if (p(pos) == '#') { while (pos < p.length && p(pos) != '\n') pos += 1 }
+        else pos += 1
+      require(pos < p.length && p(pos) >= '0' && p(pos) <= '9',
+        "malformed PPM header")
+      var v = 0
+      while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+        v = v * 10 + (p(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
+      s"unsupported PPM geometry: ${w}x$h maxval=$maxval")
+    pos += 1 // exactly one whitespace byte separates the header from pixels
+    require(pos + 3L * w * h <= p.length, "truncated PPM pixel data")
+    val base = pos
+    Decoded(w, h, imageFeatures(w, h, (row, col) => {
+      val i = base + (row * w + col) * 3
+      ((p(i) & 0xFF), (p(i + 1) & 0xFF), (p(i + 2) & 0xFF))
+    }))
+  }
+
+  /** Shared image statistics: per-channel means, luma mean/std, aspect,
+    * non-black fraction, mean horizontal luma gradient — all from the
+    * decoded pixels.
+    */
+  private def imageFeatures(w: Int, h: Int,
+                            rgb: (Int, Int) => (Int, Int, Int)): Array[Float] = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sum = 0.0; var sumSq = 0.0; var grad = 0.0
+    var nonZero = 0L
+    var row = 0
+    while (row < h) {
+      var col = 0
+      var prevLuma = 0.0
+      while (col < w) {
+        val (r, g, b) = rgb(row, col)
+        sr += r; sg += g; sb += b
+        val luma = (r + g + b) / 3.0
+        sum += luma; sumSq += luma * luma
+        if (r != 0 || g != 0 || b != 0) nonZero += 1
+        if (col > 0) grad += math.abs(luma - prevLuma)
+        prevLuma = luma
+        col += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (mean / 255.0).toFloat, (math.sqrt(variance) / 255.0).toFloat,
+      w.toFloat / (w + h), nonZero.toFloat / n,
+      (if (w > 1) grad / ((n - h) * 255.0) else 0.0).toFloat)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Mono 8 kHz 16-bit PCM; one sample per content byte (centered). */
+  def encodeWav(content: Array[Byte]): Array[Byte] = {
+    val dataSize = content.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataSize)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize)
+    var i = 0
+    while (i < content.length) {
+      buf.putShort((((content(i) & 0xFF) - 128) << 8).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  private def ascii(p: Array[Byte], off: Int, len: Int): String =
+    new String(p, off, len, StandardCharsets.US_ASCII)
+
+  def decodeWav(p: Array[Byte]): Decoded = {
+    require(p.length >= 12 && ascii(p, 0, 4) == "RIFF" && ascii(p, 8, 4) == "WAVE",
+      "not a RIFF/WAVE payload")
+    val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt = 0; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataStart = -1; var dataLen = 0
+    while (pos + 8 <= p.length) {
+      val id = ascii(p, pos, 4)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size.toLong <= p.length,
+        s"truncated WAV chunk $id")
+      if (id == "fmt ") {
+        fmt = buf.getShort(pos + 8); channels = buf.getShort(pos + 10)
+        sampleRate = buf.getInt(pos + 12); bits = buf.getShort(pos + 22)
+      } else if (id == "data") { dataStart = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(fmt == 1 && bits == 16 && channels >= 1,
+      s"unsupported WAV variant: fmt=$fmt bits=$bits channels=$channels")
+    require(dataStart >= 0, "WAV data chunk missing")
+    val nSamples = dataLen / 2
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var diff = 0.0
+    var zc = 0L
+    var prev = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val s = buf.getShort(dataStart + 2 * i) / 32768.0
+      sum += s; sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0) {
+        if ((s >= 0) != (prev >= 0)) zc += 1
+        diff += math.abs(s - prev)
+      }
+      prev = s
+      i += 1
+    }
+    val n = math.max(nSamples, 1).toDouble
+    val frames = nSamples / channels
+    Decoded(frames, channels, Array(
+      (sum / n).toFloat, math.sqrt(sumSq / n).toFloat,
+      (zc / n).toFloat, peak.toFloat,
+      math.min(1.0, frames / math.max(sampleRate, 1).toDouble).toFloat,
+      sampleRate / 48000f, channels.toFloat,
+      (if (nSamples > 1) diff / (nSamples - 1) else 0.0).toFloat))
+  }
+
+  // ------------------------------------------------- unknown-mime path
+
+  /** Byte-level statistics for containers we can't parse: histogram
+    * mean/std, Shannon entropy, printable/zero/dominant-byte fractions,
+    * distinct-byte ratio, mean absolute byte delta.
+    */
+  def byteStats(p: Array[Byte]): Decoded = {
+    val hist = new Array[Long](256)
+    var diff = 0.0
+    var i = 0
+    while (i < p.length) {
+      hist(p(i) & 0xFF) += 1
+      if (i > 0) diff += math.abs((p(i) & 0xFF) - (p(i - 1) & 0xFF))
+      i += 1
+    }
+    val n = math.max(p.length, 1).toDouble
+    var sum = 0.0; var sumSq = 0.0; var ent = 0.0
+    var printable = 0L; var maxFreq = 0L
+    var distinct = 0
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        distinct += 1
+        if (c > maxFreq) maxFreq = c
+        val f = c / n
+        ent -= f * math.log(f) / math.log(2)
+        sum += b.toDouble * c; sumSq += b.toDouble * b * c
+        if (b >= 32 && b < 127) printable += c
+      }
+      b += 1
+    }
+    val mean = sum / n
+    val variance = math.max(0.0, sumSq / n - mean * mean)
+    Decoded(0, 0, Array(
+      (mean / 255.0).toFloat, (math.sqrt(variance) / 255.0).toFloat,
+      (ent / 8.0).toFloat, (printable / n).toFloat, (hist(0) / n).toFloat,
+      (maxFreq / n).toFloat, distinct / 256f,
+      (if (p.length > 1) diff / ((p.length - 1) * 255.0) else 0.0).toFloat))
+  }
+}

@@ -6,10 +6,15 @@ import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, processed in partition-local batches. The
-  * decode step itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake; everything Spark-side —
-  * schema, batching, partitioning, the typed Dataset boundary — is real
-  * and is exactly what a libjpeg/ffmpeg-backed decoder would plug into.
+  * decode step is REAL container parsing — [[MediaCodec]] validates
+  * magic bytes, reads dimensions from BMP/PPM/WAV headers, and computes
+  * features from the actual pixel/sample data, all pure-JVM (no codec
+  * jars needed for these formats). The encode side exists because the
+  * driver testdata has no binary media columns: `asMedia` packs each
+  * document's bytes into a genuine BMP/PPM/WAV container (round-robin
+  * by doc_id), standing in for the object-store media scan a production
+  * pipeline would start from — what reaches the decoder is a valid file
+  * of the claimed format, not a blob with a label.
   */
 object Multimodal {
 
@@ -18,38 +23,43 @@ object Multimodal {
     */
   case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
 
-  /** Stub feature record a real decoder would emit (e.g. resized pixels,
-    * mel spectrogram stats).
+  /** Decoded-feature record: container-reported geometry (images:
+    * pixels, audio: frames × channels) + 8 content statistics.
     */
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                            width: Int, height: Int, feature: Array[Float])
 
-  /** STUB decode: deterministic fake standing in for an image/audio
-    * codec. Real implementation would parse `payload` (JPEG/PNG/WAV...);
-    * here dimensions and features derive from the bytes so results are
-    * stable and testable. Runs per-partition over the iterator — the
-    * batch shape a vectorized decoder needs (one codec init per
-    * partition, not per row).
+  /** Decode a partition of media rows: parse each container's header
+    * and content via [[MediaCodec]]. Runs per-partition over the
+    * iterator — the batch shape a vectorized decoder needs (one codec
+    * init per partition, not per row; the per-partition scope is where
+    * a native decoder would allocate its scratch buffers).
     */
-  def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // per-partition "codec init" would happen here
+  def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      val h = java.util.Arrays.hashCode(r.payload)
-      val width = 16 + math.floorMod(h, 1024)
-      val height = 16 + math.floorMod(h >> 10, 1024)
-      val feature = Array.tabulate(8)(i =>
-        math.floorMod(h * (i + 1), 1000) / 1000.0f)
-      MediaFeatures(r.doc_id, r.mime, r.payload.length, width, height, feature)
+      val d = MediaCodec.decode(r.mime, r.payload)
+      MediaFeatures(r.doc_id, r.mime, r.payload.length, d.width, d.height,
+        d.feature)
     }
-  }
 
-  /** documents → media frame: text bytes as the opaque payload. */
+  /** documents → media frame: each document's bytes encoded into a real
+    * container, format round-robin by doc_id (⅓ BMP, ⅓ PPM, ⅓ WAV) so
+    * one query exercises every parser. Narrow per-row transform — the
+    * encode/decode pair stays inside the partition, nothing shuffles.
+    */
   def asMedia(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), lit("text/plain").as("mime"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val content = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        id % 3 match {
+          case 0 => MediaRow(id, MediaCodec.BmpMime, MediaCodec.encodeBmp(content))
+          case 1 => MediaRow(id, MediaCodec.PpmMime, MediaCodec.encodePpm(content))
+          case _ => MediaRow(id, MediaCodec.WavMime, MediaCodec.encodeWav(content))
+        }
+      }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -62,8 +72,11 @@ object Multimodal {
         md5(col("text").cast("binary")).as("checksum"))
         .orderBy("doc_id")),
 
-    // full decode pipeline through the typed mapPartitions boundary;
-    // rows-only (stubbed features aren't SQL-expressible)
+    // full decode pipeline through the typed mapPartitions boundary:
+    // genuine BMP/PPM/WAV containers parsed back to header dimensions +
+    // content features. Rows-only: the container geometry/stats aren't
+    // expressible in portable SQL (MultimodalSpec pins the parsers on
+    // hand-written fixtures instead).
     "q35_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       asMedia(s, d)

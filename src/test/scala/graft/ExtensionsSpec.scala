@@ -123,7 +123,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val b = ops.Multimodal.queries("q35_multimodal_decode")(spark, "/root/testdata/sf0.001")
     assert(a.exceptAll(b).isEmpty)
     val row = a.limit(1).collect()(0)
-    assert(row.getInt(3) >= 16 && row.getInt(4) >= 16) // width, height
+    assert(row.getInt(3) >= 1 && row.getInt(4) >= 1) // container-parsed width, height
   }
 
   test("dedup components: chains collapse to min-id groups") {

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{MediaCodec, Multimodal}
+
+/** The multimodal decoders against HAND-WRITTEN container bytes (not
+  * our own encoders) — proving the parsers read the real formats: magic
+  * bytes, header grammar, BMP bottom-up BGR rows with stride padding,
+  * PPM comments, RIFF chunk walking. Plus encode→decode round trips and
+  * the q35 end-to-end run.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("BMP parser reads a hand-built 2x2 24bpp file (padding, BGR, bottom-up)") {
+    // pixels (RGB, image order): (255,0,0) (255,255,0) / (0,0,0) (0,0,255)
+    val stride = 8 // 2 px * 3 B padded to 4-byte boundary
+    val buf = ByteBuffer.allocate(54 + stride * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + stride * 2).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first (image row 1), BGR per pixel, 2 pad bytes per row
+    buf.put(Array[Byte](0, 0, 0, -1, 0, 0, 0, 0))          // (0,0,0) (0,0,255)
+    buf.put(Array[Byte](0, 0, -1, 0, -1, -1, 0, 0))        // (255,0,0) (255,255,0)
+    val d = MediaCodec.decodeBmp(buf.array())
+    assert(d.width == 2 && d.height == 2)
+    assert(d.feature(0) == 0.5f)   // mean R = 127.5/255
+    assert(d.feature(1) == 0.25f)  // mean G = 63.75/255
+    assert(d.feature(2) == 0.25f)  // mean B
+    assert(d.feature(6) == 0.75f)  // one pixel of four is pure black
+  }
+
+  test("PPM parser reads a hand-built P6 with a header comment") {
+    val header = "P6\n# graft fixture\n3 1\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val d = MediaCodec.decodePpm(header ++ pixels)
+    assert(d.width == 3 && d.height == 1)
+    assert(math.abs(d.feature(0) - 40f / 255f) < 1e-6) // mean R
+    assert(math.abs(d.feature(1) - 50f / 255f) < 1e-6) // mean G
+    assert(math.abs(d.feature(2) - 60f / 255f) < 1e-6) // mean B
+  }
+
+  test("WAV parser reads a hand-built PCM file (chunk walk, LE samples)") {
+    val samples = Seq[Short](16384, -16384, 16384, -16384)
+    val buf = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + 8)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(8)
+    samples.foreach(buf.putShort)
+    val d = MediaCodec.decodeWav(buf.array())
+    assert(d.width == 4 && d.height == 1) // frames x channels
+    assert(d.feature(0) == 0.0f)  // mean: symmetric square wave
+    assert(d.feature(1) == 0.5f)  // rms of +-0.5
+    assert(d.feature(2) == 0.75f) // 3 sign changes / 4 samples
+    assert(d.feature(3) == 0.5f)  // peak
+  }
+
+  test("encode -> decode round trips recover header geometry") {
+    val content = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val bmp = MediaCodec.decode(MediaCodec.BmpMime, MediaCodec.encodeBmp(content))
+    val ppm = MediaCodec.decode(MediaCodec.PpmMime, MediaCodec.encodePpm(content))
+    val wav = MediaCodec.decode(MediaCodec.WavMime, MediaCodec.encodeWav(content))
+    // both image encoders pick the same near-square geometry
+    assert(bmp.width == ppm.width && bmp.height == ppm.height)
+    assert(bmp.width.toLong * bmp.height * 3 >= content.length)
+    // identical content through identical pixel geometry = identical means
+    for (i <- 0 until 3) assert(math.abs(bmp.feature(i) - ppm.feature(i)) < 1e-6)
+    assert(wav.width == content.length && wav.height == 1)
+    assert(wav.feature(1) > 0.0f) // real samples, nonzero rms
+    Seq(bmp, ppm, wav).foreach(d =>
+      assert(d.feature.length == 8 && d.feature.forall(f => !f.isNaN)))
+  }
+
+  test("corrupted magic bytes are rejected, unknown mime falls back to byte stats") {
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp("notabmp".getBytes ++ new Array[Byte](64)))
+    intercept[IllegalArgumentException](MediaCodec.decodePpm("P3 1 1 255 ".getBytes))
+    intercept[IllegalArgumentException](MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes ++ new Array[Byte](64)))
+    val zeros = MediaCodec.decode("application/octet-stream", new Array[Byte](100))
+    assert(zeros.width == 0 && zeros.height == 0)
+    assert(zeros.feature(0) == 0.0f) // mean byte
+    assert(zeros.feature(2) == 0.0f) // entropy of a constant stream
+    assert(zeros.feature(4) == 1.0f) // zero fraction
+  }
+
+  test("q35 decodes every document through a real container") {
+    val d = "/root/testdata/sf0.001"
+    val out = Multimodal.queries("q35_multimodal_decode")(spark, d)
+    val nDocs = Tables.documents(spark, d).count()
+    assert(out.count() == nDocs)
+    val mimes = out.select("mime").distinct().collect().map(_.getString(0)).toSet
+    assert(mimes == Set(MediaCodec.BmpMime, MediaCodec.PpmMime, MediaCodec.WavMime))
+    assert(out.filter(col("width") < 1 || col("height") < 1 || col("n_bytes") <= 0).isEmpty)
+  }
+}
