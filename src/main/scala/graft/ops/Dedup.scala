@@ -245,7 +245,16 @@ object Dedup {
     * which no realistic test corpus would otherwise reach.
     */
   def dedupComponents(pairs: DataFrame,
-                      broadcastCap: Long = ComponentBroadcastCap): DataFrame = {
+                      broadcastCap: Long = ComponentBroadcastCap): DataFrame =
+    dedupComponentsWithRounds(pairs, broadcastCap)._1
+
+  /** [[dedupComponents]] plus the number of propagation rounds it took —
+    * the doubling recurrence (d → 2d+1 per round) makes the bound
+    * ⌈log₂(diameter+1)⌉ + 1, and the convergence specs assert the COUNT
+    * against that bound, not just termination.
+    */
+  private[graft] def dedupComponentsWithRounds(
+      pairs: DataFrame, broadcastCap: Long): (DataFrame, Int) = {
     // undirected edge list, both directions; materialized once — every
     // round probes it (localCheckpoint, not cache: freed on GC, no
     // session-lifetime storage pin)
@@ -275,8 +284,15 @@ object Dedup {
         .select(col("doc_id"),
           least(col("mid_label"), coalesce(col("parent_label"), col("mid_label"))).as("label"),
           col("old_label"))
-      val materialized =
-        (if (small) next.coalesce(1) else next).localCheckpoint()
+      // fresh-stats checkpoint, NOT Dataset.localCheckpoint: the latter
+      // snapshots the origin plan's estimated stats (SPARK-39902), and a
+      // loop that joins its own previous output 3× per round compounds
+      // that estimate ~S³ per round — at chain-graph round counts the
+      // driver ends up multiplying hundred-megabit BigIntegers inside
+      // join-size estimation (minutes per round; see ColumnBridge
+      // Scaladoc). Same eager materialization, bounded stats.
+      val materialized = org.apache.spark.sql.graft.ColumnBridge
+        .localCheckpointFreshStats(if (small) next.coalesce(1) else next)
       changed = materialized.filter(col("label") =!= col("old_label")).limit(1).count()
       labels = materialized.drop("old_label")
       rounds += 1
@@ -285,7 +301,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupComponents did not converge after $MaxComponentRounds rounds " +
           "— refusing to return unconverged labels")
-    labels
+    (labels, rounds)
   }
 
   val componentQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

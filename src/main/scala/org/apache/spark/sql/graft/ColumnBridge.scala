@@ -24,4 +24,29 @@ object ColumnBridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** `localCheckpoint` WITHOUT origin-stats propagation. Since
+    * SPARK-39902, `Dataset.localCheckpoint` snapshots the origin plan's
+    * ESTIMATED statistics into the checkpointed LogicalRDD. In an
+    * iterative loop whose per-round plan joins its own previous output
+    * k times, that snapshot compounds as ~S^k per round; size-only
+    * estimation multiplies the numbers as exact BigIntegers, so by
+    * round ~15 the driver is Toom-Cook-multiplying hundred-megabit
+    * integers inside join planning and each round takes minutes (CPU
+    * pegged in `SizeInBytesOnlyStatsPlanVisitor`, observed on a
+    * 65k-hop chain graph). Rebuilding the frame from the checkpointed
+    * internal-row RDD gives it fresh default stats — planning stays
+    * O(1) per round; the physical rows are materialized exactly the
+    * same way as `Dataset.localCheckpoint(eager = true)`.
+    */
+  def localCheckpointFreshStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    // same mechanics as Dataset.checkpoint(eager=true, reliable=false):
+    // copy (toRdd reuses mutable UnsafeRows), mark, materialize eagerly
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
 }

@@ -70,6 +70,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup components: ~100k-node chain+blob graph converges in log-diameter rounds (shuffle branch)") {
+    // the pointer-jumping worst case (one 65,536-node path — diameter
+    // 65,535) next to the common case (512 dense 64-node blobs), forced
+    // through the shuffle-join branch with broadcastCap=0: the exact
+    // plan shape a 100 TB corpus would run, at ~100k nodes / ~260k
+    // directed edges
+    val chainLen = 65536L
+    val chain = spark.range(0, chainLen - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val blobBase = 1000000L
+    val members = spark.range(0, 512L * 64).select(
+      (col("id") / 64).cast("long").as("blob"), (col("id") % 64).as("i"))
+    def blobEdge(offset: Int) = members.select(
+      (lit(blobBase) + col("blob") * 64 + col("i")).as("doc_a"),
+      (lit(blobBase) + col("blob") * 64 + (col("i") + offset) % 64).as("doc_b"))
+    val pairs = chain.union(blobEdge(1)).union(blobEdge(16))
+    val t0 = System.nanoTime()
+    val (labels, rounds) = ops.Dedup.dedupComponentsWithRounds(pairs, broadcastCap = 0)
+    val groups = labels.groupBy("label").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // labels exact: the chain collapses to node 0, each blob to its base
+    assert(groups.size == 513)
+    assert(groups(0L) == chainLen)
+    assert((0 until 512).forall(b => groups(blobBase + b * 64L) == 64L))
+    // the ROUND COUNT meets the doubling bound, not just termination:
+    // d_r = 2^r - 1 >= 65,535 at r = 16, +1 no-change round to detect
+    // the fixpoint, +1 slack
+    val bound = math.ceil(math.log(chainLen.toDouble) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    assert(elapsedSec < 240, f"shuffle-branch components took $elapsedSec%.0f s")
+  }
+
   test("clusterBy orders within partitions without a global sort") {
     val df = ScaleOps.clusterBy(skewed, 4, col("k"))
     val plan = df.queryExecution.executedPlan.toString
