@@ -71,33 +71,81 @@ object TextAnalysis {
     // shuffled payload is (ids, scores, digest) — never the documents
     // themselves; the report agg is tiny. sum_quality goes through
     // DECIMAL so shuffle order can't perturb the sum (cf. sumMoney).
-    "q50_corpus_curation" -> ((s, d) => {
-      val scored = Tables.documents(s, d).select(
-        (Seq(col("doc_id"), col("lang"), col("text"),
-          qualityScore(col("text")).as("quality")) ++
-          LangMarkers.map { case (l, m) => langScore(col("text"), m).as(s"s_$l") }): _*)
-      val Seq(en, fr, es, de, zh) = LangMarkers.map(m => col(s"s_${m._1}"))
-      val predicted = when(en >= fr && en >= es && en >= de && en >= zh, "en")
-        .when(fr >= es && fr >= de && fr >= zh, "fr")
-        .when(es >= de && es >= zh, "es")
-        .when(de >= zh, "de")
-        .otherwise("zh")
-      val perDoc = scored.select(
-        col("doc_id"), col("lang"), col("quality"), predicted.as("predicted"),
-        md5(col("text").cast("binary")).as("digest"))
-      val canon = perDoc.groupBy("digest").agg(min(col("doc_id")).as("canon_id"))
-      perDoc.join(canon, Seq("digest"))
-        .withColumn("verdict",
-          when(col("doc_id") =!= col("canon_id"), "drop_duplicate")
-            .when(col("quality") < 0.5, "drop_quality")
-            .when(col("predicted") =!= col("lang"), "drop_lang_mismatch")
-            .otherwise("keep"))
-        .groupBy("lang", "verdict")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("quality").cast("decimal(18,9)")).cast("double").as("sum_quality"))
-        .orderBy("lang", "verdict")
-    })
+    "q50_corpus_curation" -> ((s, d) => report(exactVerdicts(s, d))),
+
+    // the same curation cascade with NO exact-digest anchor: duplicates
+    // come from the sub-quadratic MinHash+LSH pair graph fed through
+    // connected components (q49's machinery), so near-duplicates — not
+    // just byte-identical copies — resolve to one canonical doc. This is
+    // the full 100 TB curation plan: narrow scoring, banded LSH pair
+    // generation, a label frame of |near-dup docs| ≪ corpus left-joined
+    // back (docs outside any pair stay their own canon). Rows-only
+    // (xxhash64 signatures aren't portable SQL); CurationLshSpec gates
+    // the verdicts against exact-anchored q50.
+    "q52_corpus_curation_lsh" -> ((s, d) => report(lshVerdicts(s, d)))
   )
+
+  /** doc_id, lang, quality, predicted language, content digest — the
+    * narrow per-row scoring stage shared by q50 and q52. The text is
+    * projected away here: everything downstream shuffles (ids, scores,
+    * digest) only, never the documents.
+    */
+  private[graft] def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang"), col("text"),
+        qualityScore(col("text")).as("quality")) ++
+        LangMarkers.map { case (l, m) => langScore(col("text"), m).as(s"s_$l") }): _*)
+    val Seq(en, fr, es, de, zh) = LangMarkers.map(m => col(s"s_${m._1}"))
+    val predicted = when(en >= fr && en >= es && en >= de && en >= zh, "en")
+      .when(fr >= es && fr >= de && fr >= zh, "fr")
+      .when(es >= de && es >= zh, "es")
+      .when(de >= zh, "de")
+      .otherwise("zh")
+    scored.select(
+      col("doc_id"), col("lang"), col("quality"), predicted.as("predicted"),
+      md5(col("text").cast("binary")).as("digest"))
+  }
+
+  /** Prioritized verdict cascade (duplicate > quality > language) over a
+    * per-doc frame carrying canon_id.
+    */
+  private def withVerdict(perDoc: DataFrame): DataFrame =
+    perDoc.withColumn("verdict",
+      when(col("doc_id") =!= col("canon_id"), "drop_duplicate")
+        .when(col("quality") < 0.5, "drop_quality")
+        .when(col("predicted") =!= col("lang"), "drop_lang_mismatch")
+        .otherwise("keep"))
+
+  /** Per-doc verdicts with the EXACT canon: min doc_id per content
+    * digest (q50's anchor form).
+    */
+  private[graft] def exactVerdicts(s: SparkSession, d: String): DataFrame = {
+    val perDoc = scoredDocs(s, d)
+    val canon = perDoc.groupBy("digest").agg(min(col("doc_id")).as("canon_id"))
+    withVerdict(perDoc.join(canon, Seq("digest")))
+  }
+
+  /** Per-doc verdicts with the LSH canon: min doc_id per connected
+    * component of the MinHash+LSH near-dup pair graph. Docs outside any
+    * pair (including sub-3-token docs, which have no shingles) stay
+    * their own canon via the left join + coalesce.
+    */
+  private[graft] def lshVerdicts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(s, d, threshold = 0.2).localCheckpoint()
+    val labels = Dedup.dedupComponents(pairs)
+      .withColumnRenamed("label", "canon_id")
+    withVerdict(scoredDocs(s, d)
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("canon_id", coalesce(col("canon_id"), col("doc_id"))))
+  }
+
+  /** The (lang, verdict) curation report over per-doc verdicts. */
+  private def report(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy("lang", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast("decimal(18,9)")).cast("double").as("sum_quality"))
+      .orderBy("lang", "verdict")
 
   private val langScoreSql: String = LangMarkers.map { case (l, m) =>
     val set = m.map(w => s"'$w'").mkString(", ")
@@ -199,6 +247,8 @@ object TextAnalysis {
          |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
   )
 
-  /** Hash-based ops with no portable SQL equivalent. */
-  val rowsOnly: Set[String] = Set("q24_fingerprint")
+  /** Hash-based ops with no portable SQL equivalent (q52's LSH canon
+    * rides xxhash64 signatures; gated against q50 in CurationLshSpec).
+    */
+  val rowsOnly: Set[String] = Set("q24_fingerprint", "q52_corpus_curation_lsh")
 }
