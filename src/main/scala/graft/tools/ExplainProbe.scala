@@ -8,11 +8,13 @@ object ExplainProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    println("=== q20 fact_star_keyed ===")
-    graft.ops.ParityQueries.queries("q20_fact_star_keyed")(spark, d).explain("formatted")
-    println("=== q07 star_filter_year ===")
-    graft.ops.ParityQueries.queries("q07_star_filter_year")(spark, d).explain("formatted")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q20_fact_star_keyed", "q07_star_filter_year")
+    names.foreach { n =>
+      println(s"=== $n ===")
+      graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+    }
     spark.stop()
   }
 }

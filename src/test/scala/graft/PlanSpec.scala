@@ -82,6 +82,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curation shuffles carry ids/scores/digests, never document text") {
+    // q50/q52 project the text away in the scoring stage; a regression
+    // that lets the text column ride a shuffle turns the digest group-by
+    // into an exchange of the documents themselves at corpus scale
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q50_corpus_curation", "q52_corpus_curation_lsh")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val offending = exec.collect {
+        case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+      }
+      assert(offending.isEmpty,
+        s"$q shuffles the text column:\n${offending.headOption.getOrElse("")}")
+    }
+  }
+
   test("year-partitioned gold sink prunes partitions on filtered reads") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft_prune/gold_energy"
