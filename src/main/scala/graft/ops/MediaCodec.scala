@@ -72,7 +72,12 @@ object MediaCodec {
     out
   }
 
-  def decodeBmp(p: Array[Byte]): Decoded = {
+  /** Parsed raster access: dimensions + an (imageRow, col) → (r,g,b)
+    * accessor over the container's pixel bytes (no pixel copy).
+    */
+  private case class Raster(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int))
+
+  private def parseBmp(p: Array[Byte]): Raster = {
     require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', "not a BMP payload")
     val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = buf.getInt(10)
@@ -82,16 +87,23 @@ object MediaCodec {
     val compression = buf.getInt(30)
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant: bpp=$bpp compression=$compression")
-    val h = math.abs(hRaw) // negative height = top-down row order
+    val h = math.abs(hRaw)
     val stride = (w * 3 + 3) & ~3
     require(w > 0 && h > 0 && pixelOffset >= 54 &&
       pixelOffset + stride.toLong * h <= p.length, "truncated BMP pixel data")
-    // means are row-order-independent, so bottom-up vs top-down needs no
-    // flip here — only the BGR-within-pixel order matters
-    Decoded(w, h, imageFeatures(w, h, (row, col) => {
-      val i = pixelOffset + row * stride + col * 3
+    // positive height = bottom-up storage: image row r lives at stored
+    // row h-1-r (negative heights are top-down, stored in image order)
+    val topDown = hRaw < 0
+    Raster(w, h, (row, col) => {
+      val stored = if (topDown) row else h - 1 - row
+      val i = pixelOffset + stored * stride + col * 3
       ((p(i + 2) & 0xFF), (p(i + 1) & 0xFF), (p(i) & 0xFF))
-    }))
+    })
+  }
+
+  def decodeBmp(p: Array[Byte]): Decoded = {
+    val r = parseBmp(p)
+    Decoded(r.w, r.h, imageFeatures(r.w, r.h, r.rgb))
   }
 
   // ---------------------------------------------------------------- PPM
@@ -106,7 +118,7 @@ object MediaCodec {
     out
   }
 
-  def decodePpm(p: Array[Byte]): Decoded = {
+  private def parsePpm(p: Array[Byte]): Raster = {
     require(p.length >= 2 && p(0) == 'P' && p(1) == '6', "not a P6 PPM payload")
     var pos = 2
     def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
@@ -128,10 +140,15 @@ object MediaCodec {
     pos += 1 // exactly one whitespace byte separates the header from pixels
     require(pos + 3L * w * h <= p.length, "truncated PPM pixel data")
     val base = pos
-    Decoded(w, h, imageFeatures(w, h, (row, col) => {
+    Raster(w, h, (row, col) => {
       val i = base + (row * w + col) * 3
       ((p(i) & 0xFF), (p(i + 1) & 0xFF), (p(i + 2) & 0xFF))
-    }))
+    })
+  }
+
+  def decodePpm(p: Array[Byte]): Decoded = {
+    val r = parsePpm(p)
+    Decoded(r.w, r.h, imageFeatures(r.w, r.h, r.rgb))
   }
 
   /** Shared image statistics: per-channel means, luma mean/std, aspect,
@@ -190,7 +207,13 @@ object MediaCodec {
   private def ascii(p: Array[Byte], off: Int, len: Int): String =
     new String(p, off, len, StandardCharsets.US_ASCII)
 
-  def decodeWav(p: Array[Byte]): Decoded = {
+  /** Parsed PCM access: stream geometry + an index → normalized-sample
+    * accessor over the data chunk (no sample copy).
+    */
+  private case class Pcm(channels: Int, sampleRate: Int, nSamples: Int,
+                         sample: Int => Double)
+
+  private def parseWav(p: Array[Byte]): Pcm = {
     require(p.length >= 12 && ascii(p, 0, 4) == "RIFF" && ascii(p, 8, 4) == "WAVE",
       "not a RIFF/WAVE payload")
     val buf = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
@@ -211,13 +234,21 @@ object MediaCodec {
     require(fmt == 1 && bits == 16 && channels >= 1,
       s"unsupported WAV variant: fmt=$fmt bits=$bits channels=$channels")
     require(dataStart >= 0, "WAV data chunk missing")
-    val nSamples = dataLen / 2
+    val start = dataStart
+    Pcm(channels, sampleRate, dataLen / 2, i => buf.getShort(start + 2 * i) / 32768.0)
+  }
+
+  def decodeWav(p: Array[Byte]): Decoded = {
+    val pcm = parseWav(p)
+    val channels = pcm.channels
+    val sampleRate = pcm.sampleRate
+    val nSamples = pcm.nSamples
     var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var diff = 0.0
     var zc = 0L
     var prev = 0.0
     var i = 0
     while (i < nSamples) {
-      val s = buf.getShort(dataStart + 2 * i) / 32768.0
+      val s = pcm.sample(i)
       sum += s; sumSq += s * s
       if (math.abs(s) > peak) peak = math.abs(s)
       if (i > 0) {
@@ -235,6 +266,76 @@ object MediaCodec {
       math.min(1.0, frames / math.max(sampleRate, 1).toDouble).toFloat,
       sampleRate / 48000f, channels.toFloat,
       (if (nSamples > 1) diff / (nSamples - 1) else 0.0).toFloat))
+  }
+
+  // --------------------------------------- resize / frame-sample paths
+
+  /** Fixed-size content summary — the resize/downsample stage of a media
+    * pipeline, grid²-length regardless of input size:
+    *   - images: grid×grid box filter — each cell is the mean luma of
+    *     its pixel block (row-orientation-corrected, so cell (0,0) is
+    *     the top-left of the IMAGE for both BMP bottom-up storage and
+    *     PPM), normalized to [0,1];
+    *   - audio: frame-sampling — grid² equal time windows, mean |s| per
+    *     window;
+    *   - unknown containers: grid² equal byte windows, mean byte / 255.
+    */
+  def thumbnail(mime: String, payload: Array[Byte], grid: Int): Array[Float] =
+    mime match {
+      case BmpMime => thumbnailRaster(parseBmp(payload), grid)
+      case PpmMime => thumbnailRaster(parsePpm(payload), grid)
+      case WavMime =>
+        val pcm = parseWav(payload)
+        windowMeans(pcm.nSamples, grid * grid, i => math.abs(pcm.sample(i)))
+      case _ =>
+        windowMeans(payload.length, grid * grid, i => (payload(i) & 0xFF) / 255.0)
+    }
+
+  private def thumbnailRaster(r: Raster, grid: Int): Array[Float] = {
+    val out = new Array[Float](grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      // block bounds: floor partition of the axis, never empty even when
+      // the image is smaller than the grid (cells then resample pixels)
+      val r0 = gy * r.h / grid
+      val r1 = math.max(r0 + 1, (gy + 1) * r.h / grid)
+      var gx = 0
+      while (gx < grid) {
+        val c0 = gx * r.w / grid
+        val c1 = math.max(c0 + 1, (gx + 1) * r.w / grid)
+        var sum = 0.0
+        var row = r0
+        while (row < r1) {
+          var col = c0
+          while (col < c1) {
+            val (red, green, blue) = r.rgb(row, col)
+            sum += (red + green + blue) / 3.0
+            col += 1
+          }
+          row += 1
+        }
+        out(gy * grid + gx) = (sum / ((r1 - r0).toLong * (c1 - c0) * 255.0)).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  private def windowMeans(n: Int, cells: Int, at: Int => Double): Array[Float] = {
+    val out = new Array[Float](cells)
+    if (n == 0) return out
+    var c = 0
+    while (c < cells) {
+      val i0 = (c.toLong * n / cells).toInt
+      val i1 = math.max(i0 + 1, ((c + 1).toLong * n / cells).toInt)
+      var sum = 0.0
+      var i = i0
+      while (i < i1) { sum += at(i); i += 1 }
+      out(c) = (sum / (i1 - i0)).toFloat
+      c += 1
+    }
+    out
   }
 
   // ------------------------------------------------- unknown-mime path

@@ -29,6 +29,11 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                            width: Int, height: Int, feature: Array[Float])
 
+  /** Fixed-size content summary: grid²-cell resize (images) /
+    * frame-sample (audio) — see [[MediaCodec.thumbnail]].
+    */
+  case class MediaThumb(doc_id: Long, mime: String, thumb: Array[Float])
+
   /** Decode a partition of media rows: parse each container's header
     * and content via [[MediaCodec]]. Runs per-partition over the
     * iterator — the batch shape a vectorized decoder needs (one codec
@@ -41,6 +46,13 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.mime, r.payload.length, d.width, d.height,
         d.feature)
     }
+
+  /** Resize/frame-sample a partition of media rows to grid² cells —
+    * same per-partition batch shape as [[decodePartition]].
+    */
+  def thumbnailPartition(grid: Int)(rows: Iterator[MediaRow]): Iterator[MediaThumb] =
+    rows.map(r => MediaThumb(r.doc_id, r.mime,
+      MediaCodec.thumbnail(r.mime, r.payload, grid)))
 
   /** documents → media frame: each document's bytes encoded into a real
     * container, format round-robin by doc_id (⅓ BMP, ⅓ PPM, ⅓ WAV) so
@@ -86,6 +98,24 @@ object Multimodal {
           col("width"), col("height"),
           round(element_at(col("feature"), 1), 3).as("f0"))
         .orderBy("doc_id")
+    }),
+
+    // resize (images: 4×4 box filter) / frame-sample (audio: 16 equal
+    // windows) to a fixed 16-cell summary — the downsampling stage a
+    // media pipeline runs after decode, through the same partition-local
+    // batch boundary. Rows-only like q35.
+    "q53_multimodal_thumbnail" -> ((s, d) => {
+      import s.implicits._
+      asMedia(s, d)
+        .mapPartitions(thumbnailPartition(4))
+        .toDF()
+        .select(col("doc_id"), col("mime"),
+          round(element_at(col("thumb"), 1), 3).as("t00"),
+          round(element_at(col("thumb"), 6), 3).as("t11"),
+          round(element_at(col("thumb"), 16), 3).as("t33"),
+          round(aggregate(col("thumb"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")) / 16.0d, 3).as("thumb_mean"))
+        .orderBy("doc_id")
     })
   )
 
@@ -99,5 +129,6 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set("q35_multimodal_decode")
+  val rowsOnly: Set[String] =
+    Set("q35_multimodal_decode", "q53_multimodal_thumbnail")
 }

@@ -77,6 +77,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(d.feature.length == 8 && d.feature.forall(f => !f.isNaN)))
   }
 
+  test("thumbnail box-filters in IMAGE orientation (BMP bottom-up corrected)") {
+    // 1x2 image: TOP pixel white, BOTTOM black. BMP stores bottom-up, so
+    // the file's first pixel row is the black one — a thumbnail that
+    // ignored orientation would come out upside down.
+    val stride = 4 // 1 px * 3 B padded
+    val buf = ByteBuffer.allocate(54 + stride * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + stride * 2).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(1).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(Array[Byte](0, 0, 0, 0))     // stored first = image BOTTOM (black)
+    buf.put(Array[Byte](-1, -1, -1, 0))  // stored second = image TOP (white)
+    val t = MediaCodec.thumbnail(MediaCodec.BmpMime, buf.array(), 2)
+    assert(t.toSeq == Seq(1.0f, 1.0f, 0.0f, 0.0f)) // top row white, bottom black
+    // mean-based decode stats are orientation-independent: still 50% grey
+    assert(MediaCodec.decodeBmp(buf.array()).feature(3) == 0.5f)
+  }
+
+  test("thumbnail frame-samples audio into equal windows") {
+    val samples = Seq[Short](16384, -16384, 0, 8192)
+    val buf = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + 8)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(8)
+    samples.foreach(buf.putShort)
+    val t = MediaCodec.thumbnail(MediaCodec.WavMime, buf.array(), 2)
+    assert(t.toSeq == Seq(0.5f, 0.5f, 0.0f, 0.25f)) // mean |s| per window
+  }
+
+  test("q53 thumbnails every document at a fixed 16-cell size") {
+    val d = "/root/testdata/sf0.001"
+    val out = Multimodal.queries("q53_multimodal_thumbnail")(spark, d)
+    assert(out.count() == Tables.documents(spark, d).count())
+    assert(out.filter(col("thumb_mean") < 0.0 || col("thumb_mean") > 1.0 ||
+      col("t00").isNull).isEmpty)
+  }
+
   test("corrupted magic bytes are rejected, unknown mime falls back to byte stats") {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp("notabmp".getBytes ++ new Array[Byte](64)))
     intercept[IllegalArgumentException](MediaCodec.decodePpm("P3 1 1 255 ".getBytes))
