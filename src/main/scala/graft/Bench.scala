@@ -20,6 +20,41 @@ import org.apache.spark.sql.SparkSession
   * heavy queries report honestly higher times from round 5 on.
   */
 object Bench {
+
+  /** Noop-format sink: consumes every row of the registered plan (all
+    * columns evaluated, order preserved through the sort) and discards
+    * it — measured plan = registered plan.
+    */
+  def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Median-of-`runs` timings per query, sorted by name. A throwing
+    * query must NOT be billed as a (near-zero) time — that would make
+    * the bench total IMPROVE when a regression breaks a query — so a
+    * failure is a `Left(exception class)` for that query, never a
+    * swallowed fast run. Pinned by BenchHarnessSpec.
+    */
+  def timeQueries(spark: SparkSession, sfDir: String,
+                  queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                  runs: Int): Seq[(String, Either[String, Double])] =
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // checkpoint/broadcast blocks from the previous query are only
+      // released after a DRIVER GC triggers ContextCleaner; on a large
+      // heap that may never happen mid-run, so later queries pay their
+      // predecessors' block-store residency. Collect between queries —
+      // outside any timed region — so each query starts clean.
+      System.gc()
+      var err: Option[String] = None
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        if (err.isEmpty)
+          try exec(fn(spark, sfDir))
+          catch { case t: Throwable => err = Some(t.getClass.getSimpleName) }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> err.toLeft(times(times.length / 2)) // median
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,33 +69,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def exec(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
     // untimed warmup: JVM/codegen/session init should not be charged to
     // whichever query happens to run first
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
-    val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // checkpoint/broadcast blocks from the previous query are only
-        // released after a DRIVER GC triggers ContextCleaner; on a large
-        // heap that may never happen mid-run, so later queries pay their
-        // predecessors' block-store residency. Collect between queries —
-        // outside any timed region — so each query starts clean.
-        System.gc()
-        // a throwing query must NOT be billed as a (near-zero) time: that
-        // would make the bench total IMPROVE when a regression breaks a
-        // query. Record the failure per-query and fail the run instead.
-        var err: Option[String] = None
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          if (err.isEmpty)
-            try exec(fn(spark, sfDir))
-            catch { case t: Throwable => err = Some(t.getClass.getSimpleName) }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        name -> err.toLeft(times(times.length / 2)) // median
-      }
+    val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
     val qs = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(e)) => s"\"" + k + "\":\"err:" + e + "\""
