@@ -88,9 +88,13 @@ object MediaCodec {
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant: bpp=$bpp compression=$compression")
     val h = math.abs(hRaw)
-    val stride = (w * 3 + 3) & ~3
+    // stride arithmetic in Long: a hostile header width near 2^30 would
+    // overflow `w * 3` in Int, yielding a negative stride that slips
+    // past the bounds check and crashes the pixel reads
+    val strideL = (w.toLong * 3 + 3) & ~3L
     require(w > 0 && h > 0 && pixelOffset >= 54 &&
-      pixelOffset + stride.toLong * h <= p.length, "truncated BMP pixel data")
+      pixelOffset + strideL * h <= p.length, "truncated BMP pixel data")
+    val stride = strideL.toInt // bounded by p.length per the check above
     // positive height = bottom-up storage: image row r lives at stored
     // row h-1-r (negative heights are top-down, stored in image order)
     val topDown = hRaw < 0
@@ -226,6 +230,9 @@ object MediaCodec {
       require(size >= 0 && pos + 8 + size.toLong <= p.length,
         s"truncated WAV chunk $id")
       if (id == "fmt ") {
+        // a fmt chunk declaring size < 16 would pass the per-chunk bound
+        // yet send the field reads below past the end of the payload
+        require(size >= 16, s"malformed fmt chunk (size $size)")
         fmt = buf.getShort(pos + 8); channels = buf.getShort(pos + 10)
         sampleRate = buf.getInt(pos + 12); bits = buf.getShort(pos + 22)
       } else if (id == "data") { dataStart = pos + 8; dataLen = size }

@@ -127,6 +127,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(zeros.feature(4) == 1.0f) // zero fraction
   }
 
+  test("parsers never crash on truncated or corrupted bytes (fuzz, fixed seed)") {
+    // production payloads are untrusted: a hostile header must be
+    // REJECTED (require -> IllegalArgumentException, the parser
+    // contract), never escape as IndexOutOfBounds/NegativeArraySize/
+    // arithmetic overflow from unchecked header arithmetic
+    val content = "graft multimodal fuzz corpus content bytes".getBytes("UTF-8")
+    val files = Seq(
+      MediaCodec.BmpMime -> MediaCodec.encodeBmp(content),
+      MediaCodec.PpmMime -> MediaCodec.encodePpm(content),
+      MediaCodec.WavMime -> MediaCodec.encodeWav(content))
+    def mustNotCrash(mime: String, bytes: Array[Byte]): Unit =
+      try {
+        MediaCodec.decode(mime, bytes)
+        MediaCodec.thumbnail(mime, bytes, 4)
+        ()
+      } catch { case _: IllegalArgumentException => () }
+    for ((mime, full) <- files) {
+      for (n <- 0 until full.length) mustNotCrash(mime, full.take(n))
+      val rnd = new scala.util.Random(42)
+      for (_ <- 1 to 500) {
+        val b = full.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        mustNotCrash(mime, b)
+      }
+    }
+  }
+
   test("q35 decodes every document through a real container") {
     val d = "/root/testdata/sf0.001"
     val out = Multimodal.queries("q35_multimodal_decode")(spark, d)
