@@ -108,6 +108,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.toSeq == Seq(0.5f, 0.5f, 0.0f, 0.25f)) // mean |s| per window
   }
 
+  test("same content thumbnails identically through BMP and PPM") {
+    // both encoders share the near-square geometry but store rows in
+    // OPPOSITE orders (BMP bottom-up, PPM top-down) — identical cells on
+    // non-uniform content prove the orientation correction, not just
+    // the means
+    val content = (1 to 60).map(i => s"tok$i").mkString(" ").getBytes("UTF-8")
+    val tb = MediaCodec.thumbnail(MediaCodec.BmpMime, MediaCodec.encodeBmp(content), 4)
+    val tp = MediaCodec.thumbnail(MediaCodec.PpmMime, MediaCodec.encodePpm(content), 4)
+    assert(tb.length == 16 && tb.exists(_ != tb(0)), "content too uniform to prove orientation")
+    tb.zip(tp).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-6, s"cell $i differs: BMP $a vs PPM $b")
+    }
+  }
+
   test("q53 thumbnails every document at a fixed 16-cell size") {
     val d = "/root/testdata/sf0.001"
     val out = Multimodal.queries("q53_multimodal_thumbnail")(spark, d)
