@@ -13,17 +13,19 @@ import graft.ops.StarSchema.sumMoney
 object EventsOps {
 
   /** Total order "(o_orderdate DESC, o_orderkey DESC)" packed into ONE
-    * long: epoch-day << 44 | orderkey. Exact only while orderkey < 2^44
-    * (TPC-H SF100k tops out near 6e11 ≪ 1.76e13) — and that precondition
-    * is ENFORCED, not assumed: a key at or above 2^44 raises rather than
-    * silently corrupting the ordering. The guard is a codegen'd per-row
+    * long: epoch-day << 44 | orderkey. Exact only while 0 <= orderkey <
+    * 2^44 (TPC-H SF100k tops out near 6e11 ≪ 1.76e13) — and that
+    * precondition is ENFORCED, not assumed: a key outside [0, 2^44)
+    * raises rather than silently corrupting the ordering (a negative key
+    * would borrow from the date bits just as an oversized one would
+    * carry into them). The guard is a codegen'd per-row
     * branch on a column already in hand — no extra pass, no driver
     * action.
     */
   private[graft] def packedOrderKey(orderdate: Column, orderkey: Column): Column = {
-    val guarded = when(orderkey >= lit(1L << 44),
+    val guarded = when(orderkey >= lit(1L << 44) || orderkey < lit(0L),
       raise_error(concat(
-        lit("as-of packing precondition violated: o_orderkey >= 2^44: "),
+        lit("as-of packing precondition violated: o_orderkey outside [0, 2^44): "),
         orderkey.cast("string"))))
       .otherwise(orderkey)
     shiftleft(unix_date(to_date(orderdate)).cast("long"), 44) + guarded

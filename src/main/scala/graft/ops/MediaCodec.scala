@@ -135,18 +135,30 @@ object MediaCodec {
       var v = 0
       while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
         v = v * 10 + (p(pos) - '0'); pos += 1
+        // without a cap a long hostile digit string wraps Int (e.g.
+        // "8589934593" → 1) and the header is silently misparsed; fail
+        // inside the loop so wrapping can never happen
+        require(v <= (1 << 24), "PPM header value out of range")
       }
       v
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
       s"unsupported PPM geometry: ${w}x$h maxval=$maxval")
-    pos += 1 // exactly one whitespace byte separates the header from pixels
+    // exactly one whitespace byte separates the header from pixels; a
+    // non-whitespace byte here means the header is malformed and advancing
+    // would shift every pixel read by one byte
+    require(pos < p.length && isWs(p(pos)), "malformed PPM header")
+    pos += 1
     require(pos + 3L * w * h <= p.length, "truncated PPM pixel data")
     val base = pos
+    // samples are stored in 0..maxval; rescale to the 0..255 range the
+    // shared feature/thumbnail code normalizes by (exact when maxval=255,
+    // proportional otherwise — e.g. maxval=15 sample 15 → 255)
+    def scaled(i: Int): Int = ((p(i) & 0xFF) * 255) / maxval
     Raster(w, h, (row, col) => {
       val i = base + (row * w + col) * 3
-      ((p(i) & 0xFF), (p(i + 1) & 0xFF), (p(i + 2) & 0xFF))
+      (scaled(i), scaled(i + 1), scaled(i + 2))
     })
   }
 

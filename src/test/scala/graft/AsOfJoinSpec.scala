@@ -121,13 +121,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(graft.ops.EventsOps.packedOrderKey(col("d"), col("k")).as("p"))
       .collect().head.getLong(0)
     assert(packed == (day << 44) + 123L)
-    val bad = Seq((java.sql.Date.valueOf("2024-01-02"), 1L << 44)).toDF("d", "k")
-    val err = intercept[Throwable] {
-      bad.select(graft.ops.EventsOps.packedOrderKey(col("d"), col("k"))).collect()
+    // out-of-domain keys on BOTH sides: >= 2^44 carries into the date
+    // bits; a negative key borrows from them — either silently corrupts
+    // the packed total order, so both must raise
+    for (k <- Seq(1L << 44, -1L)) {
+      val bad = Seq((java.sql.Date.valueOf("2024-01-02"), k)).toDF("d", "k")
+      val err = intercept[Throwable] {
+        bad.select(graft.ops.EventsOps.packedOrderKey(col("d"), col("k"))).collect()
+      }
+      val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(msgs.contains("2^44"), s"expected the packing guard to fire for $k:\n$msgs")
     }
-    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
-      .flatMap(t => Option(t.getMessage)).mkString("\n")
-    assert(msgs.contains("2^44"), s"expected the packing guard to fire:\n$msgs")
   }
 
   test("plan uses AsOfJoinExec, not a cross join") {

@@ -130,6 +130,34 @@ class MultimodalSpec extends AnyFunSuite {
       col("t00").isNull).isEmpty)
   }
 
+  test("PPM maxval < 255 rescales samples to full range (spec: values are 0..maxval)") {
+    // P6 with maxval=15: a stored sample of 15 IS full intensity; feeding
+    // it to the /255 normalizers unscaled would dim everything by 17x
+    val header = "P6\n2 1\n15\n".getBytes(StandardCharsets.US_ASCII)
+    val pixels = Array[Byte](15, 0, 0, 15, 15, 15) // full-red, white
+    val d = MediaCodec.decodePpm(header ++ pixels)
+    assert(math.abs(d.feature(0) - 1.0f) < 1e-6, s"mean R ${d.feature(0)}") // both pixels full R
+    assert(math.abs(d.feature(1) - 0.5f) < 1e-6, s"mean G ${d.feature(1)}") // one of two full G
+    val t = MediaCodec.thumbnail(MediaCodec.PpmMime, header ++ pixels, 1)
+    assert(math.abs(t(0) - 0.6666667f) < 1e-5, s"thumb ${t(0)}") // mean luma (85+255)/2/255
+  }
+
+  test("PPM header/pixel separator must be whitespace") {
+    // 'X' where the single separator byte belongs: advancing anyway would
+    // shift every pixel read by one byte — must be rejected, not absorbed
+    val bad = "P6\n1 1\n255X".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 2, 3, 4)
+    intercept[IllegalArgumentException](MediaCodec.decodePpm(bad))
+  }
+
+  test("PPM header values that would wrap Int are rejected, not misparsed") {
+    // 8589934593 = 2^33 + 1 wraps to 1 in Int arithmetic; an unguarded
+    // parser would silently read this as a 1-pixel-wide image
+    val bad = "P6\n8589934593 1\n255\n".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException](MediaCodec.decodePpm(bad))
+  }
+
   test("corrupted magic bytes are rejected, unknown mime falls back to byte stats") {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp("notabmp".getBytes ++ new Array[Byte](64)))
     intercept[IllegalArgumentException](MediaCodec.decodePpm("P3 1 1 255 ".getBytes))
