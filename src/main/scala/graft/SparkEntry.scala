@@ -25,7 +25,8 @@ object SparkEntry {
     ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.allQueries ++ ops.SimilaritySearch.allQueries ++
       ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
-      ops.AnalyticsExtras.queries
+      ops.AnalyticsExtras.queries ++ ops.Sampling.queries ++
+      sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,7 +35,8 @@ object SparkEntry {
     ops.ParityQueries.oracleSql ++ ops.TextAnalysis.oracleSql ++
       ops.Dedup.oracleSql ++ ops.SimilaritySearch.oracleSql ++
       ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql ++
-      ops.AnalyticsExtras.oracleSql
+      ops.AnalyticsExtras.oracleSql ++ ops.Sampling.oracleSql ++
+      sources.Layout.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in

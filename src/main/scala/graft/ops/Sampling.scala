@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling/splitting for training-data pipelines: hash
+  * the stable document id, never `rand()`. A hash split is (a)
+  * reproducible run-over-run and cluster-over-cluster, (b) stable under
+  * re-partitioning and retries (a `rand()` split re-rolls every task
+  * retry), and (c) embarrassingly parallel — a narrow per-row filter
+  * with no shuffle, the only split mechanism that survives 100 TB.
+  * md5 (not xxhash64) so the assignment is portable SQL and the oracle
+  * can replay it bit-for-bit.
+  */
+object Sampling {
+
+  /** First `n` hex chars of md5 of the row id — uniform in [0, 16^n),
+    * compared lexicographically (fixed-length lowercase hex, so string
+    * order IS numeric order).
+    */
+  private def hexPrefix(id: Column, n: Int): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // train/validation/test split on the first md5 hex char of doc_id:
+    // 12/16 train, 2/16 validation, 2/16 test. Per-(split, lang) counts
+    // prove the split is language-independent (hash uniformity), the
+    // aggregate is 3 x |langs| rows — the only shuffle is tiny.
+    "q54_train_split" -> ((s, d) => {
+      val h = hexPrefix(col("doc_id"), 1)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h.isin("c", "d"), "validation")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // stratified downsample: per-language hash-threshold filter that
+    // rebalances the corpus mix — keep ~6% of the dominant language
+    // (en), ~50% of everything else. Pure narrow filter (zero shuffle
+    // beyond the presentation sort): each row's fate depends only on
+    // its own bytes, so the plan is a scan + filter at any scale.
+    "q55_stratified_sample" -> ((s, d) => {
+      val cutoff = when(col("lang") === "en", "1000").otherwise("8000")
+      Tables.documents(s, d)
+        .filter(hexPrefix(col("doc_id"), 4) < cutoff)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_train_split" ->
+      """SELECT split, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('c','d') THEN 'validation'
+        |              WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('e','f') THEN 'test'
+        |              ELSE 'train' END AS split
+        |  FROM documents
+        |)
+        |GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin,
+
+    "q55_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '1000' ELSE '8000' END
+        |ORDER BY doc_id""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set.empty
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Layout
+import graft.ops.StarSchema.sumMoney
+
+/** Physical-layout guarantees: bucketed tables join and aggregate with
+  * ZERO exchange and ZERO sort (the write-once-shuffle-never contract),
+  * and partition-column predicates prune directories at planning time,
+  * not rows at runtime. These are plan-shape pins — the correctness of
+  * the same queries is oracle-checked (q56/q57).
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed join + agg plans with zero exchange, local-only sorts") {
+    // broadcast off so the join can't dodge the question; AQE off so the
+    // executed plan is static and typed-collectable
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = Layout.bucketedOrdersPerCustomer(spark, d)
+      val plan = df.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("SortMergeJoin"), s"expected a sort-merge join:\n$s")
+      assert(s.contains("Bucketed: true"), s"scan must use the bucket layout:\n$s")
+      assert(!s.contains("Exchange"),
+        s"bucketed join must not shuffle (both sides share the hash layout):\n$s")
+      // Spark >=3 dropped bucket-sort-order propagation (SPARK-28583), so
+      // SMJ re-sorts — but partition-LOCALLY over already-sorted single-
+      // file buckets; any global sort here would mean a hidden exchange
+      assert(plan.collect { case e: SortExec => e }.forall(!_.global),
+        s"only partition-local sorts allowed:\n$s")
+    }
+  }
+
+  test("bucketed join result matches the plain unbucketed computation") {
+    val bucketed = Layout.bucketedOrdersPerCustomer(spark, d)
+      .orderBy("c_custkey").collect().toSeq
+    val c = Tables.customer(spark, d).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, d).select("o_custkey", "o_totalprice")
+    val plain = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_spent"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("partition-column predicate prunes directories at planning time") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val root = Layout.writeEventsPartitioned(spark, d)
+      def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+        df.queryExecution.executedPlan
+          .collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+      val all = scanOf(spark.read.parquet(root)
+        .groupBy("event_type").count()).selectedPartitions.partitionCount
+      val pruned = Layout.prunedDailyTotals(spark, root, "2024-01-08", "2024-01-14")
+      val scan = scanOf(pruned)
+      assert(scan.partitionFilters.nonEmpty,
+        "the date range must reach the scan as a partition filter")
+      assert(scan.selectedPartitions.partitionCount == 7 && all >= 28,
+        s"expected 7 of $all day-directories selected")
+      // pruned-layout totals == filtering the original events by day
+      val expect = Tables.events(spark, d)
+        .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .orderBy("event_date", "event_type").collect().toSeq
+      assert(pruned.orderBy("event_date", "event_type").collect().toSeq == expect)
+    }
+  }
+
+  test("bucketed writes land exactly one file per bucket") {
+    val t = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+    Layout.bucketedOrdersPerCustomer(spark, d) // ensure written
+    for (sub <- Seq("customer", "orders")) {
+      val files = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$t/$sub")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 16, s"$sub: ${files.length} files for 16 buckets")
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sampling
+
+/** Deterministic hash sampling: reproducible assignments (the property
+  * rand() sampling lacks), every doc in exactly one split, and split /
+  * stratum rates near their design fractions (md5 uniformity).
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val d = "/root/testdata/sf0.01" // 500 docs: enough for rate bounds
+
+  test("q54 split is exhaustive, deterministic, and near design fractions") {
+    val run1 = Sampling.queries("q54_train_split")(spark, d).collect().toSeq
+    val run2 = Sampling.queries("q54_train_split")(spark, d).collect().toSeq
+    assert(run1 == run2, "hash split must be reproducible run-over-run")
+    val total = Tables.documents(spark, d).count()
+    val bySplit = run1.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == total, "every doc lands in exactly one split")
+    // design: train 12/16 = 375, validation 2/16 = 62.5, test 2/16 = 62.5
+    assert(bySplit("train") > 300 && bySplit("train") < 450, s"$bySplit")
+    assert(bySplit("validation") > 25 && bySplit("validation") < 105, s"$bySplit")
+    assert(bySplit("test") > 25 && bySplit("test") < 105, s"$bySplit")
+  }
+
+  test("q55 stratified sample downweights the dominant language") {
+    val sampled = Sampling.queries("q55_stratified_sample")(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en kept at ~1/16 (0x1000/0x10000), everything else at ~1/2
+    val enRate = sampled.getOrElse("en", 0L).toDouble / full("en")
+    assert(enRate < 0.15, s"en rate $enRate should be ~0.0625")
+    for ((lang, n) <- full if lang != "en") {
+      val rate = sampled.getOrElse(lang, 0L).toDouble / n
+      assert(rate > 0.3 && rate < 0.7, s"$lang rate $rate should be ~0.5")
+    }
+    // deterministic: same doc_ids both runs
+    val ids1 = Sampling.queries("q55_stratified_sample")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Sampling.queries("q55_stratified_sample")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2 && ids1.nonEmpty)
+  }
+}
