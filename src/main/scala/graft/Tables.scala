@@ -30,8 +30,12 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = table(s, d, "events")
+    // integer `div`, NOT `/`: Column./ is a DOUBLE division, and epoch
+    // nanos (~1.7e18) are far beyond double's 2^53 mantissa — the old
+    // `(ts / 1000L).cast("long")` came back ±1µs on ~12% of rows (caught
+    // by q58's session bounds; hour-grain queries never noticed)
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

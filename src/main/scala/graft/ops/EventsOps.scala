@@ -55,7 +55,26 @@ object EventsOps {
         .agg(max(col("session_seq")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
-    })
+    }),
+
+    // the same gap semantics through Spark's NATIVE session windows: one
+    // hash aggregation whose key merges overlapping [ts, ts+gap) spans —
+    // no per-user window sort, and the identical plan runs unmodified
+    // under Structured Streaming (watermark-evictable session state).
+    // Boundary: session_window splits at gap >= 30 min (half-open
+    // windows), where q33's lag form splits at gap > 30 min — the oracle
+    // mirrors the >= rule on MICROSECOND-truncated timestamps (DuckDB
+    // reads the parquet nanos; Spark sees the ns→µs normalization in
+    // Tables.events, and both truncate the same way).
+    "q58_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start"))
   )
 
   val jsonQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -264,7 +283,29 @@ object EventsOps {
         |SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM sessions
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q58_session_window" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events
+        |), lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM base
+        |), ids AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagged
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 
   /** q51's GK sketch isn't reproducible by DuckDB's t-digest

@@ -100,6 +100,63 @@ object Layout {
       .groupBy("event_date", "event_type")
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
 
+  /** Compact a flat parquet directory into ceil(bytes/targetBytes)
+    * files. The small-files problem is the chronic disease of an
+    * append-only lake — a 1000-executor streaming ingest lays down
+    * thousands of kilobyte files per day, and every downstream scan
+    * then pays a task per file. Compaction is:
+    *
+    *   - `coalesce`, not `repartition`: narrowing partitions is
+    *     shuffle-free — each output task concatenates a handful of
+    *     input files;
+    *   - sized by actual on-disk bytes, so the output respects the
+    *     row-group/file size the scan path wants
+    *     (`files.maxPartitionBytes`-aligned);
+    *   - swapped in only after the rewrite fully commits (write to a
+    *     temp sibling, then two renames) — a crash mid-compaction
+    *     leaves the original directory intact.
+    *
+    * Returns the target file count.
+    */
+  def compact(s: SparkSession, path: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(conf)
+    val bytes = fs.getContentSummary(src).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // dot-prefixed siblings: Spark's file listing skips hidden paths, so
+    // a concurrent reader of the parent (e.g. the partitioned root mid-
+    // per-partition compaction) never sees the in-flight copies
+    val tmp = new org.apache.hadoop.fs.Path(
+      src.getParent, s".${src.getName}.compacting")
+    val old = new org.apache.hadoop.fs.Path(
+      src.getParent, s".${src.getName}.old")
+    fs.delete(tmp, true)
+    s.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(src, old) && fs.rename(tmp, src), s"compaction swap failed: $path")
+    fs.delete(old, true)
+    n
+  }
+
+  /** Per-partition compaction over a hive-partitioned root (the q57
+    * layout): each `col=value` directory compacts independently — the
+    * unit of work the partitioned layout was chosen for (yesterday's
+    * directory compacts while today's is still ingesting). Returns
+    * (partition dir, file count) per compacted partition.
+    */
+  def compactPartitioned(s: SparkSession, root: String,
+                         targetBytes: Long): Seq[(String, Int)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(st => st.getPath.getName ->
+        compact(s, st.getPath.toString, targetBytes))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_bucketed_join" -> ((s, d) =>
       bucketedOrdersPerCustomer(s, d).orderBy("c_custkey")),

@@ -26,6 +26,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(setOps == oneScan)
   }
 
+  test("q58 native session windows agree with the lag-based q33 sessions") {
+    // identical gap semantics except at EXACTLY-30-min gaps (>= vs >),
+    // which the continuous-timestamp testdata never hits: per-user
+    // session counts and event totals must match
+    val sw = SparkEntry.queries("q58_session_window")(spark, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lagForm = SparkEntry.queries("q33_sessionize")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sw.nonEmpty && sw == lagForm)
+  }
+
   test("q40 raw HLL estimate is deterministic and pinned at rsd=0.02") {
     val est = Tables.lineitem(spark, d)
       .groupBy("l_returnflag")

@@ -83,6 +83,50 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  private def parquetFiles(p: java.io.File): Array[java.io.File] =
+    p.listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("compaction shrinks a small-files directory, preserving content") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_flat"
+    Tables.events(spark, d).repartition(64)
+      .write.mode("overwrite").parquet(root)
+    val dir = new java.io.File(root)
+    assert(parquetFiles(dir).length == 64)
+    def snapshot() = spark.read.parquet(root)
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(event_id, ts))"))
+      .collect().head
+    val before = snapshot()
+    val bytes = parquetFiles(dir).map(_.length).sum
+    val n = Layout.compact(spark, root, targetBytes = bytes / 4 + 1)
+    assert(n >= 2 && n <= 8, s"expected ~4-5 target files, got $n")
+    assert(parquetFiles(dir).length == n)
+    assert(snapshot() == before)
+    assert(!dir.getParentFile.listFiles()
+      .exists(_.getName.startsWith(".graft_compact_flat.")),
+      "swap must clean up its hidden work directories")
+  }
+
+  test("per-partition compaction collapses each day directory independently") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_parted"
+    // fan-out write: 8 tasks x 30 days => up to 8 files per day directory
+    Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_date").parquet(root)
+    val days = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+    assert(days.nonEmpty && days.exists(parquetFiles(_).length > 1),
+      "fixture must actually have small files to compact")
+    def snapshot() = spark.read.parquet(root)
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(event_id, event_date))"))
+      .collect().head
+    val before = snapshot()
+    val res = Layout.compactPartitioned(spark, root, targetBytes = 1L << 30)
+    assert(res.size == days.length && res.forall(_._2 == 1))
+    days.foreach(day => assert(parquetFiles(day).length == 1, day.getName))
+    assert(snapshot() == before)
+  }
+
   test("bucketed writes land exactly one file per bucket") {
     val t = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
     Layout.bucketedOrdersPerCustomer(spark, d) // ensure written
