@@ -73,6 +73,21 @@ object TextAnalysis {
     // DECIMAL so shuffle order can't perturb the sum (cf. sumMoney).
     "q50_corpus_curation" -> ((s, d) => report(exactVerdicts(s, d))),
 
+    // corpus vocabulary heavy hitters: the top-k most frequent tokens
+    // (vocab building / domain triage over a training corpus). Two-phase
+    // hash count over the exploded tokens — map-side partials collapse
+    // each partition's duplicates before the one shuffle on the token —
+    // then TakeOrdered top-k: the k-row heap per partition, never a
+    // global sort of the vocabulary. Ties broken by token for a
+    // deterministic hash compare.
+    "q59_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // the same curation cascade with NO exact-digest anchor: duplicates
     // come from the sub-quadratic MinHash+LSH pair graph fed through
     // connected components (q49's machinery), so near-duplicates — not
@@ -173,6 +188,14 @@ object TextAnalysis {
       |            ELSE 'zh' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q59_top_tokens" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
+
     "q21_text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INTEGER) AS n_chars_actual,

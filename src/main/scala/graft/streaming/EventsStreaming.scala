@@ -26,9 +26,10 @@ object EventsStreaming {
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
-    // same ns→µs normalization as Tables.events
+    // same ns→µs normalization as Tables.events (integer div — Column./
+    // is a double division and epoch nanos overflow double's mantissa)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
@@ -140,6 +141,27 @@ object EventsStreaming {
         })
       .toDF()
   }
+
+  /** Native session windows under streaming — the q58 batch plan
+    * verbatim plus a watermark. Where `sessionize` above hand-rolls the
+    * per-user run state through flatMapGroupsWithState (the hook for
+    * custom semantics), this is the built-in operator: Spark keeps one
+    * state row per open (user, session), merges sessions whose spans
+    * overlap, and in Append mode emits a session only once the
+    * watermark proves it can no longer grow — then evicts its state.
+    * Bounded state, zero custom code, identical aggregation to the
+    * oracle-matched batch q58 (StreamingSpec pins the agreement).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.StarSchema.sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
 
   /** Dedup-on-ingest — the streaming member of the dedup family (batch
     * twin: q25's digest groupBy): drop replayed/duplicate events by key,

@@ -157,6 +157,22 @@ class StreamingSpec extends AnyFunSuite {
       (9L, 1L, us("2024-01-01T01:30:00Z"), us("2024-01-01T01:30:00Z"))))
   }
 
+  test("native streaming session windows match the batch q58 sessions exactly") {
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.sessionWindows(stream), "session_window_test")
+    val batch = SparkEntry.queries("q58_session_window")(
+      spark, "/root/testdata/sf0.001")
+    // Append mode emits only sessions the final watermark (max ts - 1h)
+    // has sealed; each emitted row must equal its batch twin EXACTLY
+    // (same bounds, count, and decimal-summed value)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty,
+      "every emitted streaming session must appear verbatim in batch q58")
+    // the bounded source spans 30 days, so almost everything seals
+    assert(got.count() >= (batch.count() * 9) / 10)
+  }
+
   test("streaming dedup drops replayed events across micro-batches") {
     val d = "/tmp/graft_stream_dedup"
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
