@@ -19,6 +19,26 @@ object AnalyticsExtras {
         Seq("l_orderkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MERGEABLE distinct sketches — the composable-summary pattern that
+    // replaces rescans at scale: sketch each day's users once (a few KB
+    // per day), then ANY date-range distinct is a register-max union of
+    // stored sketches, never a second pass over the events. The union
+    // is lossless for HLL (union of per-day sketches == one sketch of
+    // the whole stream — AnalyticsSpec pins exact equality, plus a 5%
+    // accuracy gate against exact distincts). Rows-only: sketch bytes
+    // aren't portable SQL.
+    "q61_sketch_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val perDay = daily.select(col("day").cast("string").as("period"),
+        hll_sketch_estimate(col("sk")).as("distinct_users_est"))
+      val total = daily.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("ALL").as("period"),
+          hll_sketch_estimate(col("sk")).as("distinct_users_est"))
+      perDay.unionByName(total).orderBy("period")
+    }),
+
     // A1/A2 analog: grouped avg/max/count in one pass. avg computed as
     // exact-sum / count (plain avg() over doubles is accumulation-order-
     // dependent under shuffle; sum of integral quantities and decimal
@@ -200,5 +220,5 @@ object AnalyticsExtras {
         |ORDER BY l_returnflag""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set.empty
+  val rowsOnly: Set[String] = Set("q61_sketch_rollup")
 }

@@ -44,6 +44,20 @@ object SimilaritySearch {
     }.reduce(_ + _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-label centroid profile (the embedding-space summary a corpus
+    // audit reads): portable per-dimension form — posexplode rows keyed
+    // (label, pos), two-phase avg, ROUND for a stable float compare (the
+    // q29/q30 pattern). The production twin is the typed VectorMean
+    // aggregator (one array buffer per label, no 64x row blowup);
+    // AnalyticsSpec pins the two paths equal within the rounding grain.
+    "q60_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 6).as("mean_v"), count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos")),
+
     // exact brute-force cosine top-k for a query subset
     "q30_knn_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -264,6 +278,17 @@ object SimilaritySearch {
     queries ++ ivfQueries
 
   val oracleSql: Map[String, String] = Map(
+    "q60_label_centroids" ->
+      """SELECT label, pos, ROUND(AVG(v), 6) AS mean_v, COUNT(*) AS n_vecs
+        |FROM (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings
+        |)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+
     "q30_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_r FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

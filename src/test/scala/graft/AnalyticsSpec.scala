@@ -40,6 +40,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sw.nonEmpty && sw == lagForm)
   }
 
+  test("q60 exploded centroids equal the typed VectorMean aggregator path") {
+    // the registered (oracle-portable) posexplode form vs the scale path:
+    // one VectorMean array buffer per label, no 64x row blowup
+    val meanVec = udaf(graft.functions.VectorMean)
+    val typed = Tables.embeddings(spark, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .groupBy("label").agg(meanVec(col("v")).as("c"))
+      .select(col("label"), posexplode(col("c")).as(Seq("pos", "v")))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val exploded = SparkEntry.queries("q60_label_centroids")(spark, d)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(typed.keySet == exploded.keySet && typed.nonEmpty)
+    // exploded values carry ROUND(.,6); the paths differ only by FP
+    // accumulation order, far inside the rounding grain
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - exploded(k)) <= 5.1e-7, s"cell $k: $v vs ${exploded(k)}")
+    }
+  }
+
+  test("q61 sketches track exact distincts; daily union equals the global sketch") {
+    val out = SparkEntry.queries("q61_sketch_rollup")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, d)
+    val exactAll = events.select("user_id").distinct().count()
+    assert(math.abs(out("ALL") - exactAll).toDouble / exactAll < 0.05,
+      s"ALL estimate ${out("ALL")} vs exact $exactAll")
+    // HLL unions are LOSSLESS register-max merges: the union of per-day
+    // sketches must estimate identically to one sketch of everything
+    val global = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect().head.getLong(0)
+    assert(out("ALL") == global,
+      s"union-of-daily ${out("ALL")} != global sketch $global")
+    // every per-day estimate within 5% of its exact distinct
+    val exactDaily = events
+      .groupBy(to_date(col("ts")).cast("string").as("period"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactDaily.nonEmpty)
+    exactDaily.foreach { case (day, n) =>
+      assert(math.abs(out(day) - n).toDouble / n < 0.05, s"$day: ${out(day)} vs $n")
+    }
+  }
+
   test("q40 raw HLL estimate is deterministic and pinned at rsd=0.02") {
     val est = Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
