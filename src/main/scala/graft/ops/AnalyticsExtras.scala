@@ -73,6 +73,26 @@ object AnalyticsExtras {
         .orderBy("region_name", "year", "month")
     }),
 
+    // frame-spec window (ROWS BETWEEN): 7-day trailing moving average of
+    // daily revenue per region. The moving sum stays DECIMAL inside the
+    // frame (exact, order-independent); ONE double division at the end
+    // (sum/count, identical operands on both engines) keeps the output
+    // hash-stable. Scale shape: the window runs over the PRE-AGGREGATED
+    // daily frame (|regions| x |days| rows), never the raw orders — the
+    // fact collapses in a hash aggregate first, so the per-partition
+    // window sort is over thousands of rows at any fact size.
+    "q62_moving_avg" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .join(orderRegion(s, d).select("o_orderkey", "region_name"), Seq("o_orderkey"))
+        .groupBy(col("region_name"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy("region_name").orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("region_name"), col("day"),
+          col("rev").cast("double").as("revenue"),
+          (sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w)).as("ma7"))
+        .orderBy("region_name", "day")
+    }),
+
     // Customer-retention buckets between two years. ONE scan of orders:
     // per-customer year flags via conditional max, then bucket counts —
     // instead of 3 × (intersect/except) which re-scans and re-shuffles
@@ -173,6 +193,21 @@ object AnalyticsExtras {
          |FROM order_region
          |GROUP BY ROLLUP(region_name, year(o_orderdate))
          |ORDER BY gid, region_name ASC NULLS LAST, year ASC NULLS LAST""".stripMargin,
+
+    "q62_moving_avg" ->
+      s"""$OrdersRegionCte
+         |, daily AS (
+         |  SELECT region_name, CAST(o_orderdate AS DATE) AS day,
+         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |  FROM order_region
+         |  GROUP BY region_name, CAST(o_orderdate AS DATE)
+         |)
+         |SELECT region_name, day, CAST(rev AS DOUBLE) AS revenue,
+         |       CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+         |FROM daily
+         |WINDOW w AS (PARTITION BY region_name ORDER BY day
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY region_name, day""".stripMargin,
 
     "q38_revenue_mom_delta" ->
       """WITH order_region AS (

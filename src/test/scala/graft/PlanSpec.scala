@@ -57,6 +57,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
 
+  test("q59 top-k is a TakeOrdered heap over partial counts, not a global sort") {
+    val p = plan("q59_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition k-row heap:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2,
+      s"token counts must partial-aggregate before the exchange:\n$p")
+    // the scan must read ONLY the text column (vocabulary work is narrow)
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"q59 scan must prune to the text column:\n$p")
+  }
+
+  test("q55 hash sampling is a narrow filter (no shuffle before the sort)") {
+    val p = plan("q55_stratified_sample")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // exactly the presentation-sort range exchange, nothing else
+    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+  }
+
   test("q45 as-of argmax is a two-phase aggregate, not a window sort") {
     // the map-side partial max shrinks the join fan-out before it
     // shuffles; a regression back to the ROW_NUMBER window shape would
