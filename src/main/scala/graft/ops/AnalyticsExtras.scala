@@ -73,6 +73,27 @@ object AnalyticsExtras {
         .orderBy("region_name", "year", "month")
     }),
 
+    // GROUPING SETS with NON-prefix combinations — the BI cross-slices
+    // (region x year, region x month, year x month) one ROLLUP cannot
+    // express (q37 covers the prefix family). One Expand + one hash
+    // aggregation computes all three slices in a single scan of the
+    // fact, instead of three separate groupBy passes; grouping_id
+    // disambiguates the slices and drives the deterministic sort.
+    "q63_grouping_sets" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .join(orderRegion(s, d), Seq("o_orderkey"))
+      base.groupingSets(
+          Seq(Seq(col("region_name"), col("year")),
+            Seq(col("region_name"), col("month")),
+            Seq(col("year"), col("month"))),
+          col("region_name"), col("year"), col("month"))
+        .agg(sumMoney(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region_name").asc_nulls_last,
+          col("year").asc_nulls_last, col("month").asc_nulls_last)
+    }),
+
     // frame-spec window (ROWS BETWEEN): 7-day trailing moving average of
     // daily revenue per region. The moving sum stays DECIMAL inside the
     // frame (exact, order-independent); ONE double division at the end
@@ -193,6 +214,22 @@ object AnalyticsExtras {
          |FROM order_region
          |GROUP BY ROLLUP(region_name, year(o_orderdate))
          |ORDER BY gid, region_name ASC NULLS LAST, year ASC NULLS LAST""".stripMargin,
+
+    "q63_grouping_sets" ->
+      s"""$OrdersRegionCte
+         |SELECT region_name, CAST(year(o_orderdate) AS INTEGER) AS year,
+         |       CAST(month(o_orderdate) AS INTEGER) AS month,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       COUNT(*) AS n_orders,
+         |       CAST(GROUPING(region_name) * 4 + GROUPING(year(o_orderdate)) * 2
+         |            + GROUPING(month(o_orderdate)) AS INTEGER) AS gid
+         |FROM order_region
+         |GROUP BY GROUPING SETS (
+         |  (region_name, year(o_orderdate)),
+         |  (region_name, month(o_orderdate)),
+         |  (year(o_orderdate), month(o_orderdate)))
+         |ORDER BY gid, region_name ASC NULLS LAST, year ASC NULLS LAST,
+         |         month ASC NULLS LAST""".stripMargin,
 
     "q62_moving_avg" ->
       s"""$OrdersRegionCte
