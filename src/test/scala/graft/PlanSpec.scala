@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
   }
 
+  test("q58 sessionization uses MergingSessions, not a window function") {
+    val p = plan("q58_session_window")
+    assert(p.contains("MergingSessions"),
+      s"native session-window aggregation missing:\n$p")
+    assert(!p.contains("Window"),
+      s"q58 must not fall back to a per-user window function:\n$p")
+  }
+
   test("q45 as-of argmax is a two-phase aggregate, not a window sort") {
     // the map-side partial max shrinks the join fan-out before it
     // shuffles; a regression back to the ROW_NUMBER window shape would
