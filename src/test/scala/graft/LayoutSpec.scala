@@ -106,6 +106,27 @@ class LayoutSpec extends AnyFunSuite {
       "swap must clean up its hidden work directories")
   }
 
+  test("compaction recovers from stale work dirs left by a crashed run") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_crash"
+    Tables.events(spark, d).repartition(8)
+      .write.mode("overwrite").parquet(root)
+    val before = spark.read.parquet(root).count()
+    // a previous compaction died mid-flight: both hidden siblings exist,
+    // holding garbage — a fresh run must clear them and still commit
+    val parent = new java.io.File(root).getParentFile
+    for (suffix <- Seq("compacting", "old")) {
+      val stale = new java.io.File(parent, s".graft_compact_crash.$suffix")
+      stale.mkdirs()
+      java.nio.file.Files.writeString(
+        stale.toPath.resolve("garbage.txt"), "leftover")
+    }
+    val n = Layout.compact(spark, root, targetBytes = 1L << 30)
+    assert(n == 1 && parquetFiles(new java.io.File(root)).length == 1)
+    assert(spark.read.parquet(root).count() == before)
+    assert(!parent.listFiles().exists(_.getName.startsWith(".graft_compact_crash.")),
+      "stale work directories must be cleaned up")
+  }
+
   test("per-partition compaction collapses each day directory independently") {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_parted"
     // fan-out write: 8 tasks x 30 days => up to 8 files per day directory
