@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Dedup.allQueries ++ ops.SimilaritySearch.allQueries ++
       ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
       ops.AnalyticsExtras.queries ++ ops.Sampling.queries ++
+      ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
       sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +37,7 @@ object SparkEntry {
       ops.Dedup.oracleSql ++ ops.SimilaritySearch.oracleSql ++
       ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql ++
       ops.AnalyticsExtras.oracleSql ++ ops.Sampling.oracleSql ++
+      ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
       sources.Layout.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
@@ -45,5 +47,6 @@ object SparkEntry {
   def rowsOnlyQueries: Set[String] =
     ops.TextAnalysis.rowsOnly ++ ops.Dedup.rowsOnly ++
       ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
-      ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly
+      ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
+      ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly
 }

@@ -68,13 +68,17 @@ case class MinHashSignature(child: Expression, numPerms: Int, prime: Long,
     copy(child = c)
 }
 
-/** Distinct word n-gram shingles: array<string> tokens → array<string>
-  * of space-joined n-grams, first-occurrence order (same contract as
+/** Word n-gram shingles: array<string> tokens → array<string> of
+  * space-joined n-grams. `distinct = true` (the dedup/LSH form) keeps
+  * first occurrences only — same contract as
   * `array_distinct(transform(...))` but one pass, no per-position
-  * interpreted expression tree — the HOF formulation costs ~1.7 ms/doc
-  * at 300 tokens; this is ~100× cheaper).
+  * interpreted expression tree (the HOF formulation costs ~1.7 ms/doc
+  * at 300 tokens; this is ~100× cheaper). `distinct = false` keeps the
+  * full ordered multiset — repetition signals (top-n-gram fraction,
+  * duplicate-n-gram fraction) need occurrence counts, not set
+  * membership.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -94,7 +98,11 @@ case class WordShingles(child: Expression, n: Int)
         words(i) = if (w == null) "" else w.toString
         i += 1
       }
-      val seen = new java.util.LinkedHashSet[String](total * 2)
+      // LinkedHashSet preserves first-occurrence order for the distinct
+      // form; the multiset form appends every position's gram verbatim
+      val seen: java.util.Collection[String] =
+        if (distinct) new java.util.LinkedHashSet[String](total * 2)
+        else new java.util.ArrayList[String](total - n + 1)
       i = 0
       val sb = new java.lang.StringBuilder(64)
       while (i <= total - n) {

@@ -74,6 +74,16 @@ object TextFunctions {
     column(graft.expressions.WordShingles(expression(tokens(text)), n))
   }
 
+  /** Ordered word n-grams WITH duplicates (the multiset form —
+    * repetition signals need occurrence counts, where [[shingles]]'
+    * distinct form answers set membership). Native single-pass
+    * expression; empty array for sub-n-token docs.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.expressions.WordShingles(expression(tokens(text)), n, distinct = false))
+  }
+
   /** HOF reference formulation of [[shingles]] (for differential tests). */
   def shinglesHof(text: Column, n: Int = 3): Column = {
     val w = tokens(text)

@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-hygiene signals a training-data pipeline computes between raw
+  * ingest and the curation verdict (cf. the quality/dedup cascade in
+  * TextAnalysis q50): within-document repetition, cross-document
+  * boilerplate, and benchmark decontamination. Reference scope: the
+  * reference lakehouse stops at per-row cleaning (reference
+  * src/10_silver/bronze_to_silver.py trim/cast/impute); these are the
+  * corpus-level extensions a 100 TB text pipeline adds on top.
+  *
+  * Scale shapes:
+  *   - q64: repetition stats are per-doc — the duplicate-trigram
+  *     fraction is a pure narrow transform, and the top-bigram fraction
+  *     is a two-phase hash aggregation over exploded (doc_id, gram)
+  *     whose map-side partials collapse each doc's repeats before the
+  *     one shuffle. Nothing global, no text in any exchange.
+  *   - q65: boilerplate detection shuffles 16-byte md5 gram digests
+  *     only (the gram strings never enter an exchange) — one doc-
+  *     frequency aggregation + one semi-join back to the posting.
+  *   - q66: the benchmark side of decontamination is tiny in practice
+  *     (a handful of eval suites vs the corpus), so its distinct gram
+  *     digests broadcast and the train-side scan stays shuffle-free up
+  *     to the per-doc overlap count.
+  */
+object CorpusSignals {
+
+  /** A distinct 5-gram present in at least this many docs is
+    * boilerplate (headers, license blurbs, navigation chrome). */
+  val BoilerplateMinDf = 3
+
+  /** Gopher-style repetition gates: docs whose most frequent bigram
+    * covers more than [[TopBigramGate]] of all bigram positions, or
+    * whose trigram positions are more than [[DupTrigramGate]] repeats,
+    * are flagged repetitive.
+    */
+  val TopBigramGate = 0.18
+  val DupTrigramGate = 0.30
+
+  /** First hex char of md5(doc_id) values that land a doc in the
+    * held-out test split — MUST stay in sync with q54's split
+    * (Sampling.queries), which q66 decontaminates against.
+    */
+  private val TestHexChars = Seq("e", "f")
+
+  private def isTestSplit(doc: org.apache.spark.sql.Column) =
+    substring(md5(doc.cast("string").cast("binary")), 1, 1).isin(TestHexChars: _*)
+
+  /** 16-byte digest of a gram: the only thing q65/q66 ever shuffle —
+    * md5 (not xxhash64) so the oracle can replay the exact key. */
+  private def gramDigest(g: org.apache.spark.sql.Column) = md5(g.cast("binary"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // within-doc repetition (Gopher-style quality gates): fraction of
+    // bigram positions covered by the single most frequent bigram +
+    // fraction of trigram positions that are repeats. The trigram part
+    // never leaves the row; the bigram mode needs only the max count
+    // per doc, so it's explode → count(doc, gram) → max/sum — all
+    // hash-aggregable, no window, no sort.
+    "q64_doc_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        ngrams(col("text"), 2).as("bg"),
+        ngrams(col("text"), 3).as("tg"))
+        .withColumn("dup_trigram_frac",
+          when(size(col("tg")) === 0, lit(0.0)).otherwise(
+            (size(col("tg")) - size(array_distinct(col("tg"))))
+              .cast("double") / size(col("tg"))))
+      val top = base.select(col("doc_id"), explode(col("bg")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+      base.select("doc_id", "n_tokens", "dup_trigram_frac")
+        .join(top, Seq("doc_id"), "left") // sub-2-token docs have no bigrams
+        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+        .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+        .withColumn("top_bigram_frac",
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")))
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          col("top_bigram_n"), col("top_bigram_frac"), col("dup_trigram_frac"))
+        .withColumn("repetitive",
+          (col("top_bigram_frac") > TopBigramGate ||
+            col("dup_trigram_frac") > DupTrigramGate).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-doc boilerplate: distinct 5-grams appearing in >=
+    // BoilerplateMinDf docs, reported as a per-doc contamination
+    // fraction. shingles() emits distinct grams per doc, so the gram
+    // digest's plain count IS its document frequency.
+    "q65_boilerplate_ngrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), shingles(col("text"), 5).as("sh"))
+        .withColumn("n_grams", size(col("sh")))
+      // materialized once: the df aggregation and the per-doc join both
+      // read it; 40-byte (doc_id, digest) rows, never the gram strings
+      val posting = docs.filter(col("n_grams") > 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), gramDigest(col("g")).as("gd"))
+        .localCheckpoint()
+      val boiler = posting.groupBy("gd").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerplateMinDf)
+        .select("gd")
+      val perDoc = posting.join(boiler, Seq("gd"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      docs.select(col("doc_id"), col("lang"), col("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+        .withColumn("boiler_frac",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("n_boiler").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: flag every non-test doc sharing any
+    // distinct 5-gram with the q54 held-out test split. The test side
+    // collapses to distinct gram digests and broadcasts (an eval suite
+    // is tiny next to the corpus); the train side is then a narrow scan
+    // + broadcast semi-join — no shuffle until the per-doc count.
+    "q66_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), shingles(col("text"), 5).as("sh"))
+        .withColumn("n_grams", size(col("sh")))
+        .withColumn("is_test", isTestSplit(col("doc_id")))
+      val testGrams = docs.filter(col("is_test"))
+        .select(explode(col("sh")).as("g"))
+        .select(gramDigest(col("g")).as("gd"))
+        .distinct()
+      val train = docs.filter(!col("is_test"))
+      val overlap = train.select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), gramDigest(col("g")).as("gd"))
+        .join(broadcast(testGrams), Seq("gd"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      train.select(col("doc_id"), col("lang"), col("n_grams"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Tokenized docs + the q64 gram lists as DuckDB CTEs. */
+  private val GramCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+      |         CASE WHEN len(w) >= 2
+      |           THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+      |           ELSE [] END AS bg,
+      |         CASE WHEN len(w) >= 3
+      |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+      |           ELSE [] END AS tg
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Distinct 5-gram sets per doc (the q65/q66 unit) as DuckDB CTEs —
+    * mirrors `shingles(text, 5)`.
+    */
+  private val FiveGramCtes =
+    """sets AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(CASE WHEN len(w) >= 5
+      |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      |                 FOR i IN range(1, len(w) - 3)]
+      |           ELSE [] END) AS sh
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |), sized AS (
+      |  SELECT doc_id, lang, CAST(len(sh) AS INTEGER) AS n_grams, sh FROM sets
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q64_doc_repetition" ->
+      s"""WITH $GramCtes, rep AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN len(tg) = 0 THEN 0.0
+         |              ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+         |              END AS dup_trigram_frac
+         |  FROM grams
+         |), top AS (
+         |  SELECT doc_id, MAX(n) AS top_bigram_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
+         |  FROM (SELECT doc_id, g, COUNT(*) AS n
+         |        FROM (SELECT doc_id, UNNEST(bg) AS g FROM grams)
+         |        GROUP BY doc_id, g)
+         |  GROUP BY doc_id
+         |), joined AS (
+         |  SELECT r.doc_id, r.n_tokens,
+         |         COALESCE(t.n_bigrams, 0) AS n_bigrams,
+         |         COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+         |         CASE WHEN COALESCE(t.n_bigrams, 0) = 0 THEN 0.0
+         |              ELSE CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams END AS top_bigram_frac,
+         |         r.dup_trigram_frac
+         |  FROM rep r LEFT JOIN top t ON r.doc_id = t.doc_id
+         |)
+         |SELECT *,
+         |       CAST(top_bigram_frac > $TopBigramGate
+         |            OR dup_trigram_frac > $DupTrigramGate AS INTEGER) AS repetitive
+         |FROM joined ORDER BY doc_id""".stripMargin,
+
+    "q65_boilerplate_ngrams" ->
+      s"""WITH $FiveGramCtes, posting AS (
+         |  SELECT doc_id, md5(g) AS gd
+         |  FROM (SELECT doc_id, UNNEST(sh) AS g FROM sized WHERE n_grams > 0)
+         |), boiler AS (
+         |  SELECT gd FROM posting GROUP BY gd HAVING COUNT(*) >= $BoilerplateMinDf
+         |), perdoc AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_boiler
+         |  FROM posting p JOIN boiler b ON p.gd = b.gd
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT s.doc_id, s.lang, s.n_grams,
+         |       COALESCE(pd.n_boiler, 0) AS n_boiler,
+         |       CASE WHEN s.n_grams = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(pd.n_boiler, 0) AS DOUBLE) / s.n_grams END AS boiler_frac
+         |FROM sized s LEFT JOIN perdoc pd ON s.doc_id = pd.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "q66_decontaminate" ->
+      s"""WITH $FiveGramCtes, tagged AS (
+         |  SELECT *, substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f') AS is_test
+         |  FROM sized
+         |), test_grams AS (
+         |  SELECT DISTINCT md5(g) AS gd
+         |  FROM (SELECT UNNEST(sh) AS g FROM tagged WHERE is_test)
+         |), overlap AS (
+         |  SELECT doc_id, COUNT(*) AS n_overlap
+         |  FROM (SELECT doc_id, md5(g) AS gd
+         |        FROM (SELECT doc_id, UNNEST(sh) AS g FROM tagged WHERE NOT is_test))
+         |  WHERE gd IN (SELECT gd FROM test_grams)
+         |  GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.lang, t.n_grams,
+         |       COALESCE(o.n_overlap, 0) AS n_overlap,
+         |       CAST(COALESCE(o.n_overlap, 0) > 0 AS INTEGER) AS contaminated
+         |FROM tagged t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+         |WHERE NOT t.is_test
+         |ORDER BY t.doc_id""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set.empty
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.cosine
+
+/** Embedding-column lifecycle ops beyond search (SimilaritySearch) and
+  * near-dup pairs (Dedup/q43): storage-shape compression and the
+  * pairs→groups decision step in embedding space.
+  *
+  *   - q67: symmetric int8 quantization — the standard ANN-index
+  *     compression (4× smaller than float32, 8× smaller than the double
+  *     math width). Per-vector max-abs scaling is a pure narrow
+  *     transform; the query reports the per-vector reconstruction
+  *     quality (cosine of original vs dequantized, worst per-component
+  *     error) a pipeline gates on before swapping the quantized column
+  *     into its index.
+  *   - q68: embedding near-dup GROUPS — q43's sub-quadratic LSH pair
+  *     graph fed through the same connected-components machinery text
+  *     dedup uses (Dedup.dedupComponents), completing the
+  *     {text, embedding} × {pairs, groups} matrix. Semantic dedup at
+  *     100 TB is exactly this plan: banded candidate generation, exact
+  *     cosine verification, min-label components, keep = component min.
+  */
+object EmbeddingOps {
+
+  /** Symmetric int8 range: quantized components live in [-127, 127]. */
+  val QuantLevels = 127
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 quantization round-trip report. All narrow per-row math over
+    // the vector column — no shuffle but the presentation sort. The
+    // zero-vector guard keeps cosine's null-on-zero-norm out of the
+    // report (a zero vector quantizes to itself: cos 1, err 0).
+    "q67_embedding_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val quantized = e
+        .withColumn("s",
+          array_max(transform(col("v"), x => abs(x))) / QuantLevels.toDouble)
+        .withColumn("dq",
+          when(col("s") === 0.0, col("v")).otherwise(
+            transform(col("v"), x => round(x / col("s")) * col("s"))))
+      quantized.select(
+        col("vec_id"), col("label"),
+        round(col("s"), 6).as("scale_r"),
+        when(col("s") === 0.0, lit(1.0))
+          .otherwise(round(cosine(col("v"), col("dq")), 4)).as("cos_r"),
+        round(array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 6)
+          .as("max_err_r"))
+        .orderBy("vec_id")
+    }),
+
+    // embedding near-dup groups: LSH pairs → connected components →
+    // canonical keep id per group. Rows-only (hash-derived hyperplanes
+    // aren't portable SQL); EmbeddingGroupsSpec pins the refinement
+    // property against the exact q29 pair graph and gates group recall.
+    "q68_dedup_groups_embedding" -> ((s, d) => {
+      // eager checkpoint, as in q47/q49: the pair graph is computed once;
+      // the edge union and every propagation round read the materialized
+      // frame instead of re-running the bucket joins per branch
+      val pairs = SimilaritySearch.embeddingLshPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
+      Dedup.dedupComponents(pairs)
+        .groupBy(col("label").as("keep_vec_id"))
+        .agg(count(lit(1)).as("group_size"),
+          max(col("doc_id")).as("max_member"))
+        .orderBy("keep_vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q67_embedding_quantize" ->
+      s"""SELECT vec_id, label,
+         |       ROUND(s, 6) AS scale_r,
+         |       CASE WHEN s = 0 THEN 1.0
+         |            ELSE ROUND(list_cosine_similarity(v, dq), 4) END AS cos_r,
+         |       ROUND(list_max([abs(v[i] - dq[i]) FOR i IN range(1, len(v) + 1)]), 6) AS max_err_r
+         |FROM (
+         |  SELECT vec_id, label, v, s,
+         |         CASE WHEN s = 0 THEN v
+         |              ELSE [round(x / s) * s FOR x IN v] END AS dq
+         |  FROM (
+         |    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |           list_max([abs(x) FOR x IN CAST(embedding AS DOUBLE[])]) / $QuantLevels AS s
+         |    FROM embeddings
+         |  )
+         |)
+         |ORDER BY vec_id""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set("q68_dedup_groups_embedding")
+}

@@ -233,37 +233,44 @@ object SimilaritySearch {
     // bucket — a mass of near-identical spam vectors — would otherwise
     // go quadratic inside the bucket; capped buckets are dropped (their
     // members still meet in the 7 other tables' finer buckets).
-    "q43_dedup_embedding_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // materialized once — the bucket-population guard and BOTH sides of
-      // the self-join read it, and at 24 bytes/row it's block-store-cheap
-      // (the projection also keeps re-running the 32 hyperplane dot
-      // products per vector from happening 4x)
-      val sigs = e.select(col("vec_id"),
-        explode(array((0 until 8).map(t =>
-          struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
-        .select(col("vec_id"), col("sig.tbl"), col("sig.bucket"))
-        .localCheckpoint()
-      val keepBuckets = sigs.groupBy("tbl", "bucket")
-        .agg(count(lit(1)).as("pop"))
-        .filter(col("pop") <= MaxBucketPopulation)
-        .select("tbl", "bucket")
-      val capped = sigs.join(keepBuckets, Seq("tbl", "bucket"))
-      val candIds = capped.as("a").join(capped.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      candIds
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .filter(col("cos") >= 0.4)
+    "q43_dedup_embedding_lsh" -> ((s, d) =>
+      embeddingLshPairs(s, d)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_r"))
-        .orderBy("vec_a", "vec_b")
-    })
+        .orderBy("vec_a", "vec_b"))
   )
+
+  /** The q43 pair pipeline (unsorted, unrounded `cos`) — also the edge
+    * generator for q68's embedding near-dup components.
+    */
+  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // materialized once — the bucket-population guard and BOTH sides of
+    // the self-join read it, and at 24 bytes/row it's block-store-cheap
+    // (the projection also keeps re-running the 32 hyperplane dot
+    // products per vector from happening 4x)
+    val sigs = e.select(col("vec_id"),
+      explode(array((0 until 8).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
+      .select(col("vec_id"), col("sig.tbl"), col("sig.bucket"))
+      .localCheckpoint()
+    val keepBuckets = sigs.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= MaxBucketPopulation)
+      .select("tbl", "bucket")
+    val capped = sigs.join(keepBuckets, Seq("tbl", "bucket"))
+    val candIds = capped.as("a").join(capped.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candIds
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
 
   /** Skew guard for the q43 bucket join: per-(table, bucket) population
     * above which the bucket is dropped rather than self-joined (a bucket
