@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions => TF}
+
+/** Constructed-fixture tests for the corpus-hygiene queries (q64–q66)
+  * and the embedding-lifecycle queries (q67–q68): the testdata corpus
+  * exercises the oracles at volume, but only hand-built docs give KNOWN
+  * repetition fractions, boilerplate counts, and contamination flags.
+  */
+class CorpusSignalsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): String = {
+    docs.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ngrams is the ordered multiset; shingles is its distinct form") {
+    val df = Seq(Tuple1("a b a b a")).toDF("text")
+    val r = df.select(
+      TF.ngrams(col("text"), 2).as("m"),
+      TF.shingles(col("text"), 2).as("d")).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(r.getSeq[String](1) == Seq("a b", "b a"))
+    // sub-n docs: empty array, never null (explode must drop, not NPE)
+    val short = Seq(Tuple1("solo")).toDF("text")
+      .select(TF.ngrams(col("text"), 2).as("m")).collect()(0)
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
+  test("q64: known repetition fractions; diverse doc passes the gates") {
+    val d = writeDocs("/tmp/graft_test_rep", Seq(
+      // 6×"spam": 5 bigrams all equal → top 5/5 = 1.0; 4 trigrams, 1
+      // distinct → dup 3/4 = 0.75; both gates trip
+      1L -> "spam spam spam spam spam spam",
+      // 12 distinct tokens: top bigram 1/11 ≈ 0.09, zero dup trigrams
+      2L -> "one two three four five six seven eight nine ten eleven twelve"))
+    val got = SparkEntry.queries("q64_doc_repetition")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(got(1L) == ((5L, 5L, 1.0, 0.75, 1)), s"got ${got(1L)}")
+    assert(got(2L) == ((11L, 1L, 1.0 / 11.0, 0.0, 0)), s"got ${got(2L)}")
+  }
+
+  test("q65: a 5-gram shared by 3 docs is boilerplate; by 2 is not") {
+    val d = writeDocs("/tmp/graft_test_boiler", Seq(
+      // "all rights reserved to us" is the ONLY gram shared by ≥3 docs
+      // (every other window straddles into the per-doc tail)
+      1L -> "all rights reserved to us alpha beta gamma delta epsilon",
+      2L -> "all rights reserved to us zeta eta theta iota kappa",
+      3L -> "all rights reserved to us lambda mu nu xi omicron",
+      // shared by exactly 2 docs → under BoilerplateMinDf, not flagged
+      4L -> "this pair appears only twice plus alpha filler words here",
+      5L -> "this pair appears only twice plus other filler words here",
+      6L -> "completely unrelated content sits within this sixth document text"))
+    val got = SparkEntry.queries("q65_boilerplate_ngrams")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    // 10 tokens → 6 distinct 5-grams per doc; exactly one is boilerplate
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((6, 1L, 1.0 / 6.0)), s"doc $id got ${got(id)}")
+    }
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(got(id)._2 == 0L, s"doc $id got ${got(id)}")
+    }
+  }
+
+  test("q66: train doc sharing a 5-gram with a test-split doc is contaminated") {
+    // md5 split: first hex of md5(doc_id) — ids 3 and 5 land in
+    // {'e','f'} (test), ids 0,1 do not (train)
+    val d = writeDocs("/tmp/graft_test_decon", Seq(
+      3L -> "alpha beta gamma delta epsilon zeta",       // test split
+      5L -> "held out benchmark prompt tokens only",     // test split
+      0L -> "alpha beta gamma delta epsilon omega",      // shares 1 gram with doc 3
+      1L -> "totally different training text with no shared windows"))
+    val rows = SparkEntry.queries("q66_decontaminate")(spark, d).collect()
+    val got = rows.map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(got.keySet == Set(0L, 1L), s"test-split docs must not be scored: $got")
+    assert(got(0L) == ((1L, 1)), s"got ${got(0L)}")
+    assert(got(1L) == ((0L, 0)), s"got ${got(1L)}")
+  }
+
+  test("q67: exact quantization of a known vector; corpus-wide error bound") {
+    // v = [1, -0.5, 0.25, 0]: maxabs 1 → s = 1/127. round(-63.5) = -64
+    // (HALF_UP away from zero) → worst component error |−0.5+64/127|
+    Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_quant/embeddings.parquet")
+    val r = SparkEntry.queries("q67_embedding_quantize")(spark, "/tmp/graft_test_quant")
+      .collect()(0)
+    val s = 1.0 / 127.0
+    assert(r.getDouble(2) == math.rint(s * 1e6) / 1e6)
+    assert(r.getDouble(4) == 0.003937) // round(|-0.5 + 64/127|, 6)
+    assert(r.getDouble(3) >= 0.9999)
+    // corpus-wide invariant: per-component error ≤ s/2 (nearest-multiple
+    // rounding), cosine of original vs dequantized ≈ 1 — the gate a
+    // pipeline checks before swapping the int8 column into its index
+    val all = SparkEntry.queries("q67_embedding_quantize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(all.nonEmpty)
+    all.foreach { row =>
+      assert(row.getDouble(4) <= row.getDouble(2) / 2 + 1e-6,
+        s"vec ${row.getLong(0)}: err ${row.getDouble(4)} vs s/2 bound")
+      assert(row.getDouble(3) >= 0.999, s"vec ${row.getLong(0)} cos ${row.getDouble(3)}")
+    }
+  }
+}

@@ -77,6 +77,45 @@ class RecallSpec extends AnyFunSuite {
       s"q49 groups diverge: missing ${exact.diff(lsh)}, extra ${lsh.diff(exact)}")
   }
 
+  test("q68 embedding LSH components: refinement of exact components + group recall") {
+    import org.apache.spark.sql.functions.col
+    // exact components: the full q29 pair graph (at sf0.01 all 500
+    // vectors sit inside q29's cap, so it IS the uncapped ground truth)
+    val exactPairs = SparkEntry.queries("q29_dedup_embedding")(spark, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val exactLabels = ops.Dedup.dedupComponents(exactPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lshLabels = ops.Dedup.dedupComponents(
+      ops.SimilaritySearch.embeddingLshPairs(spark, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // refinement: q43's pairs are exact-verified (subset of q29's), so
+    // every LSH component must sit INSIDE one exact component — two vecs
+    // the LSH path groups together but the exact path separates would
+    // mean a false-positive edge survived verification
+    val exactOf = lshLabels.groupBy(_._2).view.mapValues(_.keySet.map(exactLabels))
+    exactOf.foreach { case (lshLabel, exactSet) =>
+      assert(exactSet.size == 1,
+        s"LSH component $lshLabel spans exact components $exactSet")
+    }
+    // group recall: most exact groups are reproduced verbatim (pair
+    // recall is gated at 0.7 by the q43 test below; a missed borderline
+    // pair splits one group, it cannot invent or merge groups)
+    val exactGroups = exactLabels.groupBy(_._2).values.map(_.keySet).toSet
+    val lshGroups = lshLabels.groupBy(_._2).values.map(_.keySet).toSet
+    val reproduced = exactGroups.count(lshGroups.contains)
+    assert(exactGroups.nonEmpty)
+    val r = reproduced.toDouble / exactGroups.size
+    assert(r >= 0.6, s"q68 group recall $r ($reproduced of ${exactGroups.size})")
+    // and the registered query reports exactly these components
+    val got = SparkEntry.queries("q68_dedup_groups_embedding")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = lshLabels.groupBy(_._2).map { case (label, m) =>
+      (label, m.size.toLong, m.keys.max)
+    }.toSet
+    assert(got == want, s"q68 diverges from its own component labels")
+  }
+
   test("q43 embedding LSH: recall >= 0.7 of the exact cosine pairs (q29)") {
     // at sf0.01 the corpus (500 vectors) sits inside q29's exact cap, so
     // the capped query IS the uncapped ground truth here
