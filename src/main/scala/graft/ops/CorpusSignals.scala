@@ -19,9 +19,9 @@ import graft.functions.TextFunctions._
   *     is a two-phase hash aggregation over exploded (doc_id, gram)
   *     whose map-side partials collapse each doc's repeats before the
   *     one shuffle. Nothing global, no text in any exchange.
-  *   - q65: boilerplate detection shuffles 16-byte md5 gram digests
-  *     only (the gram strings never enter an exchange) — one doc-
-  *     frequency aggregation + one semi-join back to the posting.
+  *   - q65: boilerplate detection shuffles md5 gram digests only (the
+  *     gram strings never enter an exchange) — one doc-frequency
+  *     aggregation + one semi-join back to the posting.
   *   - q66: the benchmark side of decontamination is tiny in practice
   *     (a handful of eval suites vs the corpus), so its distinct gram
   *     digests broadcast and the train-side scan stays shuffle-free up
@@ -50,8 +50,9 @@ object CorpusSignals {
   private def isTestSplit(doc: org.apache.spark.sql.Column) =
     substring(md5(doc.cast("string").cast("binary")), 1, 1).isin(TestHexChars: _*)
 
-  /** 16-byte digest of a gram: the only thing q65/q66 ever shuffle —
-    * md5 (not xxhash64) so the oracle can replay the exact key. */
+  /** Fixed-width digest of a gram: the only thing q65/q66 ever shuffle
+    * or broadcast — md5 (not xxhash64) where the key itself crosses an
+    * engine boundary, so the oracle can replay it exactly. */
   private def gramDigest(g: org.apache.spark.sql.Column) = md5(g.cast("binary"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -71,8 +72,13 @@ object CorpusSignals {
           when(size(col("tg")) === 0, lit(0.0)).otherwise(
             (size(col("tg")) - size(array_distinct(col("tg"))))
               .cast("double") / size(col("tg"))))
+      // count on the 8-byte gram hash, not the string: only the counts
+      // reach the output, so the exchange carries (doc_id, hash) rows —
+      // the q26-posting convention (equal counts modulo ~n²/2⁶⁴
+      // collision odds)
       val top = base.select(col("doc_id"), explode(col("bg")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
       base.select("doc_id", "n_tokens", "dup_trigram_frac")

@@ -124,6 +124,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-hygiene shuffles carry digests/hashes, never text or grams") {
+    // q64 counts bigram hashes (8 bytes), q65/q66 group md5 digests —
+    // a regression that lets the text column or the raw gram strings
+    // ride an exchange re-shuffles the corpus itself at 100 TB
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q64_doc_repetition", "q65_boilerplate_ngrams", "q66_decontaminate")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val offending = exec.collect {
+        case e: ShuffleExchangeLike
+          if e.output.exists(a => a.name == "text" || a.name == "g" ||
+            a.name == "sh" || a.name == "bg" || a.name == "tg") => e
+      }
+      assert(offending.isEmpty,
+        s"$q shuffles text/grams:\n${offending.headOption.getOrElse("")}")
+    }
+  }
+
+  test("q66 broadcasts the benchmark gram set against the train scan") {
+    // decontamination's scale contract: the test-split digests broadcast
+    // (an eval suite is tiny next to the corpus); the train side must
+    // not shuffle to meet them
+    val p = plan("q66_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"test-gram set must broadcast:\n$p")
+  }
+
+  test("q67 quantization is a narrow per-row transform (no shuffle before the sort)") {
+    val p = plan("q67_embedding_quantize")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+  }
+
   test("year-partitioned gold sink prunes partitions on filtered reads") {
     import org.apache.spark.sql.functions._
     val dir = "/tmp/graft_prune/gold_energy"
