@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -8,15 +8,16 @@ import graft.functions.TextFunctions._
 /** Corpus-hygiene signals a training-data pipeline computes between raw
   * ingest and the curation verdict (cf. the quality/dedup cascade in
   * TextAnalysis q50): within-document repetition, cross-document
-  * boilerplate, and benchmark decontamination. Reference scope: the
-  * reference lakehouse stops at per-row cleaning (reference
+  * boilerplate, benchmark decontamination, and the guarded end-to-end
+  * cascade composing all of them (q69). Reference scope: the reference
+  * lakehouse stops at per-row cleaning (reference
   * src/10_silver/bronze_to_silver.py trim/cast/impute); these are the
   * corpus-level extensions a 100 TB text pipeline adds on top.
   *
   * Scale shapes:
   *   - q64: repetition stats are per-doc — the duplicate-trigram
   *     fraction is a pure narrow transform, and the top-bigram fraction
-  *     is a two-phase hash aggregation over exploded (doc_id, gram)
+  *     is a two-phase hash aggregation over exploded (doc_id, hash)
   *     whose map-side partials collapse each doc's repeats before the
   *     one shuffle. Nothing global, no text in any exchange.
   *   - q65: boilerplate detection shuffles md5 gram digests only (the
@@ -26,6 +27,9 @@ import graft.functions.TextFunctions._
   *     (a handful of eval suites vs the corpus), so its distinct gram
   *     digests broadcast and the train-side scan stays shuffle-free up
   *     to the per-doc overlap count.
+  *   - q69: the union of the above — every exchange carries ids,
+  *     scores, hashes, or digests; the documents themselves never
+  *     shuffle (pinned in PlanSpec alongside q50/q52).
   */
 object CorpusSignals {
 
@@ -41,75 +45,89 @@ object CorpusSignals {
   val TopBigramGate = 0.18
   val DupTrigramGate = 0.30
 
+  /** q69 drops a doc whose distinct 5-grams are mostly boilerplate. */
+  val BoilerplateFracGate = 0.5
+
   /** First hex char of md5(doc_id) values that land a doc in the
     * held-out test split — MUST stay in sync with q54's split
-    * (Sampling.queries), which q66 decontaminates against.
+    * (Sampling.queries), which q66/q69 decontaminate against.
     */
   private val TestHexChars = Seq("e", "f")
 
-  private def isTestSplit(doc: org.apache.spark.sql.Column) =
+  private def isTestSplit(doc: Column): Column =
     substring(md5(doc.cast("string").cast("binary")), 1, 1).isin(TestHexChars: _*)
 
-  /** Fixed-width digest of a gram: the only thing q65/q66 ever shuffle
-    * or broadcast — md5 (not xxhash64) where the key itself crosses an
-    * engine boundary, so the oracle can replay it exactly. */
-  private def gramDigest(g: org.apache.spark.sql.Column) = md5(g.cast("binary"))
+  /** Fixed-width digest of a gram: the only thing q65/q66/q69 ever
+    * shuffle or broadcast — md5 (not xxhash64) where the key itself
+    * crosses an engine boundary, so the oracle can replay it exactly. */
+  private def gramDigest(g: Column): Column = md5(g.cast("binary"))
+
+  /** Per-doc distinct 5-gram sets + split tag: the shared unit of
+    * q65/q66/q69. */
+  private def fiveGramDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), shingles(col("text"), 5).as("sh"))
+      .withColumn("n_grams", size(col("sh")))
+      .withColumn("is_test", isTestSplit(col("doc_id")))
+
+  /** q64's per-doc repetition signals, unsorted (q69 joins the flag). */
+  private[graft] def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      ngrams(col("text"), 2).as("bg"),
+      ngrams(col("text"), 3).as("tg"))
+      .withColumn("dup_trigram_frac",
+        when(size(col("tg")) === 0, lit(0.0)).otherwise(
+          (size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg"))))
+    // count on the 8-byte gram hash, not the string: only the counts
+    // reach the output, so the exchange carries (doc_id, hash) rows —
+    // the q26-posting convention (equal counts modulo ~n²/2⁶⁴
+    // collision odds)
+    val top = base.select(col("doc_id"), explode(col("bg")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    base.select("doc_id", "n_tokens", "dup_trigram_frac")
+      .join(top, Seq("doc_id"), "left") // sub-2-token docs have no bigrams
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("top_bigram_n"), col("top_bigram_frac"), col("dup_trigram_frac"))
+      .withColumn("repetitive",
+        (col("top_bigram_frac") > TopBigramGate ||
+          col("dup_trigram_frac") > DupTrigramGate).cast("int"))
+  }
+
+  /** (doc_id, lang, sh, n_grams) exploded to (doc_id, gram digest). */
+  private def gramPosting(docs: DataFrame): DataFrame =
+    docs.filter(col("n_grams") > 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), gramDigest(col("g")).as("gd"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // within-doc repetition (Gopher-style quality gates): fraction of
     // bigram positions covered by the single most frequent bigram +
     // fraction of trigram positions that are repeats. The trigram part
     // never leaves the row; the bigram mode needs only the max count
-    // per doc, so it's explode → count(doc, gram) → max/sum — all
+    // per doc, so it's explode → count(doc, hash) → max/sum — all
     // hash-aggregable, no window, no sort.
-    "q64_doc_repetition" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(tokens(col("text"))).as("n_tokens"),
-        ngrams(col("text"), 2).as("bg"),
-        ngrams(col("text"), 3).as("tg"))
-        .withColumn("dup_trigram_frac",
-          when(size(col("tg")) === 0, lit(0.0)).otherwise(
-            (size(col("tg")) - size(array_distinct(col("tg"))))
-              .cast("double") / size(col("tg"))))
-      // count on the 8-byte gram hash, not the string: only the counts
-      // reach the output, so the exchange carries (doc_id, hash) rows —
-      // the q26-posting convention (equal counts modulo ~n²/2⁶⁴
-      // collision odds)
-      val top = base.select(col("doc_id"), explode(col("bg")).as("g"))
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        .groupBy("doc_id", "gh").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
-      base.select("doc_id", "n_tokens", "dup_trigram_frac")
-        .join(top, Seq("doc_id"), "left") // sub-2-token docs have no bigrams
-        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
-        .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
-        .withColumn("top_bigram_frac",
-          when(col("n_bigrams") === 0, lit(0.0))
-            .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams")))
-        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
-          col("top_bigram_n"), col("top_bigram_frac"), col("dup_trigram_frac"))
-        .withColumn("repetitive",
-          (col("top_bigram_frac") > TopBigramGate ||
-            col("dup_trigram_frac") > DupTrigramGate).cast("int"))
-        .orderBy("doc_id")
-    }),
+    "q64_doc_repetition" -> ((s, d) => repetitionSignals(s, d).orderBy("doc_id")),
 
     // cross-doc boilerplate: distinct 5-grams appearing in >=
     // BoilerplateMinDf docs, reported as a per-doc contamination
     // fraction. shingles() emits distinct grams per doc, so the gram
     // digest's plain count IS its document frequency.
     "q65_boilerplate_ngrams" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), shingles(col("text"), 5).as("sh"))
-        .withColumn("n_grams", size(col("sh")))
+      val docs = fiveGramDocs(s, d)
       // materialized once: the df aggregation and the per-doc join both
       // read it; 40-byte (doc_id, digest) rows, never the gram strings
-      val posting = docs.filter(col("n_grams") > 0)
-        .select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), gramDigest(col("g")).as("gd"))
-        .localCheckpoint()
+      val posting = gramPosting(docs).localCheckpoint()
       val boiler = posting.groupBy("gd").agg(count(lit(1)).as("df"))
         .filter(col("df") >= BoilerplateMinDf)
         .select("gd")
@@ -130,17 +148,11 @@ object CorpusSignals {
     // is tiny next to the corpus); the train side is then a narrow scan
     // + broadcast semi-join — no shuffle until the per-doc count.
     "q66_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), shingles(col("text"), 5).as("sh"))
-        .withColumn("n_grams", size(col("sh")))
-        .withColumn("is_test", isTestSplit(col("doc_id")))
-      val testGrams = docs.filter(col("is_test"))
-        .select(explode(col("sh")).as("g"))
-        .select(gramDigest(col("g")).as("gd"))
-        .distinct()
+      val docs = fiveGramDocs(s, d)
+      val testGrams = gramPosting(docs.filter(col("is_test")))
+        .select("gd").distinct()
       val train = docs.filter(!col("is_test"))
-      val overlap = train.select(col("doc_id"), explode(col("sh")).as("g"))
-        .select(col("doc_id"), gramDigest(col("g")).as("gd"))
+      val overlap = gramPosting(train)
         .join(broadcast(testGrams), Seq("gd"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       train.select(col("doc_id"), col("lang"), col("n_grams"))
@@ -148,6 +160,60 @@ object CorpusSignals {
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // the GUARDED end-to-end curation cascade — q50 extended with the
+    // hygiene signals: the held-out test split is excluded outright
+    // (it is not training data), then every train doc gets exactly one
+    // prioritized verdict:
+    //   duplicate > contaminated > repetitive > boilerplate >
+    //   quality > lang_mismatch > keep.
+    // Exact-dup canon is computed among TRAIN docs only (a train doc
+    // whose sole twin sits in the test split is contamination, not a
+    // duplicate). Scale shape: narrow scoring; exchanges carry ids,
+    // scores, digests, and hashes — never the documents.
+    "q69_corpus_curation_guarded" -> ((s, d) => {
+      val docs = fiveGramDocs(s, d)
+      val train = docs.filter(!col("is_test"))
+      val trainScored = TextAnalysis.scoredDocs(s, d)
+        .join(train.select("doc_id", "n_grams"), Seq("doc_id"))
+      // contamination flag (q66's broadcast shape, flag only)
+      val testGrams = gramPosting(docs.filter(col("is_test")))
+        .select("gd").distinct()
+      val contaminated = gramPosting(train)
+        .join(broadcast(testGrams), Seq("gd"))
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(1))
+      // boilerplate fraction among train docs (q65's digest shape; df
+      // counted over the post-exclusion corpus — what training sees)
+      val posting = gramPosting(train).localCheckpoint()
+      val boiler = posting.groupBy("gd").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerplateMinDf)
+        .select("gd")
+      val boilerCounts = posting.join(boiler, Seq("gd"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      val rep = repetitionSignals(s, d).select("doc_id", "repetitive")
+      val canon = trainScored.groupBy("digest").agg(min(col("doc_id")).as("canon_id"))
+      trainScored
+        .join(canon, Seq("digest"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(boilerCounts, Seq("doc_id"), "left")
+        .withColumn("boiler_frac",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_grams")))
+        .withColumn("verdict",
+          when(col("doc_id") =!= col("canon_id"), "drop_duplicate")
+            .when(col("contaminated") === 1, "drop_contaminated")
+            .when(col("repetitive") === 1, "drop_repetitive")
+            .when(col("boiler_frac") > BoilerplateFracGate, "drop_boilerplate")
+            .when(col("quality") < 0.5, "drop_quality")
+            .when(col("predicted") =!= col("lang"), "drop_lang_mismatch")
+            .otherwise("keep"))
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality").cast("decimal(18,9)")).cast("double").as("sum_quality"))
+        .orderBy("lang", "verdict")
     })
   )
 
@@ -166,8 +232,40 @@ object CorpusSignals {
       |  FROM toks
       |)""".stripMargin
 
-  /** Distinct 5-gram sets per doc (the q65/q66 unit) as DuckDB CTEs —
-    * mirrors `shingles(text, 5)`.
+  /** The q64 signal pipeline ending in a `rep_flags(doc_id, n_tokens,
+    * n_bigrams, top_bigram_n, top_bigram_frac, dup_trigram_frac,
+    * repetitive)` relation — shared by the q64 and q69 oracles.
+    */
+  private val RepetitionCtes =
+    s"""$GramCtes, rep AS (
+       |  SELECT doc_id, n_tokens,
+       |         CASE WHEN len(tg) = 0 THEN 0.0
+       |              ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+       |              END AS dup_trigram_frac
+       |  FROM grams
+       |), top AS (
+       |  SELECT doc_id, MAX(n) AS top_bigram_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
+       |  FROM (SELECT doc_id, g, COUNT(*) AS n
+       |        FROM (SELECT doc_id, UNNEST(bg) AS g FROM grams)
+       |        GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |), rep_joined AS (
+       |  SELECT r.doc_id, r.n_tokens,
+       |         COALESCE(t.n_bigrams, 0) AS n_bigrams,
+       |         COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+       |         CASE WHEN COALESCE(t.n_bigrams, 0) = 0 THEN 0.0
+       |              ELSE CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams END AS top_bigram_frac,
+       |         r.dup_trigram_frac
+       |  FROM rep r LEFT JOIN top t ON r.doc_id = t.doc_id
+       |), rep_flags AS (
+       |  SELECT *,
+       |         CAST(top_bigram_frac > $TopBigramGate
+       |              OR dup_trigram_frac > $DupTrigramGate AS INTEGER) AS repetitive
+       |  FROM rep_joined
+       |)""".stripMargin
+
+  /** Distinct 5-gram sets per doc + the q54 split tag (the q65/q66/q69
+    * unit) as DuckDB CTEs — mirrors [[fiveGramDocs]].
     */
   private val FiveGramCtes =
     """sets AS (
@@ -178,36 +276,15 @@ object CorpusSignals {
       |           ELSE [] END) AS sh
       |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)
       |), sized AS (
-      |  SELECT doc_id, lang, CAST(len(sh) AS INTEGER) AS n_grams, sh FROM sets
+      |  SELECT doc_id, lang, CAST(len(sh) AS INTEGER) AS n_grams, sh,
+      |         substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f') AS is_test
+      |  FROM sets
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q64_doc_repetition" ->
-      s"""WITH $GramCtes, rep AS (
-         |  SELECT doc_id, n_tokens,
-         |         CASE WHEN len(tg) = 0 THEN 0.0
-         |              ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
-         |              END AS dup_trigram_frac
-         |  FROM grams
-         |), top AS (
-         |  SELECT doc_id, MAX(n) AS top_bigram_n, CAST(SUM(n) AS BIGINT) AS n_bigrams
-         |  FROM (SELECT doc_id, g, COUNT(*) AS n
-         |        FROM (SELECT doc_id, UNNEST(bg) AS g FROM grams)
-         |        GROUP BY doc_id, g)
-         |  GROUP BY doc_id
-         |), joined AS (
-         |  SELECT r.doc_id, r.n_tokens,
-         |         COALESCE(t.n_bigrams, 0) AS n_bigrams,
-         |         COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
-         |         CASE WHEN COALESCE(t.n_bigrams, 0) = 0 THEN 0.0
-         |              ELSE CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams END AS top_bigram_frac,
-         |         r.dup_trigram_frac
-         |  FROM rep r LEFT JOIN top t ON r.doc_id = t.doc_id
-         |)
-         |SELECT *,
-         |       CAST(top_bigram_frac > $TopBigramGate
-         |            OR dup_trigram_frac > $DupTrigramGate AS INTEGER) AS repetitive
-         |FROM joined ORDER BY doc_id""".stripMargin,
+      s"""WITH $RepetitionCtes
+         |SELECT * FROM rep_flags ORDER BY doc_id""".stripMargin,
 
     "q65_boilerplate_ngrams" ->
       s"""WITH $FiveGramCtes, posting AS (
@@ -228,25 +305,74 @@ object CorpusSignals {
          |ORDER BY s.doc_id""".stripMargin,
 
     "q66_decontaminate" ->
-      s"""WITH $FiveGramCtes, tagged AS (
-         |  SELECT *, substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f') AS is_test
-         |  FROM sized
-         |), test_grams AS (
+      s"""WITH $FiveGramCtes, test_grams AS (
          |  SELECT DISTINCT md5(g) AS gd
-         |  FROM (SELECT UNNEST(sh) AS g FROM tagged WHERE is_test)
+         |  FROM (SELECT UNNEST(sh) AS g FROM sized WHERE is_test)
          |), overlap AS (
          |  SELECT doc_id, COUNT(*) AS n_overlap
          |  FROM (SELECT doc_id, md5(g) AS gd
-         |        FROM (SELECT doc_id, UNNEST(sh) AS g FROM tagged WHERE NOT is_test))
+         |        FROM (SELECT doc_id, UNNEST(sh) AS g FROM sized WHERE NOT is_test))
          |  WHERE gd IN (SELECT gd FROM test_grams)
          |  GROUP BY doc_id
          |)
          |SELECT t.doc_id, t.lang, t.n_grams,
          |       COALESCE(o.n_overlap, 0) AS n_overlap,
          |       CAST(COALESCE(o.n_overlap, 0) > 0 AS INTEGER) AS contaminated
-         |FROM tagged t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+         |FROM sized t LEFT JOIN overlap o ON t.doc_id = o.doc_id
          |WHERE NOT t.is_test
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q69_corpus_curation_guarded" ->
+      s"""WITH $RepetitionCtes, $FiveGramCtes, scored AS (
+         |  SELECT doc_id, lang, md5(text) AS digest,
+         |         ${TextAnalysis.QualitySql} AS quality,
+         |         ${TextAnalysis.PredictedSql} AS predicted
+         |  FROM (
+         |    SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w,
+         |           ${TextAnalysis.langScoreSql}
+         |    FROM documents
+         |  )
+         |), train AS (
+         |  SELECT s.*, z.n_grams, z.sh
+         |  FROM scored s JOIN sized z ON s.doc_id = z.doc_id
+         |  WHERE NOT z.is_test
+         |), test_grams AS (
+         |  SELECT DISTINCT md5(g) AS gd
+         |  FROM (SELECT UNNEST(sh) AS g FROM sized WHERE is_test)
+         |), train_posting AS (
+         |  SELECT doc_id, md5(g) AS gd
+         |  FROM (SELECT doc_id, UNNEST(sh) AS g FROM train)
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM train_posting
+         |  WHERE gd IN (SELECT gd FROM test_grams)
+         |), boiler AS (
+         |  SELECT gd FROM train_posting GROUP BY gd HAVING COUNT(*) >= $BoilerplateMinDf
+         |), boiler_counts AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_boiler
+         |  FROM train_posting p JOIN boiler b ON p.gd = b.gd
+         |  GROUP BY p.doc_id
+         |), canon AS (
+         |  SELECT digest, MIN(doc_id) AS canon_id FROM train GROUP BY digest
+         |), verdicts AS (
+         |  SELECT t.lang, t.quality,
+         |         CASE WHEN t.doc_id <> c.canon_id THEN 'drop_duplicate'
+         |              WHEN ct.doc_id IS NOT NULL THEN 'drop_contaminated'
+         |              WHEN rf.repetitive = 1 THEN 'drop_repetitive'
+         |              WHEN (CASE WHEN t.n_grams = 0 THEN 0.0
+         |                    ELSE CAST(COALESCE(bc.n_boiler, 0) AS DOUBLE) / t.n_grams END)
+         |                   > $BoilerplateFracGate THEN 'drop_boilerplate'
+         |              WHEN t.quality < 0.5 THEN 'drop_quality'
+         |              WHEN t.predicted <> t.lang THEN 'drop_lang_mismatch'
+         |              ELSE 'keep' END AS verdict
+         |  FROM train t
+         |  JOIN canon c ON t.digest = c.digest
+         |  LEFT JOIN contaminated ct ON t.doc_id = ct.doc_id
+         |  LEFT JOIN rep_flags rf ON t.doc_id = rf.doc_id
+         |  LEFT JOIN boiler_counts bc ON t.doc_id = bc.doc_id
+         |)
+         |SELECT lang, verdict, COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) AS sum_quality
+         |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
   )
 
   val rowsOnly: Set[String] = Set.empty

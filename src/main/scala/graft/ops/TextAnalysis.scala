@@ -162,7 +162,7 @@ object TextAnalysis {
         sum(col("quality").cast("decimal(18,9)")).cast("double").as("sum_quality"))
       .orderBy("lang", "verdict")
 
-  private val langScoreSql: String = LangMarkers.map { case (l, m) =>
+  private[ops] val langScoreSql: String = LangMarkers.map { case (l, m) =>
     val set = m.map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($set))) AS INTEGER) AS s_$l"
   }.mkString(",\n         ")
@@ -170,7 +170,7 @@ object TextAnalysis {
   /** The q22 quality formula over a pre-split `w` token list — shared
     * verbatim by the q22 and q50 oracles.
     */
-  private val QualitySql =
+  private[ops] val QualitySql =
     """0.4 * least(1.0, CAST(len(w) AS DOUBLE) / 100.0)
       |           + 0.3 * (1.0 - (CASE WHEN len(w) = 0 THEN 0.0
       |              ELSE CAST(len(list_filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(w) END))
@@ -180,7 +180,7 @@ object TextAnalysis {
   /** The q23 argmax cascade over the s_* marker scores — shared by the
     * q23 and q50 oracles.
     */
-  private val PredictedSql =
+  private[ops] val PredictedSql =
     """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
       |            WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
       |            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'

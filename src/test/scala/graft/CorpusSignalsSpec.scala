@@ -84,6 +84,41 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0)), s"got ${got(1L)}")
   }
 
+  test("q69: one prioritized verdict per train doc; test split excluded") {
+    // md5 split: ids 3,5 are test; everything else train. One doc per
+    // cascade rule, constructed so each later rule would ALSO fire if
+    // priority broke (docs 1/2 are both contaminated AND duplicates;
+    // doc 4 is repetitive AND low-quality).
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta", "en"),                      // test split
+      (5L, "held out benchmark prompt tokens only", "en"),                    // test split
+      // exact-dup pair sharing a 5-gram with test doc 3: canon (1) is
+      // contaminated, its twin (2) must report duplicate, not contaminated
+      (1L, "alpha beta gamma delta epsilon tau upsilon phi chi psi", "en"),
+      (2L, "alpha beta gamma delta epsilon tau upsilon phi chi psi", "en"),
+      (4L, Seq.fill(40)("spam").mkString(" "), "en"),                         // repetitive (also low quality)
+      (6L, "shared one two three four five six seven eight uniqsix", "en"),   // boilerplate trio:
+      (7L, "shared one two three four five six seven eight uniqseven", "en"), // 5 of 6 grams have df=3
+      (8L, "shared one two three four five six seven eight uniqeight", "en"),
+      (9L, "the of to in and an is big red cat", "en"),                       // quality 0.43 < 0.5
+      (10L, "ten assorted plain words make this other document read fine", "fr"), // wrong lang label
+      (11L, "eleven distinct plain words fill this clean document nicely here", "en")) // keep
+    docs.map { case (id, t, lang) => (id, t, lang, "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_guard/documents.parquet")
+    val d = "/tmp/graft_test_guard"
+    val got = SparkEntry.queries("q69_corpus_curation_guarded")(spark, d)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("en", "drop_contaminated") -> 1L,
+      ("en", "drop_duplicate") -> 1L,
+      ("en", "drop_repetitive") -> 1L,
+      ("en", "drop_boilerplate") -> 3L,
+      ("en", "drop_quality") -> 1L,
+      ("fr", "drop_lang_mismatch") -> 1L,
+      ("en", "keep") -> 1L), s"got $got")
+  }
+
   test("q67: exact quantization of a known vector; corpus-wide error bound") {
     // v = [1, -0.5, 0.25, 0]: maxabs 1 → s = 1/127. round(-63.5) = -64
     // (HALF_UP away from zero) → worst component error |−0.5+64/127|

@@ -114,7 +114,8 @@ class PlanSpec extends AnyFunSuite {
     // that lets the text column ride a shuffle turns the digest group-by
     // into an exchange of the documents themselves at corpus scale
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    for (q <- Seq("q50_corpus_curation", "q52_corpus_curation_lsh")) {
+    for (q <- Seq("q50_corpus_curation", "q52_corpus_curation_lsh",
+        "q69_corpus_curation_guarded")) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val offending = exec.collect {
         case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
