@@ -74,16 +74,24 @@ object Bench {
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
+    // The harness that captures this output keeps only the LAST 2000
+    // characters; a 2.4 KB JSON line is unparseable forever (every
+    // BENCH_r*.json so far shows "parsed": null). Keep the line well
+    // under that window: per-query keys are the unique qNN prefix
+    // (full names in QUERIES.md), times rounded to ms.
+    def ms(v: Double): String = "%.3f".format(v)
+    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val short = if (shortKeys.values.toSet.size == shortKeys.size) shortKeys
+                else shortKeys.keys.map(k => k -> k).toMap // collision: keep full names
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
-      case (k, Left(e)) => s"\"" + k + "\":\"err:" + e + "\""
+      case (k, Right(v)) => "\"" + short(k) + "\":" + ms(v)
+      case (k, Left(e)) => "\"" + short(k) + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val note = "methodology: noop-sink action since round 5 (count() let " +
-      "Catalyst prune the measured plan); totals not comparable with r4 and earlier"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}""")
+    val note = "noop-sink action; median of " + runs + "; keys=qNN (QUERIES.md)"
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
