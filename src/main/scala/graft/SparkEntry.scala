@@ -27,7 +27,7 @@ object SparkEntry {
       ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
       ops.AnalyticsExtras.queries ++ ops.Sampling.queries ++
       ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
-      sources.Layout.queries
+      ops.CorpusPrep.queries ++ sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,7 +38,7 @@ object SparkEntry {
       ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql ++
       ops.AnalyticsExtras.oracleSql ++ ops.Sampling.oracleSql ++
       ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
-      sources.Layout.oracleSql
+      ops.CorpusPrep.oracleSql ++ sources.Layout.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -48,5 +48,6 @@ object SparkEntry {
     ops.TextAnalysis.rowsOnly ++ ops.Dedup.rowsOnly ++
       ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
       ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
-      ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly
+      ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly ++
+      ops.CorpusPrep.rowsOnly
 }
