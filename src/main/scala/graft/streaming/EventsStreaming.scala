@@ -163,6 +163,37 @@ object EventsStreaming {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — purchase attribution: each purchase
+    * event joined to the same user's click events from the preceding
+    * hour. The missing join family member under streaming (the batch
+    * side has equi/anti/semi/as-of): BOTH sides carry watermarks and
+    * the join predicate bounds the event-time distance, which is
+    * exactly what lets Spark evict buffered rows — a click older than
+    * (click watermark − 1 h) can never match a future purchase, so its
+    * state is dropped instead of accumulating forever. State on each
+    * side is bounded by (watermark + interval) × arrival rate, not by
+    * stream lifetime. Self-join of one source stream: the two sides are
+    * two filters of the same `events` read, the planner runs them as
+    * independent stateful inputs.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("buyer_id") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("buyer_id").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Dedup-on-ingest — the streaming member of the dedup family (batch
     * twin: q25's digest groupBy): drop replayed/duplicate events by key,
     * with state BOUNDED by the watermark. `dropDuplicatesWithinWatermark`

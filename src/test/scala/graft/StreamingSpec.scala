@@ -40,6 +40,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == got.count())
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.purchaseAttribution(stream), "attribution_test")
+    // batch twin: identical predicate over the bounded table
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val batch = purchases.join(clicks,
+      col("buyer_id") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"))
+    val gotPairs = got.select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.nonEmpty)
+    assert(gotPairs == batchPairs)
+  }
+
   test("streaming sessionization closes sessions the batch twin finds") {
     import org.apache.spark.sql.functions._
     val stream = EventsStreaming.readEvents(spark, dir)
