@@ -32,6 +32,12 @@ object Layout {
     java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
   private def tmpRoot: String = System.getProperty("java.io.tmpdir")
 
+  /** A committed write left Spark's _SUCCESS marker behind. */
+  private def hasSuccess(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Write `df` as a bucketed+sorted single-file-per-bucket parquet
     * table registered in the catalog (bucket metadata lives in the
     * catalog, so reads must go through `spark.table`). `sortBy` buys
@@ -63,10 +69,18 @@ object Layout {
                                 buckets: Int = 16): DataFrame = {
     val t = tag(d)
     val root = s"$tmpRoot/graft_bucketed_$t"
-    writeBucketed(s, Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-      s"graft_customer_b$t", s"$root/customer", buckets, "c_custkey")
-    writeBucketed(s, Tables.orders(s, d).select("o_custkey", "o_totalprice"),
-      s"graft_orders_b$t", s"$root/orders", buckets, "o_custkey")
+    // bucketing's whole point is that the layout shuffle is paid ONCE at
+    // load, then every query rides it for free — so the load is
+    // idempotent: rebuild only when the catalog entry or the committed
+    // files are missing (source testdata is immutable per directory)
+    if (!(s.catalog.tableExists(s"graft_customer_b$t") &&
+        s.catalog.tableExists(s"graft_orders_b$t") &&
+        hasSuccess(s, s"$root/customer") && hasSuccess(s, s"$root/orders"))) {
+      writeBucketed(s, Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        s"graft_customer_b$t", s"$root/customer", buckets, "c_custkey")
+      writeBucketed(s, Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+        s"graft_orders_b$t", s"$root/orders", buckets, "o_custkey")
+    }
     val c = s.table(s"graft_customer_b$t")
     val o = s.table(s"graft_orders_b$t")
     c.join(o, c("c_custkey") === o("o_custkey"))
@@ -81,9 +95,11 @@ object Layout {
     */
   def writeEventsPartitioned(s: SparkSession, d: String): String = {
     val root = s"$tmpRoot/graft_events_parted_${tag(d)}"
-    Tables.events(s, d)
-      .withColumn("event_date", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("event_date").parquet(root)
+    // same load-once contract as the bucketed layout
+    if (!hasSuccess(s, root))
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(root)
     root
   }
 

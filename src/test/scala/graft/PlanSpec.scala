@@ -151,6 +151,48 @@ class PlanSpec extends AnyFunSuite {
       s"test-gram set must broadcast:\n$p")
   }
 
+  test("q70 packing never reads or shuffles the text column") {
+    // the fold consumes (doc_id, shard, tok) only: the documents scan
+    // must prune text entirely, and every exchange must carry just those
+    // three narrow columns — the property that makes packing a metadata
+    // operation at 100 TB
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = SparkEntry.queries("q70_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no ReadSchema in q70 plan:\n$p")
+    schemas.foreach(s =>
+      assert(!s.contains("text"), s"q70 scan reads the text column: $s"))
+    val offending = exec.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(offending.isEmpty, s"q70 shuffles text:\n${offending.headOption.getOrElse("")}")
+  }
+
+  test("q71 PII scrub is a narrow per-row transform (no shuffle before the sort)") {
+    val p = plan("q71_pii_scrub")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+    // regex work must be codegen'd built-ins, not a UDF boundary
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"q71 regex fell out of codegen:\n$p")
+  }
+
+  test("q72 rarity joins tokens, never whole documents") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = SparkEntry.queries("q72_token_rarity")(spark, sf)
+      .queryExecution.executedPlan
+    val offending = exec.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(offending.isEmpty, s"q72 shuffles text:\n${offending.headOption.getOrElse("")}")
+    // two-phase token counting: partial map-side combine before the exchange
+    val hashAggs = "HashAggregate".r.findAllIn(exec.toString).length
+    assert(hashAggs >= 2, s"expected partial+final count:\n$exec")
+  }
+
   test("q67 quantization is a narrow per-row transform (no shuffle before the sort)") {
     val p = plan("q67_embedding_quantize")
     val exchanges = "Exchange".r.findAllIn(p).length
