@@ -88,6 +88,28 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // vocabulary heavy hitters WITHOUT the exact count's full-vocabulary
+    // shuffle: per-source Misra-Gries sketches (a k-counter summary per
+    // slice, built in one partial+final aggregation) roll up through a
+    // stored-sketch merge — q61's store-then-union pattern for frequent
+    // items. At 100 TB the per-slice sketches are a few KB each and any
+    // slice grouping re-merges losslessly w.r.t. the n/(k+1) error
+    // bound, never rescanning the corpus. Rows-only: counter survival
+    // is data-order-free but estimates aren't portable SQL;
+    // AnalyticsSpec gates recall + error against the exact q59.
+    "q73_top_tokens_sketch" -> ((s, d) => {
+      val k = 64
+      val perSource = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("source")
+        .agg(graft.functions.FreqSketch(k)(col("token")).as("sk"))
+      perSource
+        .agg(graft.functions.FreqSketch.merge(k)(col("sk")).as("merged"))
+        .select(explode(col("merged")).as(Seq("token", "est_count")))
+        .orderBy(col("est_count").desc, col("token"))
+        .limit(20)
+    }),
+
     // the same curation cascade with NO exact-digest anchor: duplicates
     // come from the sub-quadratic MinHash+LSH pair graph fed through
     // connected components (q49's machinery), so near-duplicates — not
@@ -273,5 +295,6 @@ object TextAnalysis {
   /** Hash-based ops with no portable SQL equivalent (q52's LSH canon
     * rides xxhash64 signatures; gated against q50 in CurationLshSpec).
     */
-  val rowsOnly: Set[String] = Set("q24_fingerprint", "q52_corpus_curation_lsh")
+  val rowsOnly: Set[String] =
+    Set("q24_fingerprint", "q52_corpus_curation_lsh", "q73_top_tokens_sketch")
 }

@@ -84,6 +84,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries sketch: heavy hitters survive eviction within n/(k+1)") {
+    import spark.implicits._
+    // k=4 forces real decrement/eviction churn: 40×hot1, 25×hot2, 30
+    // singleton tail → n=95, error bound n/(k+1)=19
+    val stream = Seq.fill(40)("hot1") ++ Seq.fill(25)("hot2") ++
+      (1 to 30).map(i => s"tail$i")
+    // deterministic interleave so the sketch can't ride a sorted stream
+    val shuffled = stream.zipWithIndex
+      .sortBy { case (t, i) => (i * 2654435761L) & 0xffffffffL }.map(_._1)
+    val est = shuffled.toDF("t").repartition(4)
+      .agg(graft.functions.FreqSketch(4)(col("t")).as("sk"))
+      .select(explode(col("sk"))).as[(String, Long)].collect().toMap
+    val bound = stream.size / 5
+    assert(est.contains("hot1") && est.contains("hot2"),
+      s"guaranteed heavy hitters evicted: $est")
+    assert(est("hot1") <= 40 && 40 - est("hot1") <= bound, s"hot1: $est")
+    assert(est("hot2") <= 25 && 25 - est("hot2") <= bound, s"hot2: $est")
+  }
+
+  test("q73 sketch top tokens track the exact q59 counts") {
+    val exact = SparkEntry.queries("q59_top_tokens")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val sketch = SparkEntry.queries("q73_top_tokens_sketch")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, d)
+      .select(explode(split(trim(col("text")), "\\s+"))).count()
+    val bound = n / 65 // k = 64 across the per-source and merge levels
+    // the exact top-5 are far above the error floor here — each must
+    // survive the per-source sketches AND the merge, estimated within
+    // the Misra-Gries bound and never overcounted
+    exact.take(5).foreach { case (tok, c) =>
+      assert(sketch.contains(tok), s"exact top token '$tok' missing from q73")
+      assert(sketch(tok) <= c, s"MG must undercount: $tok ${sketch(tok)} > $c")
+      assert(c - sketch(tok) <= bound, s"$tok error ${c - sketch(tok)} > $bound")
+    }
+  }
+
   test("q40 raw HLL estimate is deterministic and pinned at rsd=0.02") {
     val est = Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
