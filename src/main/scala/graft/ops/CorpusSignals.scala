@@ -110,6 +110,60 @@ object CorpusSignals {
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), gramDigest(col("g")).as("gd"))
 
+  /** q74's verification threshold: a train doc whose 3-gram Jaccard
+    * against some test doc reaches this is a paraphrase-level leak. */
+  val FuzzyJaccardGate = 0.5
+
+  /** Fuzzy benchmark decontamination — the sub-quadratic companion to
+    * q66's exact-gram overlap: q66 catches verbatim gram leaks, this
+    * catches PARAPHRASED test documents (reordered/lightly edited
+    * copies that share few exact 5-grams but high 3-gram-set Jaccard).
+    * Bipartite MinHash LSH: one signature pass over every doc, band
+    * keys on both sides, candidates only where a train and a test doc
+    * share a band bucket, then exact Jaccard verification of the
+    * candidates (precision 1 — LSH decides what gets COMPARED, never
+    * what gets FLAGGED). At 100 TB the shapes hold: signatures are 32
+    * longs/doc, the band join carries (doc_id, 8-byte key) rows, and
+    * the quadratic exact-verify runs only on the candidate set.
+    */
+  private[graft] def fuzzyContamination(s: SparkSession, d: String,
+                                        threshold: Double): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      isTestSplit(col("doc_id")).as("is_test"),
+      shingles(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    // only (doc_id, is_test, sig) materializes — 32 longs per doc; the
+    // shingle arrays are recomputed for the candidate verification join
+    // (the q27 convention: keep array blocks out of the block store)
+    val sigs = docs.select(col("doc_id"), col("is_test"),
+      Dedup.minhashSignature(col("sh")).as("sig"))
+      .localCheckpoint()
+    val bands = sigs.select(col("doc_id"), col("is_test"),
+      explode(Dedup.minhashBandKeys(col("sig"))).as("bkey"))
+    val cand = bands.filter(!col("is_test")).as("a")
+      .join(bands.filter(col("is_test")).as("b"), col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("test_id"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"), col("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("train_id"),
+        col("sh").as("sh_a"), col("n_sh").as("n_a")), "train_id")
+      .join(sets.select(col("doc_id").as("test_id"),
+        col("sh").as("sh_b"), col("n_sh").as("n_b")), "test_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_test_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+      .join(docs.select(col("doc_id").as("train_id"), col("lang")), "train_id")
+      .select("train_id", "lang", "n_test_matches", "best_jaccard")
+      .orderBy("train_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // within-doc repetition (Gopher-style quality gates): fraction of
     // bigram positions covered by the single most frequent bigram +
@@ -161,6 +215,13 @@ object CorpusSignals {
         .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
         .orderBy("doc_id")
     }),
+
+    // paraphrase-level decontamination: MinHash-LSH candidates between
+    // the train and test splits, exact-Jaccard-verified. Rows-only (the
+    // signature is hash-derived); CorpusSignalsSpec gates recall against
+    // a bipartite exact-Jaccard sweep and pins constructed leaks.
+    "q74_decontaminate_fuzzy" -> ((s, d) =>
+      fuzzyContamination(s, d, FuzzyJaccardGate)),
 
     // the GUARDED end-to-end curation cascade — q50 extended with the
     // hygiene signals: the held-out test split is excluded outright
@@ -375,5 +436,5 @@ object CorpusSignals {
          |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set.empty
+  val rowsOnly: Set[String] = Set("q74_decontaminate_fuzzy")
 }

@@ -53,6 +53,17 @@ object Dedup {
   def simhash(tokensCol: Column): Column =
     asCol(graft.expressions.SimHash(asExpr(tokensCol)))
 
+  /** Banded LSH bucket keys (8 bands × 4 rows) over a 32-perm MinHash
+    * signature, one 64-bit key per band with the band index baked into
+    * the hash — two docs share a key iff they agree on that band's 4
+    * signature rows. Shared by the near-dup pair join (q27/q49) and the
+    * bipartite fuzzy-decontamination join (q74).
+    */
+  def minhashBandKeys(sig: Column): Column =
+    array((0 until 8).map(b =>
+      xxhash64(lit(b), sig(4 * b), sig(4 * b + 1),
+        sig(4 * b + 2), sig(4 * b + 3))): _*)
+
   /** doc_id, lang, distinct word-3-gram shingles + set size. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(

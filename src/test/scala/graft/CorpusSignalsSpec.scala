@@ -119,6 +119,66 @@ class CorpusSignalsSpec extends AnyFunSuite {
       ("en", "keep") -> 1L), s"got $got")
   }
 
+  private def md5Hex1(id: Long): Char = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    "%02x".format(d(0)).charAt(0)
+  }
+
+  test("q74: a paraphrased test doc in train is flagged; unrelated docs are not") {
+    // pick ids by their REAL split assignment (first md5 hex char)
+    val testId = (1L to 200L).find(i => "ef".contains(md5Hex1(i))).get
+    val trains = (1L to 200L).filter(i => !"ef".contains(md5Hex1(i)))
+    val (leakId, cleanId) = (trains.head, trains(1))
+    val testDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // paraphrase-level leak: same text with a two-token tail edit —
+    // high 3-gram Jaccard but not byte-identical
+    val leakDoc = testDoc + " extra tail"
+    val cleanDoc = "totally different words about completely other topics " +
+      "nothing shared with that benchmark document at all here now"
+    val dir = "/tmp/graft_test_fuzzy"
+    Seq((testId, testDoc), (leakId, leakDoc), (cleanId, cleanDoc))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q74_decontaminate_fuzzy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.contains(leakId), s"paraphrased leak $leakId not flagged: $got")
+    assert(got(leakId) >= ops.CorpusSignals.FuzzyJaccardGate)
+    assert(!got.contains(cleanId), s"clean doc flagged: $got")
+    assert(!got.contains(testId), "test docs must never appear as train rows")
+  }
+
+  test("q74: recall 1 against an exact bipartite Jaccard sweep at J >= 0.7") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select(
+      col("doc_id"),
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("e", "f").as("is_test"),
+      TF.shingles(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh"))).filter(col("n_sh") > 0)
+    // exact sweep: every train×test pair (fine at spec scale; the PRODUCT
+    // is what q74's LSH avoids at corpus scale)
+    val exact = docs.filter(!col("is_test")).as("a")
+      .join(docs.filter(col("is_test")).as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("inter").cast("double") /
+        (col("a.n_sh") + col("b.n_sh") - col("inter")))
+      .filter(col("j") >= 0.7)
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = SparkEntry.queries("q74_decontaminate_fuzzy")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "testdata should contain cross-split near-dups")
+    assert(exact.subsetOf(flagged),
+      s"missed high-similarity leaks: ${exact -- flagged}")
+    // precision: everything flagged carries an exact-verified score
+    SparkEntry.queries("q74_decontaminate_fuzzy")(spark, d).collect()
+      .foreach(r => assert(r.getDouble(3) >= ops.CorpusSignals.FuzzyJaccardGate))
+  }
+
   test("q67: exact quantization of a known vector; corpus-wide error bound") {
     // v = [1, -0.5, 0.25, 0]: maxabs 1 → s = 1/127. round(-63.5) = -64
     // (HALF_UP away from zero) → worst component error |−0.5+64/127|

@@ -116,6 +116,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries bound holds for any stream and any merge split") {
+    // driver-side property over the raw Aggregator (no Spark job): for
+    // ANY token stream and ANY split into two partial sketches, every
+    // estimate undercounts, the error is <= n/(k+1), and every item
+    // with true count > n/(k+1) survives
+    val streamGen = Gen.listOfN(120,
+      Gen.frequency(5 -> Gen.const("hotA"), 3 -> Gen.const("hotB"),
+        4 -> Gen.chooseNum(1, 40).map(i => s"t$i")))
+    check("misra-gries") {
+      Prop.forAll(streamGen, Gen.chooseNum(0, 120), Gen.chooseNum(2, 8)) {
+        (stream, splitAt, k) =>
+          val sk = new graft.functions.FreqSketch(k)
+          val (l, r) = stream.splitAt(math.min(splitAt, stream.size))
+          val est = sk.finish(sk.merge(
+            l.foldLeft(sk.zero)(sk.reduce), r.foldLeft(sk.zero)(sk.reduce)))
+          val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val bound = stream.size.toLong / (k + 1)
+          est.forall { case (t, c) => c <= exact(t) && exact(t) - c <= bound } &&
+            exact.forall { case (t, c) => c <= bound || est.contains(t) }
+      }
+    }
+  }
+
   test("minhash band agreement is monotone in true jaccard") {
     // not a strict property of single draws - check on expectation with
     // fixed pairs: supersets agree at least as much as subsets
