@@ -39,7 +39,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     tieBreak: Expression, leftOuter: Boolean = false,
-    maxBuildGroupSize: Long = AsOf.DefaultMaxBuildGroupSize) extends BinaryNode {
+    maxBuildGroupSize: Long = AsOf.DefaultMaxBuildGroupSize,
+    merge: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
                     else right.output)
@@ -50,8 +51,10 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, maxGroup) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, maxGroup, false) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer, maxGroup) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, _, true) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
     case _ => Nil
   }
 }
@@ -159,6 +162,113 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Sort-merge as-of — the FACT-FACT variant. The hash exec above buffers
+  * the whole right side of a partition per key (the shuffled-hash-join
+  * contract: right must be dimension-like, guarded by
+  * maxBuildGroupSize). Here BOTH sides stream in (key, time) order and
+  * the carried state is ONE remembered right row — O(1) memory per
+  * partition regardless of key skew or right-side size, the same
+  * hash-vs-sort trade Spark itself makes between ShuffledHashJoin and
+  * SortMergeJoin. The price is a sort on each side (or free reuse of an
+  * existing (key, time) ordering, e.g. time-clustered ingest).
+  *
+  * Single forward pass: for each left row (keys sorted, times ascending
+  * within a key), right rows with time ≤ left-time are consumed once and
+  * never revisited — the remembered row is always the greatest
+  * (time, tieBreak) eligible match, so semantics are identical to the
+  * hash exec (AsOfJoinSpec pins the equivalence row-for-row).
+  */
+case class AsOfMergeJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    tieBreak: Expression, leftOuter: Boolean = false) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  /** Both sides key-then-time sorted; right ties ordered by tieBreak so
+    * "last consumed" is always the winning row.
+    */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime :+ tieBreak).map(SortOrder(_, Ascending)))
+
+  private def timeAsLong(e: Expression, value: Any): Long = e.dataType match {
+    case TimestampType | TimestampNTZType | LongType => value.asInstanceOf[Long]
+    case DateType => value.asInstanceOf[Int].toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of time must be timestamp/date/long, got ${other.catalogString}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val leftKeyProj = UnsafeProjection.create(leftKeys, leftOut)
+      val rightKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+      // the filter below and the head-compares each re-project; separate
+      // instances so a held left key row is never clobbered
+      val rightKeyFilterProj = UnsafeProjection.create(rightKeys, rightOut)
+      val boundLeftTime = BindReferences.bindReference(leftTime, leftOut)
+      val boundRightTime = BindReferences.bindReference(rightTime, rightOut)
+      // null times / null keys match nothing; dropping them up front
+      // keeps the merge walk free of sentinel branches (they sort first
+      // under NULLS FIRST, so removal preserves the required order)
+      val rBuf = rIt.filter { r =>
+        boundRightTime.eval(r) != null && !rightKeyFilterProj(r).anyNull
+      }.buffered
+
+      var groupKey: UnsafeRow = null // key whose rows `last` was taken from
+      var last: InternalRow = null   // greatest (time, tieBreak) consumed in group
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      def unmatched(l: InternalRow): Iterator[InternalRow] =
+        if (leftOuter) Iterator.single(resultProj(joined(l, nullRight)))
+        else Iterator.empty
+
+      lIt.flatMap { l =>
+        val t = boundLeftTime.eval(l)
+        if (t == null) unmatched(l)
+        else {
+          val lk = leftKeyProj(l)
+          if (lk.anyNull) unmatched(l)
+          else {
+            val lt = timeAsLong(leftTime, t)
+            // skip right groups strictly below this left key
+            while (rBuf.hasNext && keyOrd.compare(rightKeyProj(rBuf.head), lk) < 0)
+              rBuf.next()
+            // entering a new key group invalidates the remembered row
+            if (groupKey == null || keyOrd.compare(groupKey, lk) != 0) {
+              last = null
+              groupKey = lk.copy()
+            }
+            // consume every right row in this group that is eligible for
+            // this (and, times ascending, every later) left row
+            while (rBuf.hasNext && keyOrd.compare(rightKeyProj(rBuf.head), lk) == 0 &&
+                timeAsLong(rightTime, boundRightTime.eval(rBuf.head)) <= lt)
+              last = rBuf.next().copy()
+            if (last == null) unmatched(l)
+            else Iterator.single(resultProj(joined(l, last)))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** User-facing API: `AsOf.join(events, orders, keys..., times...)`.
   * Requires `AsOfJoinStrategy` injected (GraftExtensions) or registered
   * via `AsOf.install(spark)`.
@@ -180,12 +290,16 @@ object AsOf {
   /** As-of join on `leftOn == rightOn` with `rightTime <= leftTime`,
     * latest-wins, ties broken by greatest `tieBreak` (a right-side
     * column). `leftOuter = true` keeps unmatched left rows with the
-    * right side null-extended.
+    * right side null-extended. `algo` picks the physical shape:
+    * "hash" (binary-search per probe; right side must be
+    * dimension-like per key) or "merge" (both sides sorted, O(1)
+    * carried state — the fact-fact / skew-immune variant).
     */
   def join(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String, tieBreak: String,
-           leftOuter: Boolean = false): DataFrame = {
+           leftOuter: Boolean = false, algo: String = "hash"): DataFrame = {
+    require(algo == "hash" || algo == "merge", s"unknown as-of algo: $algo")
     install(spark)
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
     val rPlan = ColumnBridge.analyzedPlan(rightDf)
@@ -218,7 +332,7 @@ object AsOf {
     val maxGroup = spark.conf.getOption("graft.asof.maxBuildGroupSize")
       .map(_.toLong).getOrElse(DefaultMaxBuildGroupSize)
     val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak),
-      leftOuter, maxGroup)
+      leftOuter, maxGroup, merge = algo == "merge")
     ColumnBridge.ofRows(spark, node)
   }
 }

@@ -114,6 +114,73 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.asof.maxBuildGroupSize")
   }
 
+  test("merge variant equals the hash variant row-for-row on testdata (inner + outer)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    for (outer <- Seq(false, true)) {
+      val hash = AsOf.join(spark, e, o, Seq("user_id"), Seq("o_custkey"),
+        "ts", "o_orderdate", "o_orderkey", leftOuter = outer)
+      val merge = AsOf.join(spark, e, o, Seq("user_id"), Seq("o_custkey"),
+        "ts", "o_orderdate", "o_orderkey", leftOuter = outer, algo = "merge")
+      assert(merge.count() == hash.count())
+      assert(merge.exceptAll(hash).isEmpty && hash.exceptAll(merge).isEmpty,
+        s"merge/hash divergence (outer=$outer)")
+    }
+    val p = AsOf.join(spark, e, o, Seq("user_id"), Seq("o_custkey"),
+      "ts", "o_orderdate", "o_orderkey", algo = "merge")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfMergeJoin"), s"merge exec missing:\n$p")
+  }
+
+  test("merge variant streams a key group the hash guard rejects (fact-fact shape)") {
+    spark.conf.set("graft.asof.maxBuildGroupSize", "10")
+    try {
+      // ONE hot key with 1000 right rows: the hash exec's build guard
+      // trips; the merge exec carries O(1) state and must sail through
+      val l = (0 until 50)
+        .map(i => (1L, ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toLong))
+        .toDF("k", "t", "lid")
+      val r = (0 until 1000)
+        .map(i => (1L, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong))
+        .toDF("rk", "rt", "rid")
+      intercept[org.apache.spark.SparkException] {
+        AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid").collect()
+      }
+      val merged = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid",
+        algo = "merge")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toMap
+      // expected: latest rid at-or-before each left time = 60*10 + (i%60)
+      assert(merged.size == 50)
+      (0 until 50).foreach { i =>
+        assert(merged(i.toLong) == 600L + i % 60, s"lid $i -> ${merged(i.toLong)}")
+      }
+    } finally spark.conf.unset("graft.asof.maxBuildGroupSize")
+  }
+
+  test("merge variant pins the edge cases: ties, null keys/times, no-match") {
+    val l = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), "hit"),
+      (Option(1L), Option.empty[Timestamp], "nulltime"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Option(9L), Option(ts("2024-01-01 10:00:00")), "nomatch"))
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), 1L),
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), 2L), // tie: max rid wins
+      (Option(1L), Option.empty[Timestamp], 99L),          // null time ignored
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")), 98L)) // null key
+      .toDF("rk", "rt", "rid")
+    val outer = AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid",
+      leftOuter = true, algo = "merge")
+      .select("tag", "rid").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(outer == Map("hit" -> 2L, "nulltime" -> -1L,
+      "nullkey" -> -1L, "nomatch" -> -1L), s"got $outer")
+  }
+
   test("q45 packed-ordering guard: exact below 2^44, raises at 2^44") {
     val day = java.time.LocalDate.of(2024, 1, 2).toEpochDay
     val ok = Seq((java.sql.Date.valueOf("2024-01-02"), 123L)).toDF("d", "k")

@@ -103,6 +103,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(elapsedSec < 240, f"shuffle-branch components took $elapsedSec%.0f s")
   }
 
+  test("sequence packing: 200k docs, invariants hold, bin count near optimal") {
+    // deterministic pseudo-random sizes over the full clamp range
+    val dir = "/tmp/graft_scale_pack"
+    spark.range(0, 200000)
+      .select(col("id").as("doc_id"), lit("").as("text"), lit("en").as("lang"),
+        lit("t").as("source"),
+        ((col("id") * 2654435761L) % 8000).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val packed = ops.CorpusPrep.packSequences(spark, dir)
+      .groupBy("shard", "bin_seq")
+      .agg(sum(col("tok")).as("fill"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // every doc assigned exactly once; no bin overfilled
+    assert(packed.agg(sum(col("n_docs"))).collect()(0).getLong(0) == 200000L)
+    assert(packed.filter(col("fill") > ops.CorpusPrep.ContextTokens).isEmpty)
+    // next-fit quality: consecutive bins sum past the budget, so bins
+    // <= 2*opt (+1 trailing bin per shard)
+    val totalTok = packed.agg(sum(col("fill"))).collect()(0).getLong(0)
+    val nBins = packed.count()
+    val bound = 2 * totalTok / ops.CorpusPrep.ContextTokens + 16
+    assert(nBins <= bound, s"$nBins bins vs next-fit bound $bound")
+    assert(elapsedSec < 120, f"packing 200k docs took $elapsedSec%.0f s")
+  }
+
   test("clusterBy orders within partitions without a global sort") {
     val df = ScaleOps.clusterBy(skewed, 4, col("k"))
     val plan = df.queryExecution.executedPlan.toString
