@@ -199,20 +199,31 @@ object EventsOps {
     // operator (graft.plans.AsOfJoin) — hash-clustered build + binary
     // search, no per-event window; oracle-checked independently of the
     // composed q45
-    "q46_asof_custom_op" -> ((s, d) => {
-      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
-      val o = Tables.orders(s, d)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-      graft.plans.AsOf.join(s, e, o,
-          Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
-        .select(col("event_id"), col("user_id"),
-          col("o_orderkey").as("last_orderkey"),
-          col("o_totalprice").as("last_totalprice"))
-        .orderBy("event_id")
-    }))
+    "q46_asof_custom_op" -> ((s, d) => asOfViaOperator(s, d, "hash")),
+
+    // the SAME as-of semantics through the sort-merge exec — O(1)
+    // carried state instead of a per-key build buffer (the fact-fact /
+    // skew-immune physical shape), oracle-checked against the identical
+    // SQL as q46 so both custom execs sit in the hash-compared surface.
+    "q75_asof_merge_op" -> ((s, d) => asOfViaOperator(s, d, "merge")))
+
+  /** q46/q75 share everything but the physical algorithm. */
+  private def asOfViaOperator(s: SparkSession, d: String, algo: String): DataFrame = {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    graft.plans.AsOf.join(s, e, o,
+        Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey",
+        algo = algo)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        col("o_totalprice").as("last_totalprice"))
+      .orderBy("event_id")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q46_asof_custom_op" -> AsOfOracle,
+    "q75_asof_merge_op" -> AsOfOracle,
     "q45_asof_last_order" ->
       """SELECT event_id, user_id, last_orderkey, last_totalprice FROM (
         |  SELECT e.event_id, e.user_id,

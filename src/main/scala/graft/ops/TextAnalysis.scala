@@ -88,6 +88,34 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("token"))
         .limit(20)),
 
+    // TF-IDF keyword extraction: top-3 terms per doc by tf × (N/df) —
+    // the linear-idf form keeps every score a single double division of
+    // exact integers (bit-stable under shuffle order; ln(N/df) would
+    // hash-diverge between engines at the last ulp). Shapes: one
+    // two-phase (doc, term) count, a vocabulary-sized df aggregate, the
+    // 1-row N broadcast, and a per-doc window over ≤|doc vocab| rows —
+    // no global sort, nothing document-sized in any exchange.
+    "q76_tfidf_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // materialized once: both the df aggregate and the scoring join
+      // read it (the q65-posting convention — narrow rows only)
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // vocabulary heavy hitters WITHOUT the exact count's full-vocabulary
     // shuffle: per-source Misra-Gries sketches (a k-counter summary per
     // slice, built in one partial+final aggregation) roll up through a
@@ -210,6 +238,26 @@ object TextAnalysis {
       |            ELSE 'zh' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q76_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         CAST(t.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfreq d USING (term)
+        |), ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "q59_top_tokens" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -88,6 +88,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0)
   }
 
+  test("q76: hand-computed tf-idf ranks, ties break by term") {
+    val dir = "/tmp/graft_test_tfidf"
+    Seq(
+      (1L, "apple apple banana", "en", "t", 18L),
+      (2L, "banana cherry", "en", "t", 13L),
+      (3L, "cherry cherry cherry durian", "en", "t", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    val got = SparkEntry.queries("q76_tfidf_terms")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got((1L, 1)) == (("apple", 2L, 1L, 6.0)))
+    assert(got((1L, 2)) == (("banana", 1L, 2L, 1.5)))
+    // doc 2: banana and cherry tie at 1.5 → term ascending
+    assert(got((2L, 1)) == (("banana", 1L, 2L, 1.5)))
+    assert(got((2L, 2)) == (("cherry", 1L, 2L, 1.5)))
+    assert(got((3L, 1)) == (("cherry", 3L, 2L, 4.5)))
+    assert(got((3L, 2)) == (("durian", 1L, 1L, 3.0)))
+    assert(!got.contains((1L, 3)) && !got.contains((2L, 3)))
+  }
+
   test("q72: corpus-frequency scores on a constructed corpus") {
     val dir = "/tmp/graft_test_rarity"
     Seq(
