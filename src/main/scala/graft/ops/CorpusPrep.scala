@@ -52,20 +52,24 @@ object CorpusPrep {
   private def tokEstimate(nChars: Column): Column =
     least(ceil(nChars.cast("double") / lit(4.0)), lit(ContextTokens)).cast("long")
 
-  /** First md5 hex char of the doc id — the 16-way packing shard.
+  /** md5 hex prefix of the doc id — the packing shard. The PREFIX
+    * LENGTH is the parallelism knob: 1 char = 16 shards (the registered
+    * q70, sized to the test corpus), 4 chars = 65k shards for a corpus
+    * of billions — shard sizes stay ~uniform because the hash is.
     * md5 (not xxhash64) so the oracle can replay the sharding. */
-  private def shardOf(id: Column): Column =
-    substring(md5(id.cast("string").cast("binary")), 1, 1)
+  private def shardOf(id: Column, chars: Int): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, chars)
 
   /** Next-fit packing per shard: docs in doc_id order; a doc that no
     * longer fits seals the current bin and opens the next. Exposed for
     * the spec's invariant checks (fill ≤ budget, bins contiguous).
     */
-  private[graft] def packSequences(s: SparkSession, d: String): DataFrame = {
+  private[graft] def packSequences(s: SparkSession, d: String,
+                                   shardChars: Int = 1): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d).select(
       col("doc_id"),
-      shardOf(col("doc_id")).as("shard"),
+      shardOf(col("doc_id"), shardChars).as("shard"),
       tokEstimate(col("n_chars")).as("tok"))
     base.as[PackIn]
       .repartition(col("shard"))

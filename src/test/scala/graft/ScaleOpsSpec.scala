@@ -112,7 +112,8 @@ class ScaleOpsSpec extends AnyFunSuite {
         ((col("id") * 2654435761L) % 8000).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
-    val packed = ops.CorpusPrep.packSequences(spark, dir)
+    // 2 hex chars = 256 shards: the parallelism knob a big corpus turns
+    val packed = ops.CorpusPrep.packSequences(spark, dir, shardChars = 2)
       .groupBy("shard", "bin_seq")
       .agg(sum(col("tok")).as("fill"), count(lit(1)).as("n_docs"))
       .localCheckpoint()
@@ -124,7 +125,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     // <= 2*opt (+1 trailing bin per shard)
     val totalTok = packed.agg(sum(col("fill"))).collect()(0).getLong(0)
     val nBins = packed.count()
-    val bound = 2 * totalTok / ops.CorpusPrep.ContextTokens + 16
+    // 2*opt (next-fit: consecutive bins overflow the budget) + one
+    // possibly-underfull trailing bin per shard
+    val bound = 2 * totalTok / ops.CorpusPrep.ContextTokens + 256
     assert(nBins <= bound, s"$nBins bins vs next-fit bound $bound")
     assert(elapsedSec < 120, f"packing 200k docs took $elapsedSec%.0f s")
   }
