@@ -79,7 +79,9 @@ object Bench {
     // BENCH_r*.json so far shows "parsed": null). Keep the line well
     // under that window: per-query keys are the unique qNN prefix
     // (full names in QUERIES.md), times rounded to ms.
-    def ms(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val short = if (shortKeys.values.toSet.size == shortKeys.size) shortKeys
                 else shortKeys.keys.map(k => k -> k).toMap // collision: keep full names
