@@ -53,6 +53,40 @@ object EmbeddingOps {
         .orderBy("vec_id")
     }),
 
+    // matryoshka/truncation evaluation: can the ANN index store only
+    // the first 16 of 64 dimensions? For each query vector, rank all
+    // others by full-dim cosine and by truncated-dim cosine, and report
+    // how much of the top-5 survives truncation (overlap@5, top-1
+    // agreement). Both rankings run over the SAME broadcast-join rows —
+    // overlap is a per-query count of rows ranked ≤5 under both
+    // windows, so the output is all exact integers. This is the gate a
+    // pipeline checks before cutting index storage 4× by truncation
+    // (the dimension analog of q67's int8 quantization).
+    "q77_matryoshka_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val wFull = Window.partitionBy("query_id")
+        .orderBy(col("cos_full").desc, col("vec_id"))
+      val wTrunc = Window.partitionBy("query_id")
+        .orderBy(col("cos_trunc").desc, col("vec_id"))
+      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .withColumn("cos_full", cosine(col("qv"), col("v")))
+        .withColumn("cos_trunc",
+          cosine(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)))
+        .withColumn("rf", row_number().over(wFull))
+        .withColumn("rt", row_number().over(wTrunc))
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("rf") <= 5 && col("rt") <= 5, 1L).otherwise(0L))
+            .as("overlap5"),
+          max(when(col("rf") === 1 && col("rt") === 1, 1).otherwise(0))
+            .as("same_top1"))
+        .orderBy("query_id")
+    }),
+
     // embedding near-dup groups: LSH pairs → connected components →
     // canonical keep id per group. Rows-only (hash-derived hyperplanes
     // aren't portable SQL); EmbeddingGroupsSpec pins the refinement
@@ -73,6 +107,27 @@ object EmbeddingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q77_matryoshka_eval" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vid,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                           CAST(e.embedding AS DOUBLE[])) DESC,
+        |                    e.vec_id) AS rf,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:16],
+        |                                           CAST(e.embedding AS DOUBLE[])[1:16]) DESC,
+        |                    e.vec_id) AS rt
+        |  FROM embeddings q JOIN embeddings e
+        |    ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+        |)
+        |SELECT query_id,
+        |       CAST(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS overlap5,
+        |       CAST(MAX(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END) AS INTEGER)
+        |         AS same_top1
+        |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin,
+
     "q67_embedding_quantize" ->
       s"""SELECT vec_id, label,
          |       ROUND(s, 6) AS scale_r,

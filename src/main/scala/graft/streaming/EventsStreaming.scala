@@ -175,8 +175,15 @@ object EventsStreaming {
     * stream lifetime. Self-join of one source stream: the two sides are
     * two filters of the same `events` read, the planner runs them as
     * independent stateful inputs.
+    *
+    * `joinType = "left_outer"` keeps unattributed purchases: the row
+    * emits null-extended once the click-side watermark passes the
+    * purchase time — i.e. when NO future click can still match — the
+    * state-expiry semantics that make streaming outer joins subtle
+    * (pinned across micro-batches in StreamingSpec).
     */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  def purchaseAttribution(events: DataFrame,
+                          joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -188,7 +195,7 @@ object EventsStreaming {
     purchases.join(clicks,
       col("buyer_id") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"), joinType)
       .select(col("purchase_id"), col("click_id"),
         col("buyer_id").as("user_id"),
         col("purchase_ts"), col("click_ts"), col("value"))

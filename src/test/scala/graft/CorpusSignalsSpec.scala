@@ -179,6 +179,27 @@ class CorpusSignalsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) >= ops.CorpusSignals.FuzzyJaccardGate))
   }
 
+  test("q77: truncation eval detects a tail-only difference the prefix hides") {
+    // query 0 = unit x; 11 = exact copy (wins full ranking); 10 = same
+    // 16-dim prefix but a large tail (full cos tiny, truncated cos 1.0
+    // — ties with 11, vec_id order puts 10 first) → truncated top-1
+    // disagrees with full top-1, which is exactly the signal q77 exists
+    // to report. 12 = orthogonal filler.
+    val prefix = Array.fill(16)(0.0f); prefix(0) = 1.0f
+    def vec(tail: Array[Float]) = prefix ++ tail
+    val zero4 = Array.fill(4)(0.0f)
+    Seq(
+      (0L, vec(zero4), 0),
+      (10L, vec(Array(9f, 9f, 9f, 9f)), 0),
+      (11L, vec(zero4), 0),
+      (12L, Array.fill(20)(0.0f).updated(1, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_mrl/embeddings.parquet")
+    val r = SparkEntry.queries("q77_matryoshka_eval")(spark, "/tmp/graft_test_mrl")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r.toSeq == Seq((0L, 3L, 0)), s"got ${r.toSeq}")
+  }
+
   test("q67: exact quantization of a known vector; corpus-wide error bound") {
     // v = [1, -0.5, 0.25, 0]: maxabs 1 → s = 1/127. round(-63.5) = -64
     // (HALF_UP away from zero) → worst component error |−0.5+64/127|

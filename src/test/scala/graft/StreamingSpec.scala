@@ -104,6 +104,63 @@ class StreamingSpec extends AnyFunSuite {
     dst.toFile.setLastModified(modTime)
   }
 
+  test("left-outer stream-stream join emits unattributed purchases on state expiry") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = "/tmp/graft_stream/attr_outer"
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    Files.createDirectories(Paths.get(base))
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def writeFile(name: String, modTime: Long,
+                  rows: Seq[(Long, Long, String, String, Double)]): Unit = {
+      import spark.implicits._
+      val stage = s"$base.stage_$name"
+      rows.toDF("event_id", "user_id", "tss", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("tss")))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(base, name)
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(modTime)
+    }
+    // batch 1: an attributed purchase (user 1) and an unattributed one
+    // (user 2 — no click). Nothing outer can emit yet: a click for user
+    // 2 could still arrive within the watermark.
+    writeFile("a.parquet", t0, Seq(
+      (100L, 1L, "2024-01-01 10:00:00", "click", 0.0),
+      (101L, 1L, "2024-01-01 10:30:00", "purchase", 5.0),
+      (102L, 2L, "2024-01-01 10:30:00", "purchase", 7.0)))
+    // later batches must advance BOTH event-time watermarks, so they
+    // carry real clicks/purchases (a filtered-out event type never
+    // reaches the watermark node — its timestamp doesn't count). The
+    // expired unmatched row then surfaces one batch after the global
+    // (min-of-both) watermark passes its purchase time.
+    writeFile("b.parquet", t0 + 60000, Seq(
+      (103L, 3L, "2024-01-01 20:00:00", "click", 0.0)))
+    writeFile("c.parquet", t0 + 120000, Seq(
+      (104L, 3L, "2024-01-01 20:30:00", "purchase", 9.0)))
+    writeFile("d.parquet", t0 + 180000, Seq(
+      (105L, 4L, "2024-01-01 22:00:00", "click", 0.0),
+      (106L, 4L, "2024-01-01 22:00:00", "purchase", 3.0)))
+    val outer = EventsStreaming.runToMemory(spark,
+      EventsStreaming.purchaseAttribution(
+        EventsStreaming.readEvents(spark, base, maxFilesPerTrigger = Some(1)),
+        joinType = "left_outer"),
+      "attr_outer_test")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(outer == Set((101L, 100L), (104L, 103L), (106L, 105L), (102L, -1L)),
+      s"got $outer")
+    // the inner variant over the same files keeps only the matched pairs
+    val inner = EventsStreaming.runToMemory(spark,
+      EventsStreaming.purchaseAttribution(
+        EventsStreaming.readEvents(spark, base, maxFilesPerTrigger = Some(1))),
+      "attr_inner_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inner == Set((101L, 100L), (104L, 103L), (106L, 105L)), s"got $inner")
+  }
+
   test("sessionize across micro-batches: watermark gates emission, late events bridge") {
     import java.nio.file.{Files, Paths}
     val base = "/tmp/graft_stream/sess_multi"
