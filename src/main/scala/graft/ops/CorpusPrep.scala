@@ -48,9 +48,11 @@ object CorpusPrep {
 
   /** chars/4 token estimate, clamped to one context window: an
     * over-long doc is truncated by the trainer, so it costs exactly one
-    * full window. */
+    * full window. Null-size docs cost 0 (a null would NPE the typed
+    * fold's non-nullable Long). */
   private def tokEstimate(nChars: Column): Column =
-    least(ceil(nChars.cast("double") / lit(4.0)), lit(ContextTokens)).cast("long")
+    least(ceil(coalesce(nChars, lit(0L)).cast("double") / lit(4.0)),
+      lit(ContextTokens)).cast("long")
 
   /** md5 hex prefix of the doc id — the packing shard. The PREFIX
     * LENGTH is the parallelism knob: 1 char = 16 shards (the registered
@@ -185,7 +187,7 @@ object CorpusPrep {
       s"""WITH RECURSIVE docs AS (
          |  SELECT doc_id,
          |         substr(md5(doc_id::VARCHAR), 1, 1) AS shard,
-         |         LEAST(CAST(ceil(n_chars / 4.0) AS BIGINT), $ContextTokens) AS tok,
+         |         LEAST(CAST(ceil(COALESCE(n_chars, 0) / 4.0) AS BIGINT), $ContextTokens) AS tok,
          |         ROW_NUMBER() OVER (PARTITION BY substr(md5(doc_id::VARCHAR), 1, 1)
          |                            ORDER BY doc_id) AS rn
          |  FROM documents

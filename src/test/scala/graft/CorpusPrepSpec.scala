@@ -58,6 +58,16 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q70: a null n_chars packs as zero tokens instead of NPEing the fold") {
+    val dir = "/tmp/graft_test_packnull"
+    Seq((1L, "x", "en", "t", Option(100L)), (2L, "y", "en", "t", Option.empty[Long]))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusPrep.packSequences(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 25L, 2L -> 0L), s"got $got")
+  }
+
   test("q71: scrub masks emails, IPv4s, and phones exactly") {
     val masked = Seq(
       "mail bob.smith+x@corp.example.org here",
