@@ -40,6 +40,36 @@ object Sampling {
         .orderBy("split", "lang")
     }),
 
+    // temperature-based source mixing (multinomial α = 0.5): per-source
+    // keep rate sqrt(min_count / n_s) flattens the source distribution
+    // toward the smallest source — the rebalancing step a multi-source
+    // training mix runs before packing. The rates derive FROM the data
+    // (one tiny aggregate, broadcast back); each doc's fate is then the
+    // same narrow md5-threshold filter as q55, with the double rate
+    // quantized to a 4-hex cutoff. Deterministic cross-engine: sqrt and
+    // the division are IEEE correctly-rounded, floor/format are exact,
+    // and the reported counts are integers.
+    "q78_source_mixing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val minN = counts.agg(min(col("n_before")).as("min_n"))
+      val cuts = counts.crossJoin(broadcast(minN))
+        .withColumn("rate", sqrt(col("min_n").cast("double") / col("n_before")))
+        .withColumn("cut",
+          when(floor(col("rate") * 65536.0) >= 65536L, lit("zzzz"))
+            .otherwise(format_string("%04x",
+              floor(col("rate") * 65536.0).cast("int"))))
+      val kept = docs.join(broadcast(cuts.select("source", "cut")), Seq("source"))
+        .filter(hexPrefix(col("doc_id"), 4) < col("cut"))
+        .groupBy("source").agg(count(lit(1)).as("n_after"))
+      cuts.select("source", "n_before", "rate")
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          round(col("rate"), 6).as("rate_r"))
+        .orderBy("source")
+    }),
+
     // stratified downsample: per-language hash-threshold filter that
     // rebalances the corpus mix — keep ~6% of the dominant language
     // (en), ~50% of everything else. Pure narrow filter (zero shuffle
@@ -67,6 +97,30 @@ object Sampling {
         |)
         |GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin,
+
+    "q78_source_mixing" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT MIN(n_before) AS min_n FROM counts
+        |), cuts AS (
+        |  SELECT source, n_before,
+        |         sqrt(CAST(min_n AS DOUBLE) / n_before) AS rate,
+        |         CASE WHEN floor(sqrt(CAST(min_n AS DOUBLE) / n_before) * 65536.0) >= 65536
+        |              THEN 'zzzz'
+        |              ELSE printf('%04x', CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_before) * 65536.0) AS INTEGER))
+        |              END AS cut
+        |  FROM counts, m
+        |), kept AS (
+        |  SELECT d.source, COUNT(*) AS n_after
+        |  FROM documents d JOIN cuts c USING (source)
+        |  WHERE substr(md5(d.doc_id::VARCHAR), 1, 4) < c.cut
+        |  GROUP BY d.source
+        |)
+        |SELECT c.source, c.n_before, COALESCE(k.n_after, 0) AS n_after,
+        |       ROUND(c.rate, 6) AS rate_r
+        |FROM cuts c LEFT JOIN kept k USING (source)
+        |ORDER BY c.source""".stripMargin,
 
     "q55_stratified_sample" ->
       """SELECT doc_id, lang, source, n_chars

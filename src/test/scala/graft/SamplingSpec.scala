@@ -47,4 +47,27 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(ids1 == ids2 && ids1.nonEmpty)
   }
+
+  test("q78 temperature mixing: smallest source keeps all, rates follow sqrt(min/n)") {
+    import spark.implicits._
+    // 4 docs of src_small, 16 of src_big → rates 1.0 and 0.5
+    val dir = "/tmp/graft_test_mixing"
+    val docs = (1L to 4L).map(i => (i, s"d$i", "en", "src_small", 10L)) ++
+      (101L to 116L).map(i => (i, s"d$i", "en", "src_big", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q78_source_mixing")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("src_small") == ((4L, 4L, 1.0)), s"got $got")
+    // src_big: rate 0.5 → cutoff '8000'; expected survivors = docs whose
+    // md5 4-hex prefix is below it, computed here with the same rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectBig = (101L to 116L).count { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      hex < "8000"
+    }
+    assert(got("src_big") == ((16L, expectBig.toLong, 0.5)), s"got $got")
+  }
 }
