@@ -102,6 +102,33 @@ object AnalyticsExtras {
     // daily frame (|regions| x |days| rows), never the raw orders — the
     // fact collapses in a hash aggregate first, so the per-partition
     // window sort is over thousands of rows at any fact size.
+    // Weekly cohort-retention matrix: users grouped by first-active
+    // week, each later week's activity as a fraction of the cohort —
+    // the canonical BI retention cross-tab (q39's two-year buckets are
+    // the coarse form). Shapes: one per-user min (two-phase), one
+    // equi-join back, a distinct on (user, offset) triples, then a
+    // cohort-sized aggregate. The retention fraction is a single double
+    // division of exact counts (bit-stable); week offsets are exact —
+    // both engines truncate weeks to Monday and the day difference of
+    // two week-truncated dates is always a multiple of 7.
+    "q79_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.join(cohorts, Seq("user_id"))
+        .withColumn("offset_wk",
+          expr("datediff(wk, cohort_wk) div 7").cast("int"))
+        .select("user_id", "cohort_wk", "offset_wk").distinct()
+      val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_users"))
+      active.groupBy("cohort_wk", "offset_wk")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("offset_wk"), col("n_active"),
+          col("cohort_users"),
+          (col("n_active").cast("double") / col("cohort_users")).as("retention"))
+        .orderBy("cohort_wk", "offset_wk")
+    }),
+
     "q62_moving_avg" -> ((s, d) => {
       val daily = Tables.orders(s, d)
         .join(orderRegion(s, d).select("o_orderkey", "region_name"), Seq("o_orderkey"))
@@ -186,6 +213,24 @@ object AnalyticsExtras {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q79_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+        |), active AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_wk,
+        |         CAST((e.wk - c.cohort_wk) // 7 AS INTEGER) AS offset_wk
+        |  FROM ev e JOIN cohorts c USING (user_id)
+        |), sizes AS (
+        |  SELECT cohort_wk, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_wk
+        |)
+        |SELECT a.cohort_wk, a.offset_wk, COUNT(*) AS n_active, s.cohort_users,
+        |       CAST(COUNT(*) AS DOUBLE) / s.cohort_users AS retention
+        |FROM active a JOIN sizes s USING (cohort_wk)
+        |GROUP BY a.cohort_wk, a.offset_wk, s.cohort_users
+        |ORDER BY a.cohort_wk, a.offset_wk""".stripMargin,
+
     "q36_monthly_stats" ->
       """WITH li AS (
         |  SELECT l.l_quantity, l.l_extendedprice, r.r_name AS region_name,

@@ -161,7 +161,7 @@ object SimilaritySearch {
     require(cents.nonEmpty, "centroidCandidates: empty centroid set")
     // argmin of ‖v−c‖² over c: ‖v‖² is constant per row, so comparing
     // ‖c‖² − 2·v·c ranks candidates identically without computing it
-    array(cents.map { case (cid, c) =>
+    array(cents.toIndexedSeq.map { case (cid, c) =>
       val cNorm = c.map(x => x * x).sum
       struct(
         (dot(col("v"), typedLit(c.toSeq)) * lit(-2.0) + lit(cNorm)).as("score"),
