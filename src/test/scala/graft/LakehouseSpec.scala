@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q80 SCD2 history + q87 incremental gold: interval invariants, the
+  * incremental-equals-full differential, and the one-exchange plan pin.
+  */
+class LakehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q80 intervals tile each customer's timeline") {
+    val h = SparkEntry.queries("q80_scd2_history")(spark, sf)
+      .select("custkey", "version", "valid_from", "valid_to", "is_current")
+    val rows = h.collect()
+    assert(rows.nonEmpty)
+    // exactly one open (is_current) interval per customer
+    val openPerCust = h.groupBy("custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("open"))
+      .filter(col("open") =!= 1).count()
+    assert(openPerCust == 0, "each customer must have exactly one current row")
+    // versions are contiguous from 1
+    val badVersions = h.groupBy("custkey")
+      .agg(min("version").as("lo"), max("version").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(badVersions == 0, "versions must be 1..n with no gaps")
+    // each interval closes exactly where the next opens, and never inverts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("custkey").orderBy("version")
+    val chain = h
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+    assert(chain.filter(col("valid_to") =!= col("next_from")).count() == 0,
+      "valid_to must equal the next version's valid_from")
+    assert(chain.filter(col("valid_to") < col("valid_from")).count() == 0,
+      "intervals must not invert")
+  }
+
+  test("q80 run-length encoding matches a per-customer replay") {
+    // independent oracle: replay one customer's orders in date order and
+    // run-length encode the priorities imperatively
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"), col("o_orderpriority"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val history = SparkEntry.queries("q80_scd2_history")(spark, sf)
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(history.keySet == orders.keySet)
+    history.foreach { case (cust, rows) =>
+      val expected = orders(cust)
+        .sortBy(r => (r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+        .map(_.getString(3))
+        .foldLeft(List.empty[(String, Int)]) {
+          case (acc @ ((p, n) :: tail), cur) if p == cur => (p, n + 1) :: tail
+          case (acc, cur) => (cur, 1) :: acc
+        }.reverse
+      val got = rows.sortBy(_.getInt(1))
+        .map(r => (r.getString(2), r.getLong(5).toInt)).toList
+      assert(got == expected, s"run mismatch for customer $cust")
+    }
+  }
+
+  test("q80 shares one exchange across lag, running sum, agg, and lead") {
+    val p = SparkEntry.queries("q80_scd2_history")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (custkey reused throughout), got $exchanges:\n$p")
+  }
+
+  test("q87 incremental merge equals the one-pass full recompute") {
+    val merged = SparkEntry.queries("q87_incremental_gold")(spark, sf)
+    val full = ops.LakehouseOps.goldFull(spark, sf)
+    assert(merged.count() == full.count())
+    // exact equality both ways (decimal partial-merge is lossless)
+    assert(merged.except(full).count() == 0)
+    assert(full.except(merged).count() == 0)
+  }
+
+  test("q87 batch-side scan pushes the cutoff predicate") {
+    val p = SparkEntry.queries("q87_incremental_gold")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), s"no pushed filters:\n$p")
+    assert(p.contains("o_orderdate"), s"cutoff not visible at the scan:\n$p")
+  }
+}
