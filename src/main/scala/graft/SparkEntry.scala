@@ -28,7 +28,8 @@ object SparkEntry {
       ops.AnalyticsExtras.queries ++ ops.Sampling.queries ++
       ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
       ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
-      ops.IntervalOps.queries ++ sources.Layout.queries
+      ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
+      sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,7 +41,8 @@ object SparkEntry {
       ops.AnalyticsExtras.oracleSql ++ ops.Sampling.oracleSql ++
       ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
       ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
-      ops.IntervalOps.oracleSql ++ sources.Layout.oracleSql
+      ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
+      sources.Layout.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
