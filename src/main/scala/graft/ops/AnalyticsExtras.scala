@@ -167,6 +167,36 @@ object AnalyticsExtras {
         .orderBy("bucket")
     }),
 
+    // UNPIVOT (melt) — the inverse of q48's pivot, and the operator a
+    // BI export needs to come back into the engine: a wide per-region
+    // quarterly revenue cross-tab (one Expand-free pivot with an
+    // explicit value list) melted back to (region, quarter, revenue)
+    // long form. The round trip pins both directions: pivot places each
+    // aggregate in its column, unpivot restores the long rows — and
+    // with every (region, quarter) populated in 1997 the melt equals
+    // the direct group-by (the oracle). Scale shape: the pivot runs on
+    // the pre-aggregated |regions|x4 frame, and unpivot is a narrow
+    // row-expansion (no shuffle after the aggregate).
+    "q91_unpivot_quarters" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(orderRegion(s, d).select("o_orderkey", "region_name"), Seq("o_orderkey"))
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("region_name"), quarter(col("o_orderdate")).as("qtr"),
+          col("o_totalprice"))
+      val wide = base.groupBy("region_name")
+        .pivot("qtr", Seq(1, 2, 3, 4))
+        .agg(sumMoney(col("o_totalprice")))
+        .withColumnRenamed("1", "q1").withColumnRenamed("2", "q2")
+        .withColumnRenamed("3", "q3").withColumnRenamed("4", "q4")
+      wide.unpivot(Array(col("region_name")),
+          Array(col("q1"), col("q2"), col("q3"), col("q4")),
+          "qtr_name", "revenue")
+        .select(col("region_name"),
+          substring(col("qtr_name"), 2, 1).cast("int").as("qtr"),
+          col("revenue"))
+        .orderBy("region_name", "qtr")
+    }),
+
     // HLL sketch next to the exact count. The sketch estimate itself is
     // engine-specific, so the oracle-compared column is the *accuracy
     // claim* (estimate within 10% of exact at rsd=0.02) — both engines
@@ -326,6 +356,16 @@ object AnalyticsExtras {
         |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
         |)
         |ORDER BY bucket""".stripMargin,
+
+    "q91_unpivot_quarters" ->
+      s"""$OrdersRegionCte
+         |SELECT region_name,
+         |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM order_region
+         |WHERE year(o_orderdate) = 1997
+         |GROUP BY region_name, qtr
+         |ORDER BY region_name, qtr""".stripMargin,
 
     "q40_approx_distinct" ->
       """SELECT l_returnflag,

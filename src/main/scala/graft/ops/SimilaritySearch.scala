@@ -242,7 +242,14 @@ object SimilaritySearch {
   /** The q43 pair pipeline (unsorted, unrounded `cos`) — also the edge
     * generator for q68's embedding near-dup components.
     */
-  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddingLshPairs(s: SparkSession, d: String): DataFrame =
+    lshCandidatesWithCos(s, d).filter(col("cos") >= 0.4)
+
+  /** All LSH bucket-mate candidate pairs (vec_a < vec_b) with their
+    * exact cosine, UNthresholded — q43 applies the near-dup cut; q90
+    * ranks them into a k-NN graph.
+    */
+  private[graft] def lshCandidatesWithCos(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // materialized once — the bucket-population guard and BOTH sides of
@@ -268,9 +275,60 @@ object SimilaritySearch {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** k-NN GRAPH queries: corpus→corpus top-k neighbors — the
+    * all-pairs analog of q30's query→corpus search, and the input a
+    * semantic-clustering / diversity-sampling stage consumes.
+    */
+  val GraphK = 3
+
+  private[graft] def knnGraphExact(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nbrs = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    e.join(broadcast(nbrs), col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("v"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= GraphK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_r"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT k-NN graph: every vector's top-3 cosine neighbors via the
+    // full self-join. Deliberately quadratic — the ground-truth anchor
+    // (the broadcast of the whole corpus is only viable at anchor
+    // scale; q90 is the production path). Top-3 selection is a per-key
+    // window over the pair stream, ties broken by neighbor_id.
+    "q89_knn_graph" -> ((s, d) => knnGraphExact(s, d)),
+
+    // LSH-bounded k-NN graph: candidate edges from q43's banded bucket
+    // join (8 tables × 4 hyperplanes, skew-capped, id-pairs-first) made
+    // symmetric, then exact re-rank to top-3 per vector. Sub-quadratic:
+    // candidate volume scales with bucket co-occupancy, not |V|². Some
+    // vectors surface < 3 candidates (isolated in every table) — a
+    // truncated, never wrong, neighbor list; RecallSpec gates edge
+    // recall vs q89. Rows-only: hash-derived hyperplanes.
+    "q90_knn_graph_lsh" -> ((s, d) => {
+      val pairs = lshCandidatesWithCos(s, d)
+      val sym = pairs.select(col("vec_a").as("vec_id"),
+          col("vec_b").as("neighbor_id"), col("cos"))
+        .unionByName(pairs.select(col("vec_b").as("vec_id"),
+          col("vec_a").as("neighbor_id"), col("cos")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      sym.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= GraphK)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("vec_id", "rank")
+    })
+  )
 
   /** Skew guard for the q43 bucket join: per-(table, bucket) population
     * above which the bucket is dropped rather than self-joined (a bucket
@@ -282,7 +340,7 @@ object SimilaritySearch {
   val MaxBucketPopulation = 100000
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ ivfQueries
+    queries ++ ivfQueries ++ graphQueries
 
   val oracleSql: Map[String, String] = Map(
     "q60_label_centroids" ->
@@ -295,6 +353,21 @@ object SimilaritySearch {
         |)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "q89_knn_graph" ->
+      """SELECT vec_id, rank, neighbor_id, ROUND(cos, 4) AS cos_r FROM (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                           CAST(b.embedding AS DOUBLE[])) DESC,
+        |                    b.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |)
+        |WHERE rank <= 3
+        |ORDER BY vec_id, rank""".stripMargin,
 
     "q30_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_r FROM (
@@ -313,5 +386,6 @@ object SimilaritySearch {
   )
 
   val rowsOnly: Set[String] =
-    Set("q31_knn_lsh", "q42_knn_ivf", "q43_dedup_embedding_lsh")
+    Set("q31_knn_lsh", "q42_knn_ivf", "q43_dedup_embedding_lsh",
+      "q90_knn_graph_lsh")
 }

@@ -181,8 +181,38 @@ object Layout {
       val root = writeEventsPartitioned(s, d)
       prunedDailyTotals(s, root, "2024-01-08", "2024-01-14")
         .orderBy("event_date", "event_type")
+    }),
+
+    // DYNAMIC partition pruning: q57's pruning works because the date
+    // range is a literal the planner sees; here the date set comes from
+    // a JOIN against a calendar dim filtered at runtime (weekends), so
+    // static pruning is impossible — Spark instead plants a dynamic
+    // pruning subquery on the fact's partition column: the dim's
+    // broadcast result prunes the fact's directories at execution time.
+    // At 100 TB this is the difference between scanning 10 years of an
+    // event fact and scanning the ~28% of directories the dim selects
+    // — without the query author enumerating dates. LayoutSpec pins the
+    // dynamicpruning expression in the plan.
+    "q92_dpp_weekend_totals" -> ((s, d) => {
+      val root = writeEventsPartitioned(s, d)
+      val cal = calendarDim(s, "2024-01-01", 31)
+        .filter(col("is_weekend"))
+        .select(col("cal_date"))
+      s.read.parquet(root)
+        .join(cal, col("event_date") === col("cal_date"))
+        .groupBy("event_date", "event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .orderBy("event_date", "event_type")
     })
   )
+
+  /** Generated calendar dim: `days` consecutive dates from `start` with
+    * a weekend flag — the runtime-filterable side of the q92 DPP join.
+    */
+  def calendarDim(s: SparkSession, start: String, days: Int): DataFrame =
+    s.range(days)
+      .select(date_add(lit(start).cast("date"), col("id").cast("int")).as("cal_date"))
+      .withColumn("is_weekend", dayofweek(col("cal_date")).isin(1, 7))
 
   val oracleSql: Map[String, String] = Map(
     "q56_bucketed_join" ->
@@ -191,6 +221,15 @@ object Layout {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY c_custkey, c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
+
+    "q92_dpp_weekend_totals" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'
+        |  AND dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q57_partition_pruned" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS n,

@@ -158,4 +158,23 @@ class LayoutSpec extends AnyFunSuite {
       assert(files.length == 16, s"$sub: ${files.length} files for 16 buckets")
     }
   }
+
+  test("q92 plans a dynamic partition pruning subquery on the fact scan") {
+    val p = SparkEntry.queries("q92_dpp_weekend_totals")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery on event_date:\n$p")
+  }
+
+  test("q92 weekend totals match the statically-pruned computation") {
+    import org.apache.spark.sql.functions.{col, dayofweek}
+    val root = Layout.writeEventsPartitioned(spark, d)
+    val expected = Layout.prunedDailyTotals(spark, root, "2024-01-01", "2024-01-31")
+      .filter(dayofweek(col("event_date")).isin(1, 7))
+      .orderBy("event_date", "event_type")
+    val got = SparkEntry.queries("q92_dpp_weekend_totals")(spark, d)
+    assert(got.count() > 0)
+    assert(got.except(expected).count() == 0)
+    assert(expected.except(got).count() == 0)
+  }
 }

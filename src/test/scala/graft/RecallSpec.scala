@@ -128,4 +128,32 @@ class RecallSpec extends AnyFunSuite {
     // positives possible
     assert(lsh.subsetOf(exact), s"q43 extra pairs ${lsh.diff(exact)}")
   }
+
+  test("q90 LSH k-NN graph: edge recall >= 0.5 vs the exact graph (q89), precision-true cosines") {
+    // graph edges are (vec_id, neighbor_id) at rank <= 3. The LSH
+    // candidate generator is q43's 8x4 config, sized for near-dup
+    // recall at cos 0.4 — for general top-3 neighbors (often much
+    // farther than near-dups) per-edge recall is structurally lower;
+    // the gate guards against a BROKEN generator (~0 recall), while
+    // near-dup-grade edges (cos >= 0.4) must be found at q43's rate.
+    val exactDf = SparkEntry.queries("q89_knn_graph")(spark, d)
+    val exact = exactDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val lsh = SparkEntry.queries("q90_knn_graph_lsh")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(exact.size == 3 * 500)
+    val r = recall(lsh.keySet.map(identity), exact.keySet.map(identity))
+    assert(r >= 0.5, s"q90 edge recall $r vs exact graph")
+    val strong = exact.filter(_._2 >= 0.4).keySet
+    assert(strong.nonEmpty)
+    val rs = recall(lsh.keySet.map(identity), strong.map(identity))
+    assert(rs >= 0.7, s"q90 strong-edge (cos>=0.4) recall $rs")
+    // every LSH edge's cosine must equal the exact computation (the
+    // re-rank is exact; only CANDIDACY is approximate) - check on the
+    // edges both graphs share
+    lsh.foreach { case (k, c) =>
+      exact.get(k).foreach(ec => assert(math.abs(ec - c) < 1e-9,
+        s"edge $k cosine drift: lsh=$c exact=$ec"))
+    }
+  }
 }
