@@ -29,7 +29,7 @@ object SparkEntry {
       ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
       ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
-      sources.Layout.queries
+      ops.GraphOps.queries ++ sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +53,5 @@ object SparkEntry {
       ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
       ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
       ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly ++
-      ops.CorpusPrep.rowsOnly
+      ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly
 }

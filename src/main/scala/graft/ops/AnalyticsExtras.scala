@@ -167,6 +167,49 @@ object AnalyticsExtras {
         .orderBy("bucket")
     }),
 
+    // CUBE completes the grouped-subtotal family (q37 ROLLUP = prefix
+    // family, q63 GROUPING SETS = hand-picked slices): all 4 subtotal
+    // combinations of (region, priority) in one Expand + one hash
+    // aggregate pass over the join output.
+    "q94_cube_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .join(orderRegion(s, d).select("o_orderkey", "region_name"), Seq("o_orderkey"))
+        .cube(col("region_name"), col("o_orderpriority"))
+        .agg(sumMoney(col("o_totalprice")).as("total"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region_name").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)),
+
+    // z-score outlier report per region: count of orders more than 3
+    // standard deviations from the regional mean price. TWO-PHASE with
+    // exact moments: S = Σx and Q = Σx² accumulate as DECIMAL (order-
+    // independent), the per-region stats frame (5 rows) broadcasts back
+    // onto the fact, and the 3σ test compares (x−μ)² > 9σ² in doubles
+    // DERIVED identically on both engines from the exact moments — no
+    // engine-native stddev (accumulation-order-dependent) anywhere.
+    "q96_price_outliers" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(orderRegion(s, d).select("o_orderkey", "region_name"), Seq("o_orderkey"))
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      val stats = base.groupBy("region_name")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s"),
+          sum(dec * dec).cast("double").as("q"))
+        .select(col("region_name"), col("n"),
+          (col("s") / col("n")).as("mu"),
+          (col("q") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+            .as("var"))
+      base.join(broadcast(stats), Seq("region_name"))
+        .groupBy(col("region_name"), col("n"), round(col("mu"), 4).as("mean_r"))
+        .agg(sum(when((col("o_totalprice") - col("mu")) * (col("o_totalprice") - col("mu"))
+          > lit(9.0) * col("var"), 1L).otherwise(0L)).as("n_outliers"))
+        .select("region_name", "n", "mean_r", "n_outliers")
+        .orderBy("region_name")
+    }),
+
     // UNPIVOT (melt) — the inverse of q48's pivot, and the operator a
     // BI export needs to come back into the engine: a wide per-region
     // quarterly revenue cross-tab (one Expand-free pivot with an
@@ -356,6 +399,43 @@ object AnalyticsExtras {
         |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
         |)
         |ORDER BY bucket""".stripMargin,
+
+    "q94_cube_revenue" ->
+      s"""WITH order_region AS (
+         |  SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority, r.r_name AS region_name
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |)
+         |SELECT region_name, o_orderpriority,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       COUNT(*) AS n_orders,
+         |       CAST(GROUPING(region_name) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+         |FROM order_region
+         |GROUP BY CUBE(region_name, o_orderpriority)
+         |ORDER BY gid, region_name ASC NULLS LAST, o_orderpriority ASC NULLS LAST""".stripMargin,
+
+    "q96_price_outliers" ->
+      s"""$OrdersRegionCte
+         |, stats AS (
+         |  SELECT region_name, COUNT(*) AS n,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+         |                   * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS q
+         |  FROM order_region
+         |  GROUP BY region_name
+         |), derived AS (
+         |  SELECT region_name, n, s / n AS mu,
+         |         q / n - (s / n) * (s / n) AS var
+         |  FROM stats
+         |)
+         |SELECT o.region_name, d.n, ROUND(d.mu, 4) AS mean_r,
+         |       CAST(SUM(CASE WHEN (o.o_totalprice - d.mu) * (o.o_totalprice - d.mu)
+         |                          > 9.0 * d.var THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM order_region o JOIN derived d USING (region_name)
+         |GROUP BY o.region_name, d.n, ROUND(d.mu, 4)
+         |ORDER BY o.region_name""".stripMargin,
 
     "q91_unpivot_quarters" ->
       s"""$OrdersRegionCte

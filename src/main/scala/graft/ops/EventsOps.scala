@@ -116,6 +116,38 @@ object EventsOps {
     // semi-structured column: from_json with an explicit schema, typed
     // field extraction (the props column is the JSON-ish payload a real
     // event stream carries)
+    // Conversion funnel (first-touch, strictly ordered): view → click →
+    // purchase per user, counted as users whose FIRST click follows
+    // their first view and whose first purchase follows that click.
+    // ONE scan + one shuffle on user_id: conditional min() pivots the
+    // three stage timestamps out per user, the stage test is a narrow
+    // row predicate, and the final aggregate is 3 counts. The funnel a
+    // product-analytics layer computes with 3 self-joins collapses into
+    // a conditional-aggregation pass — the self-join form would shuffle
+    // events three times.
+    "q95_funnel" -> ((s, d) => {
+      import s.implicits._
+      val us = unix_micros(col("ts"))
+      val stages = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", us)).as("v"),
+          min(when(col("event_type") === "click", us)).as("c"),
+          min(when(col("event_type") === "purchase", us)).as("p"))
+        .select(col("user_id"), col("v").isNotNull.as("s1"),
+          (col("v").isNotNull && col("c") > col("v")).as("s2"),
+          (col("v").isNotNull && col("c") > col("v") && col("p") > col("c")).as("s3"))
+      val counts = stages.agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("1_view"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("2_view_click"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("3_view_click_purchase"))
+      counts.unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("`1_view`"), col("`2_view_click`"),
+            col("`3_view_click_purchase`")),
+          "stage", "n_users")
+        .orderBy("stage")
+    }),
+
     "q41_parse_json" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("j", from_json(col("props"),
@@ -222,6 +254,29 @@ object EventsOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q95_funnel" ->
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage,
+        |         CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS n_users
+        |  FROM stages
+        |  UNION ALL
+        |  SELECT '2_view_click',
+        |         CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND c > v) AS BIGINT)
+        |  FROM stages
+        |  UNION ALL
+        |  SELECT '3_view_click_purchase',
+        |         CAST(COUNT(*) FILTER (WHERE v IS NOT NULL AND c > v AND p > c) AS BIGINT)
+        |  FROM stages
+        |)
+        |ORDER BY stage""".stripMargin,
+
     "q46_asof_custom_op" -> AsOfOracle,
     "q75_asof_merge_op" -> AsOfOracle,
     "q45_asof_last_order" ->

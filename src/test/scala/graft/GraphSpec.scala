@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q93 PageRank: mass conservation, a driver-side reference replay on
+  * the real graph, and a hand-computable fixture.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q93 conserves rank mass and matches a driver-side replay") {
+    val edges = ops.SimilaritySearch.graphQueries("q90_knn_graph_lsh")(spark, sf)
+      .select(col("vec_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0))
+    val got = SparkEntry.queries("q93_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == nodes.length)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, // rounded to 6 digits per row
+      s"rank mass ${got.values.sum} != 1")
+    // reference replay: same algorithm, scalar loop
+    val n = nodes.length
+    val out = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val incoming = edges.groupBy(_._2)
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to ops.GraphOps.Iters) {
+      val dangling = nodes.filter(v => !out.contains(v)).map(rank).sum
+      val base = (1 - ops.GraphOps.Damping) / n +
+        ops.GraphOps.Damping * dangling / n
+      rank = nodes.map { v =>
+        val inflow = incoming.getOrElse(v, Array.empty)
+          .map { case (s, _) => rank(s) / out(s) }.sum
+        v -> (base + ops.GraphOps.Damping * inflow)
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-5,
+        s"node $v: engine ${got(v)} vs reference ${rank(v)}")
+    }
+    // the graph is non-trivial: ranks must actually differ across nodes
+    assert(got.values.toSet.size > 10, "degenerate uniform ranks")
+  }
+
+  test("pageRank is exact on a hand-computed 3-node fixture") {
+    import spark.implicits._
+    // A -> B, B -> A, C dangling. Symmetry of A/B + C's uniform leak
+    // means rank(A) == rank(B) at every iteration.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r = ops.GraphOps.pageRank(edges, nodes, iters = 50)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    assert(math.abs(r(1L) - r(2L)) < 1e-12)
+    // fixpoint: rC = (1-d)/3 + d*rC/3  =>  rC = (1-d)/(3-d)
+    val rc = (1 - ops.GraphOps.Damping) / (3 - ops.GraphOps.Damping)
+    assert(math.abs(r(3L) - rc) < 1e-9, s"rank(C)=${r(3L)} expected $rc")
+  }
+}
