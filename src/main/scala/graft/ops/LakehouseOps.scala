@@ -89,20 +89,34 @@ object LakehouseOps {
         count(lit(1)).as("n_orders"))
   }
 
-  /** Merge two gold partials: full-outer on the grain, add the algebraic
-    * measures. DECIMAL + DECIMAL stays exact; the double cast happens
-    * once, at presentation.
+  /** Additive merge of two partial-aggregate frames sharing a grain:
+    * full-outer on `keys`, measure columns coalesce-added. Types come
+    * from the stored side, and the result is cast BACK to them so the
+    * stored schema never drifts across merges (decimal addition widens
+    * precision by one per merge otherwise); ANSI mode turns a true
+    * overflow into a loud error, not a silent wrap. Exact for DECIMAL
+    * and integral measures — the algebraic-aggregate property that
+    * makes incremental view maintenance equal the full recompute.
     */
-  private[graft] def mergeGold(stored: DataFrame, batch: DataFrame): DataFrame = {
-    val zero = lit(0).cast("decimal(18,2)")
-    stored.as("a").join(batch.as("b"),
-        Seq("region_name", "year", "month"), "full_outer")
-      .select(col("region_name"), col("year"), col("month"),
-        (coalesce(col("a.revenue"), zero) + coalesce(col("b.revenue"), zero))
-          .cast("double").as("revenue"),
-        (coalesce(col("a.n_orders"), lit(0L)) +
-          coalesce(col("b.n_orders"), lit(0L))).as("n_orders"))
+  private[graft] def mergeAdditive(stored: DataFrame, batch: DataFrame,
+                                   keys: Seq[String],
+                                   measures: Seq[String]): DataFrame = {
+    val types = measures.map(m => m -> stored.schema(m).dataType).toMap
+    stored.as("a").join(batch.as("b"), keys, "full_outer")
+      .select(keys.map(col) ++ measures.map { m =>
+        val zero = lit(0).cast(types(m))
+        (coalesce(col(s"a.$m"), zero) + coalesce(col(s"b.$m"), zero))
+          .cast(types(m)).as(m)
+      }: _*)
   }
+
+  /** q87's merge: additive on the monthly grain, then ONE presentation
+    * cast to double.
+    */
+  private[graft] def mergeGold(stored: DataFrame, batch: DataFrame): DataFrame =
+    mergeAdditive(stored, batch, Seq("region_name", "year", "month"),
+      Seq("revenue", "n_orders"))
+      .withColumn("revenue", col("revenue").cast("double"))
 
   /** One-pass full recompute of the q87 gold — the differential twin
     * LakehouseSpec compares the incremental merge against.

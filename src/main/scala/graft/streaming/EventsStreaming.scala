@@ -250,6 +250,44 @@ object EventsStreaming {
       .start()
   }
 
+  /** STATELESS incremental gold maintenance — the streaming form of
+    * q87's merge discipline. Unlike [[upsertHourlyFact]] (Update-mode
+    * streaming aggregation whose state store holds every running total),
+    * this keeps NO streaming state at all: each micro-batch is
+    * aggregated as a plain batch frame and ADDED into the stored gold
+    * (full-outer coalesce-add, DECIMAL-exact — LakehouseOps
+    * .mergeAdditive), so after any number of batches the gold equals
+    * the full recompute bit-for-bit (StreamingSpec pins it). The
+    * trade-off pair: upsert-with-state supports corrections/late data
+    * within the watermark; additive-stateless assumes an append-only
+    * source and in exchange scales to any key cardinality — executor
+    * state is zero, the gold table itself is the state.
+    */
+  def incrementalDailyGold(s: SparkSession, events: DataFrame,
+                           goldDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partial = batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          // sum over decimal(18,2) widens to (28,2); pin the gold
+          // schema back to its declared grain (ANSI: overflow = error)
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("revenue"),
+            count(lit(1)).as("n_events"))
+        val dst = new java.io.File(goldDir)
+        recoverLive(dst)
+        val merged =
+          if (dst.exists())
+            graft.ops.LakehouseOps.mergeAdditive(s.read.parquet(goldDir),
+              partial, Seq("day", "event_type"), Seq("revenue", "n_events"))
+          else partial.toDF()
+        val tmpDir = new java.io.File(goldDir + ".tmp")
+        merged.write.mode("overwrite").parquet(tmpDir.getPath)
+        commitSwap(tmpDir, dst)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Crash-safe publish of a staged directory: live → .old, tmp → live,
     * delete .old. Every rename result is CHECKED; a failure at any step
     * leaves either the previous or the new data intact and readable —

@@ -337,4 +337,32 @@ class StreamingSpec extends AnyFunSuite {
     val latest = res.groupBy("user_id").agg(max("n_events").as("n_events"))
     assert(latest.exceptAll(batch).isEmpty && batch.exceptAll(latest).isEmpty)
   }
+
+  test("stateless incremental gold converges to the batch recompute across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import scala.reflect.io.Directory
+    val root = "/tmp/graft_stream/inc_gold"
+    new Directory(new java.io.File(root)).deleteRecursively()
+    // 4 source files -> maxFilesPerTrigger=1 forces 4 separate additive
+    // merges; the final gold must still equal the one-shot recompute
+    val src = s"$root/src"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartition(4).write.parquet(src)
+    val goldDir = s"$root/gold"
+    val q = EventsStreaming.incrementalDailyGold(spark,
+      EventsStreaming.readEvents(spark, src, maxFilesPerTrigger = Some(1)), goldDir)
+    q.awaitTermination()
+    val got = spark.read.parquet(goldDir)
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_events"))
+    assert(got.count() == want.count())
+    assert(got.except(want).count() == 0, "incremental gold diverged from recompute")
+    assert(want.except(got).count() == 0)
+    // the stored schema did not drift: revenue is still DECIMAL(18,2)
+    assert(got.schema("revenue").dataType.simpleString == "decimal(18,2)",
+      got.schema.treeString)
+  }
 }
