@@ -138,4 +138,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("Sort") && !plan.toLowerCase.contains("global sort"))
     assert(df.count() == 1000)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's runtime-filter injection (on by default) plants a bloom
+    // filter built from the dim side's join keys onto the fact scan —
+    // the exchange-level analog of predicate pushdown, worth its cost
+    // only when the fact scan is huge, hence the 10 GB default
+    // application-side threshold. Pin the machinery at test scale by
+    // lowering the thresholds; results must be identical with and
+    // without the filter (it is pruning-only, never semantic).
+    val s = spark
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val d = "/root/testdata/sf0.001"
+      def joined = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$plan")
+      val withBloom = joined.collect().head
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      val without = joined.collect().head
+      assert(withBloom == without, "bloom filter changed results")
+    } finally
+      saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
 }
