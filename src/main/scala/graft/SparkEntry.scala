@@ -53,5 +53,6 @@ object SparkEntry {
       ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
       ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
       ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly ++
-      ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly
+      ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly ++
+      ops.CorpusReports.rowsOnly
 }

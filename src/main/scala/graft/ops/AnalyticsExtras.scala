@@ -167,6 +167,27 @@ object AnalyticsExtras {
         .orderBy("bucket")
     }),
 
+    // Rolling 7-day distinct users per day — the DAU/WAU-style report.
+    // NOT a window function (COUNT(DISTINCT … ) OVER a range frame
+    // isn't supported, and buffering each window's user set would be):
+    // each (day, user) presence row projects itself onto its 7 target
+    // days (narrow explode), a broadcast semi-join restricts targets to
+    // observed days (the calendar side is tiny at any scale), and ONE
+    // distinct-count aggregate finishes. The mergeable-sketch twin at
+    // 100 TB is q61 (per-day HLL union over any range, no re-scan);
+    // this is its exact anchor.
+    "q97_rolling_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("target_day")).distinct()
+      du.select(explode(expr("sequence(day, date_add(day, 6))")).as("target_day"),
+          col("user_id"))
+        .join(broadcast(days), Seq("target_day"), "left_semi")
+        .groupBy(col("target_day").as("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .orderBy("day")
+    }),
+
     // CUBE completes the grouped-subtotal family (q37 ROLLUP = prefix
     // family, q63 GROUPING SETS = hand-picked slices): all 4 subtotal
     // combinations of (region, priority) in one Expand + one hash
@@ -399,6 +420,17 @@ object AnalyticsExtras {
         |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
         |)
         |ORDER BY bucket""".stripMargin,
+
+    "q97_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM du
+        |)
+        |SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS users_7d
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day
+        |ORDER BY day""".stripMargin,
 
     "q94_cube_revenue" ->
       s"""WITH order_region AS (

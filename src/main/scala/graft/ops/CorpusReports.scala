@@ -113,6 +113,35 @@ object CorpusReports {
         .orderBy("lang", "decile")
     }),
 
+    // The 100 TB form of q86: decile boundaries from ONE
+    // approx_percentile pass (GK sketch — memory set by accuracy, not
+    // cardinality), broadcast back, each doc bucketed by a narrow
+    // array-scan predicate. No per-language total order anywhere. The
+    // window form (q86) is the exact anchor; CorpusReportsSpec gates
+    // population balance and boundary agreement between the two.
+    // Rows-only: GK merge order isn't portable SQL.
+    "q98_quality_deciles_approx" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val cuts = scored.groupBy("lang")
+        .agg(expr("approx_percentile(quality, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("cuts"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        // ascending bucket = 1 + #cuts strictly below, flipped so
+        // decile 1 is the TOP decile (q86's orientation)
+        .withColumn("decile",
+          (lit(10) - size(filter(col("cuts"), c => col("quality") > c)))
+            .cast("int"))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"),
+          (sum(col("n_tokens")) / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang", "decile")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis): per
     // language, the SampleK docs maximizing u^(1/w) — equivalently
     // ln(u)/w — with u hash-uniform and w = n_chars, so long docs are
@@ -265,5 +294,5 @@ object CorpusReports {
         |ORDER BY lang, rank""".stripMargin
   )
 
-  val rowsOnly: Set[String] = Set.empty
+  val rowsOnly: Set[String] = Set("q98_quality_deciles_approx")
 }

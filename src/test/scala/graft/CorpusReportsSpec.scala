@@ -74,4 +74,26 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(sampleMean >= corpusMean * 0.9,
       s"weighted sample mean $sampleMean far below corpus mean $corpusMean")
   }
+
+  test("q98 approx deciles agree with the exact window deciles (q86)") {
+    val exact = SparkEntry.queries("q86_quality_deciles")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("q98_quality_deciles_approx")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // same languages; per language the approx populations must cover
+    // all docs and each decile must hold a sane share (GK boundaries
+    // wobble, but a broken bucketing collapses to a few buckets)
+    val langs = exact.keySet.map(_._1)
+    assert(approx.keySet.map(_._1) == langs)
+    langs.foreach { lang =>
+      val total = exact.filter(_._1._1 == lang).values.sum
+      val ap = approx.filter(_._1._1 == lang)
+      assert(ap.values.sum == total, s"$lang: approx deciles lost docs")
+      assert(ap.size >= 8, s"$lang: only ${ap.size} non-empty approx deciles")
+      ap.foreach { case ((_, dec), n) =>
+        assert(n <= total * 3 / 10 + 1,
+          s"$lang decile $dec holds $n of $total docs - degenerate boundaries")
+      }
+    }
+  }
 }
