@@ -25,33 +25,44 @@ object LakehouseOps {
     // custkey — the run aggregate groups on (custkey, version) and the
     // lead window re-partitions on custkey, both satisfied by the lag
     // window's hash partitioning, so all four steps share one exchange.
-    "q80_scd2_history" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
-      val ordered = Tables.orders(s, d).select(
+    "q80_scd2_history" -> ((s, d) =>
+      scd2Runs(Tables.orders(s, d).select(
+        col("o_custkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_orderkey"),
+        col("o_orderpriority").as("priority")))
+        .orderBy("custkey", "version")),
+
+    // Incremental SCD2 maintenance — the production path for q80's
+    // history once the fact is too large to rescan: a new batch of
+    // orders reworks ONLY the customers it touches (their full order
+    // history re-runs the run-length encoding — key-granular
+    // recomputation), while every untouched customer's history rows
+    // pass through verbatim from the stored table (here: the
+    // pre-cutoff build standing in for the stored history, as in q87).
+    // The splice equals the full rebuild exactly — the oracle IS q80's
+    // full-history SQL — because SCD2 history is per-customer
+    // independent: a batch for customer A can never change customer
+    // B's intervals. Scale shape: the anti/semi splits broadcast the
+    // touched-customer id set (batch-sized, small by definition), so
+    // the stored side never shuffles.
+    "q99_scd2_incremental" -> ((s, d) => {
+      val cutoff = lit("2001-01-01").cast("date")
+      val all = Tables.orders(s, d).select(
         col("o_custkey"),
         to_date(col("o_orderdate")).as("odate"),
         col("o_orderkey"),
         col("o_orderpriority").as("priority"))
-      val runs = ordered
-        .withColumn("prev_p", lag(col("priority"), 1).over(w))
-        .withColumn("chg",
-          when(col("prev_p").isNull || col("prev_p") =!= col("priority"), 1)
-            .otherwise(0))
-        .withColumn("version",
-          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("int"))
-        .groupBy(col("o_custkey").as("custkey"), col("version"))
-        // priority is constant within a run by construction (any change
-        // starts a new version), so max() is just the run's value
-        .agg(max(col("priority")).as("priority"),
-          min(col("odate")).as("valid_from"),
-          count(lit(1)).as("n_orders"))
-      val byVersion = Window.partitionBy("custkey").orderBy("version")
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select("custkey", "version", "priority", "valid_from", "valid_to",
-          "n_orders", "is_current")
+      val touched = all.filter(col("odate") >= cutoff)
+        .select(col("o_custkey")).distinct()
+      // stored history (pre-cutoff build), minus touched customers
+      val untouched = scd2Runs(all.filter(col("odate") < cutoff))
+        .join(broadcast(touched), col("custkey") === touched("o_custkey"),
+          "left_anti")
+      // touched customers: recompute from their own full order history
+      val reworked = scd2Runs(
+        all.join(broadcast(touched), Seq("o_custkey"), "left_semi"))
+      untouched.unionByName(reworked)
         .orderBy("custkey", "version")
     }),
 
@@ -73,6 +84,36 @@ object LakehouseOps {
         .orderBy("region_name", "year", "month")
     })
   )
+
+  /** Run-length encode (o_custkey | odate, o_orderkey, priority) rows
+    * into SCD2 intervals. All four steps — lag, running change count,
+    * (custkey, version) run aggregate, interval-closing lead — hash-
+    * partition on custkey alone, so Catalyst plans ONE exchange for the
+    * chain (pinned in LakehouseSpec).
+    */
+  private[graft] def scd2Runs(ordered: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    val runs = ordered
+      .withColumn("prev_p", lag(col("priority"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_p").isNull || col("prev_p") =!= col("priority"), 1)
+          .otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy(col("o_custkey").as("custkey"), col("version"))
+      // priority is constant within a run by construction (any change
+      // starts a new version), so max() is just the run's value
+      .agg(max(col("priority")).as("priority"),
+        min(col("odate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val byVersion = Window.partitionBy("custkey").orderBy("version")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("custkey", "version", "priority", "valid_from", "valid_to",
+        "n_orders", "is_current")
+  }
 
   /** Monthly gold partial over the orders slice matching `pred`:
     * (region, year, month) | exact DECIMAL revenue + order count. The
@@ -126,9 +167,12 @@ object LakehouseOps {
       .select(col("region_name"), col("year"), col("month"),
         col("revenue").cast("double").as("revenue"), col("n_orders"))
 
-  val oracleSql: Map[String, String] = Map(
-    "q80_scd2_history" ->
-      """WITH ordered AS (
+  /** The full SCD2 rebuild in SQL — the oracle for BOTH q80 (direct
+    * build) and q99 (incremental splice): the two must agree row for
+    * row, which is the whole correctness claim of the incremental path.
+    */
+  private val Scd2Sql =
+    """WITH ordered AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderkey,
         |         o_orderpriority AS priority
         |  FROM orders
@@ -155,7 +199,11 @@ object LakehouseOps {
         |       LEAD(valid_from) OVER w IS NULL AS is_current
         |FROM runs
         |WINDOW w AS (PARTITION BY custkey ORDER BY version)
-        |ORDER BY custkey, version""".stripMargin,
+        |ORDER BY custkey, version""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q80_scd2_history" -> Scd2Sql,
+    "q99_scd2_incremental" -> Scd2Sql,
 
     // the oracle is the FULL recompute — the merge must equal it exactly
     "q87_incremental_gold" ->

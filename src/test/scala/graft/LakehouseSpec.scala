@@ -87,4 +87,22 @@ class LakehouseSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), s"no pushed filters:\n$p")
     assert(p.contains("o_orderdate"), s"cutoff not visible at the scan:\n$p")
   }
+
+  test("q99 incremental SCD2 splice equals the full rebuild (q80)") {
+    val full = SparkEntry.queries("q80_scd2_history")(spark, sf)
+    val inc = SparkEntry.queries("q99_scd2_incremental")(spark, sf)
+    assert(inc.count() == full.count())
+    assert(inc.except(full).count() == 0)
+    assert(full.except(inc).count() == 0)
+    // the batch actually touches some customers AND leaves some alone,
+    // or the splice proves nothing
+    import org.apache.spark.sql.functions._
+    val touched = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) >= lit("2001-01-01").cast("date"))
+      .select("o_custkey").distinct().count()
+    val allCusts = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(touched > 0 && touched < allCusts,
+      s"degenerate split: $touched of $allCusts customers touched")
+  }
 }
