@@ -213,4 +213,18 @@ class PlanSpec extends AnyFunSuite {
     // the pruned scan must read strictly fewer files than the full scan
     assert(filtered.count() > 0)
   }
+
+  test("q95 funnel is one scan + one shuffle (conditional mins, no self-joins)") {
+    val p = plan("q95_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"funnel should shuffle once on user_id, got $exchanges:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"funnel should scan events once, got $scans:\n$p")
+  }
+
+  test("q97 rolling distinct plans the calendar side broadcast, never a range BNLJ") {
+    val p = plan("q97_rolling_distinct")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range BNLJ in rolling distinct:\n$p")
+  }
 }
