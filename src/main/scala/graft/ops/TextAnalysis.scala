@@ -138,6 +138,36 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // CAPSTONE: the manifest a training run starts from, composing the
+    // pipeline end to end — q50's curation verdicts pick the keep set,
+    // q54's hash rule assigns splits, q83's chunk geometry prices each
+    // doc in context windows — reported per (split, lang) with doc,
+    // token, and chunk budgets. Every stage is the deterministic narrow
+    // form proven by its own query; the composition adds ONE extra
+    // join (keep set ⋈ token counts) and a tiny aggregate.
+    "q100_training_manifest" -> ((s, d) => {
+      val kept = exactVerdicts(s, d)
+        .filter(col("verdict") === "keep")
+        .select("doc_id", "lang")
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      kept.join(meta, Seq("doc_id"))
+        .withColumn("split",
+          when(h.isin("c", "d"), "validation")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train"))
+        // q83 geometry: stride-24 starts over n_tokens (>= 1 always —
+        // an empty text still tokenizes to [""])
+        .withColumn("n_chunks", expr("(n_tokens - 1) div 24 + 1"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chunks")).as("total_chunks"))
+        .orderBy("split", "lang")
+    }),
+
     // the same curation cascade with NO exact-digest anchor: duplicates
     // come from the sub-quadratic MinHash+LSH pair graph fed through
     // connected components (q49's machinery), so near-duplicates — not
@@ -337,7 +367,41 @@ object TextAnalysis {
          |)
          |SELECT lang, verdict, COUNT(*) AS n_docs,
          |       CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE) AS sum_quality
-         |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin
+         |FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
+
+    "q100_training_manifest" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS w,
+         |         $langScoreSql
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, md5(text) AS digest,
+         |         $QualitySql AS quality,
+         |         $PredictedSql AS predicted
+         |  FROM base
+         |), canon AS (
+         |  SELECT digest, MIN(doc_id) AS canon_id FROM scored GROUP BY digest
+         |), kept AS (
+         |  SELECT s.doc_id, s.lang
+         |  FROM scored s JOIN canon c ON s.digest = c.digest
+         |  WHERE s.doc_id = c.canon_id AND s.quality >= 0.5 AND s.predicted = s.lang
+         |), meta AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), manifest AS (
+         |  SELECT k.lang, m.n_tokens, (m.n_tokens - 1) // 24 + 1 AS n_chunks,
+         |         CASE WHEN substr(md5(k.doc_id::VARCHAR), 1, 1) IN ('c','d') THEN 'validation'
+         |              WHEN substr(md5(k.doc_id::VARCHAR), 1, 1) IN ('e','f') THEN 'test'
+         |              ELSE 'train' END AS split
+         |  FROM kept k JOIN meta m USING (doc_id)
+         |)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+         |FROM manifest
+         |GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
   )
 
   /** Hash-based ops with no portable SQL equivalent (q52's LSH canon
