@@ -54,5 +54,7 @@ object SparkEntry {
       ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
       ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly ++
       ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly ++
-      ops.CorpusReports.rowsOnly
+      ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
+      ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
+      sources.Layout.rowsOnly
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.ops.StarSchema.orderRegion
 
 /** Warehouse-lifecycle operators beyond the reference's one-shot load
   * (`SQL/02_load_star_schema.sql` rebuilds dims in full each run): SCD
@@ -117,14 +116,25 @@ object LakehouseOps {
 
   /** Monthly gold partial over the orders slice matching `pred`:
     * (region, year, month) | exact DECIMAL revenue + order count. The
-    * predicate reaches the parquet scan (pushed filter on o_orderdate).
+    * predicate reaches the parquet scan (pushed filter on o_orderdate),
+    * and the region enrichment joins the DIMS onto the filtered slice
+    * directly (customer on custkey, nation/region broadcast) — NOT
+    * through `orderRegion`, whose internal unfiltered orders scan would
+    * make the "incremental" batch pay a full fact scan anyway.
     */
   private[graft] def goldMonthly(s: SparkSession, d: String,
                                  pred: Column): DataFrame = {
     val o = Tables.orders(s, d)
       .filter(pred)
-      .select(col("o_orderkey"), col("o_totalprice"))
-    o.join(orderRegion(s, d), Seq("o_orderkey"))
+      .select(col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name").as("region_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("region_name", "year", "month")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
         count(lit(1)).as("n_orders"))

@@ -19,8 +19,20 @@ object Sampling {
     * compared lexicographically (fixed-length lowercase hex, so string
     * order IS numeric order).
     */
-  private def hexPrefix(id: Column, n: Int): Column =
+  private[graft] def hexPrefix(id: Column, n: Int): Column =
     substring(md5(id.cast("string").cast("binary")), 1, n)
+
+  /** THE split rule — q54's assignment, shared by every query that
+    * composes with the split (q66's decontamination target, q100's
+    * manifest) so a retuned rule can never diverge between them:
+    * 12/16 train, 2/16 validation, 2/16 test on the first md5 hex char.
+    */
+  private[graft] def splitOf(id: Column): Column = {
+    val h = hexPrefix(id, 1)
+    when(h.isin("c", "d"), "validation")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // train/validation/test split on the first md5 hex char of doc_id:
@@ -28,12 +40,8 @@ object Sampling {
     // prove the split is language-independent (hash uniformity), the
     // aggregate is 3 x |langs| rows — the only shuffle is tiny.
     "q54_train_split" -> ((s, d) => {
-      val h = hexPrefix(col("doc_id"), 1)
       Tables.documents(s, d)
-        .withColumn("split",
-          when(h.isin("c", "d"), "validation")
-            .when(h.isin("e", "f"), "test")
-            .otherwise("train"))
+        .withColumn("split", splitOf(col("doc_id")))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))

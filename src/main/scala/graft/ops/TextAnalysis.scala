@@ -152,12 +152,8 @@ object TextAnalysis {
       val meta = Tables.documents(s, d)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens"))
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       kept.join(meta, Seq("doc_id"))
-        .withColumn("split",
-          when(h.isin("c", "d"), "validation")
-            .when(h.isin("e", "f"), "test")
-            .otherwise("train"))
+        .withColumn("split", Sampling.splitOf(col("doc_id")))
         // q83 geometry: stride-24 starts over n_tokens (>= 1 always —
         // an empty text still tokenizes to [""])
         .withColumn("n_chunks", expr("(n_tokens - 1) div 24 + 1"))

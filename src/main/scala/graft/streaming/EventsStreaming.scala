@@ -257,36 +257,62 @@ object EventsStreaming {
     * aggregated as a plain batch frame and ADDED into the stored gold
     * (full-outer coalesce-add, DECIMAL-exact — LakehouseOps
     * .mergeAdditive), so after any number of batches the gold equals
-    * the full recompute bit-for-bit (StreamingSpec pins it). The
-    * trade-off pair: upsert-with-state supports corrections/late data
-    * within the watermark; additive-stateless assumes an append-only
-    * source and in exchange scales to any key cardinality — executor
-    * state is zero, the gold table itself is the state.
+    * the full recompute bit-for-bit (StreamingSpec pins it, including
+    * a full-replay re-run: a batch-id ledger committed atomically with
+    * the data makes the at-least-once foreachBatch merge idempotent).
+    * The trade-off pair: upsert-with-state supports corrections/late
+    * data within the watermark; additive-stateless assumes an
+    * append-only source and in exchange scales to any key cardinality
+    * — executor state is zero, the gold table itself is the state.
     */
   def incrementalDailyGold(s: SparkSession, events: DataFrame,
                            goldDir: String): StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val partial = batch
-          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          // sum over decimal(18,2) widens to (28,2); pin the gold
-          // schema back to its declared grain (ANSI: overflow = error)
-          .agg(sum(col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("revenue"),
-            count(lit(1)).as("n_events"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val dst = new java.io.File(goldDir)
         recoverLive(dst)
-        val merged =
-          if (dst.exists())
-            graft.ops.LakehouseOps.mergeAdditive(s.read.parquet(goldDir),
-              partial, Seq("day", "event_type"), Seq("revenue", "n_events"))
-          else partial.toDF()
-        val tmpDir = new java.io.File(goldDir + ".tmp")
-        merged.write.mode("overwrite").parquet(tmpDir.getPath)
-        commitSwap(tmpDir, dst)
+        // an additive merge is NOT naturally idempotent (re-adding a
+        // replayed batch double-counts — unlike the key-replacing
+        // upsert twin), and foreachBatch is at-least-once. The merged
+        // batch-id ledger lives INSIDE the swapped directory, so data
+        // and ledger commit atomically: a replay of an already-merged
+        // batchId is a no-op, a crash before the swap replays into the
+        // previous consistent state.
+        val ledger = new java.io.File(dst, MergedBatchLedger)
+        import scala.jdk.CollectionConverters._
+        val seen: Set[Long] =
+          if (ledger.exists())
+            java.nio.file.Files.readAllLines(ledger.toPath).asScala
+              .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+          else Set.empty
+        if (!seen.contains(batchId)) {
+          val partial = batch
+            .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+            // sum over decimal(18,2) widens to (28,2); pin the gold
+            // schema back to its declared grain (ANSI: overflow = error)
+            .agg(sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("revenue"),
+              count(lit(1)).as("n_events"))
+          val merged =
+            if (dst.exists())
+              graft.ops.LakehouseOps.mergeAdditive(s.read.parquet(goldDir),
+                partial, Seq("day", "event_type"), Seq("revenue", "n_events"))
+            else partial.toDF()
+          val tmpDir = new java.io.File(goldDir + ".tmp")
+          merged.write.mode("overwrite").parquet(tmpDir.getPath)
+          java.nio.file.Files.write(
+            new java.io.File(tmpDir, MergedBatchLedger).toPath,
+            (seen + batchId).toSeq.sorted.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          commitSwap(tmpDir, dst)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Batch-id ledger filename inside the gold dir (underscore-prefixed:
+    * parquet readers ignore it as a hidden sibling). */
+  val MergedBatchLedger = "_merged_batches"
 
   /** Crash-safe publish of a staged directory: live → .old, tmp → live,
     * delete .old. Every rename result is CHECKED; a failure at any step

@@ -364,5 +364,15 @@ class StreamingSpec extends AnyFunSuite {
     // the stored schema did not drift: revenue is still DECIMAL(18,2)
     assert(got.schema("revenue").dataType.simpleString == "decimal(18,2)",
       got.schema.treeString)
+    // REPLAY idempotence: a fresh stream over the same source reruns
+    // batches 0..3 (at-least-once delivery in miniature); the batch-id
+    // ledger must turn every replayed merge into a no-op instead of
+    // double-counting the additive measures
+    val q2 = EventsStreaming.incrementalDailyGold(spark,
+      EventsStreaming.readEvents(spark, src, maxFilesPerTrigger = Some(1)), goldDir)
+    q2.awaitTermination()
+    val replayed = spark.read.parquet(goldDir)
+    assert(replayed.except(want).count() == 0 && want.except(replayed).count() == 0,
+      "replayed batches were double-counted")
   }
 }
