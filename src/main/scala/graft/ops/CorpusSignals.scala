@@ -48,14 +48,12 @@ object CorpusSignals {
   /** q69 drops a doc whose distinct 5-grams are mostly boilerplate. */
   val BoilerplateFracGate = 0.5
 
-  /** First hex char of md5(doc_id) values that land a doc in the
-    * held-out test split — MUST stay in sync with q54's split
-    * (Sampling.queries), which q66/q69 decontaminate against.
+  /** Held-out-test membership — BY CONSTRUCTION the same rule q54
+    * assigns (Sampling.splitOf), which q66/q69/q74 decontaminate
+    * against: a retuned split can never diverge from the target here.
     */
-  private val TestHexChars = Seq("e", "f")
-
   private def isTestSplit(doc: Column): Column =
-    substring(md5(doc.cast("string").cast("binary")), 1, 1).isin(TestHexChars: _*)
+    Sampling.splitOf(doc) === "test"
 
   /** Fixed-width digest of a gram: the only thing q65/q66/q69 ever
     * shuffle or broadcast — md5 (not xxhash64) where the key itself
