@@ -105,4 +105,24 @@ class LakehouseSpec extends AnyFunSuite {
     assert(touched > 0 && touched < allCusts,
       s"degenerate split: $touched of $allCusts customers touched")
   }
+
+  test("mergeAdditive folds many partials to the full recompute with a stable schema") {
+    import org.apache.spark.sql.functions._
+    // split the fact 5 ways by key hash, merge the partials one at a
+    // time (the nightly-batch cadence) — equality must be exact and
+    // the measure types must not widen across merges
+    val partials = (0 until 5).map { i =>
+      ops.LakehouseOps.goldMonthly(spark, sf, pmod(col("o_orderkey"), lit(5)) === i)
+    }
+    val folded = partials.reduce { (acc, next) =>
+      ops.LakehouseOps.mergeAdditive(acc, next,
+        Seq("region_name", "year", "month"), Seq("revenue", "n_orders"))
+    }
+    val full = ops.LakehouseOps.goldMonthly(spark, sf, lit(true))
+    assert(folded.schema("revenue").dataType ==
+      partials.head.schema("revenue").dataType, "measure type drifted")
+    assert(folded.count() == full.count())
+    assert(folded.except(full).count() == 0)
+    assert(full.except(folded).count() == 0)
+  }
 }
