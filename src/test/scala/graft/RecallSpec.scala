@@ -147,7 +147,10 @@ class RecallSpec extends AnyFunSuite {
     val strong = exact.filter(_._2 >= 0.4).keySet
     assert(strong.nonEmpty)
     val rs = recall(lsh.keySet.map(identity), strong.map(identity))
-    assert(rs >= 0.7, s"q90 strong-edge (cos>=0.4) recall $rs")
+    // measured 0.78 on this draw with only ~120 strong edges — gate at
+    // 0.6 so a corpus regeneration can't flake the binomial tail while
+    // a broken generator (~0) still fails loudly
+    assert(rs >= 0.6, s"q90 strong-edge (cos>=0.4) recall $rs")
     // every LSH edge's cosine must equal the exact computation (the
     // re-rank is exact; only CANDIDACY is approximate) - check on the
     // edges both graphs share
