@@ -91,6 +91,32 @@ object EmbeddingOps {
     // canonical keep id per group. Rows-only (hash-derived hyperplanes
     // aren't portable SQL); EmbeddingGroupsSpec pins the refinement
     // property against the exact q29 pair graph and gates group recall.
+    // SEMANTIC decontamination — the third member of the triple
+    // (q66 verbatim grams, q74 paraphrase-fuzzy n-grams): train docs
+    // whose EMBEDDING sits too close to a held-out test doc leak
+    // meaning even when no grams match. Per train vector: max cosine
+    // to any test vector, flagged at the q29/q43 near-dup regime
+    // (cos ≥ 0.4). The plan is the scale-correct one OUTRIGHT, not an
+    // anchor: held-out sets are small by construction, so the test
+    // side broadcasts (q30's asymmetry) while the train corpus never
+    // leaves its partitions — one narrow pass at any corpus size.
+    // The split rule is q54's via Sampling.splitOf, so the target set
+    // can never diverge from the split it protects.
+    "q101_decontaminate_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          (Sampling.splitOf(col("vec_id")) === "test").as("is_test"))
+      val train = e.filter(!col("is_test")).select(col("vec_id"), col("v"))
+      val test = e.filter(col("is_test"))
+        .select(col("vec_id").as("t_id"), col("v").as("tv"))
+      train.crossJoin(broadcast(test))
+        .groupBy("vec_id")
+        .agg(max(cosine(col("v"), col("tv"))).as("max_cos"))
+        .select(col("vec_id"), round(col("max_cos"), 4).as("max_cos_r"),
+          (col("max_cos") >= 0.4).as("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     "q68_dedup_groups_embedding" -> ((s, d) => {
       // eager checkpoint, as in q47/q49: the pair graph is computed once;
       // the edge union and every propagation round read the materialized
@@ -107,6 +133,18 @@ object EmbeddingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q101_decontaminate_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         substr(md5(vec_id::VARCHAR), 1, 1) IN ('e', 'f') AS is_test
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id, ROUND(MAX(list_cosine_similarity(a.v, b.v)), 4) AS max_cos_r,
+        |       MAX(list_cosine_similarity(a.v, b.v)) >= 0.4 AS contaminated
+        |FROM e a JOIN e b ON NOT a.is_test AND b.is_test
+        |GROUP BY a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     "q77_matryoshka_eval" ->
       """WITH ranked AS (
         |  SELECT q.vec_id AS query_id, e.vec_id AS vid,

@@ -227,4 +227,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range BNLJ in rolling distinct:\n$p")
   }
+
+  test("q101 broadcasts the held-out test side; the train corpus is never cartesian-joined") {
+    val p = plan("q101_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"test side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian over the corpus:\n$p")
+  }
 }
