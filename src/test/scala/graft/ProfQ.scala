@@ -1,4 +1,11 @@
 import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness (test scope, not part of the driver contract):
+  * times any registered query 3× at sf0.1 under the bench session
+  * config, after the same warmup Bench uses. Usage:
+  *   sbt 'Test/runMain ProfQ q93_pagerank q89_knn_graph'
+  * Run 1 includes JIT/codegen warmup; read runs 2-3.
+  */
 object ProfQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
