@@ -250,6 +250,30 @@ object EventsStreaming {
       .start()
   }
 
+  /** Stream-STATIC join — the enrichment shape missing from the
+    * stream-stream family: each micro-batch joins the unbounded event
+    * stream against a bounded dimension (customer → nation → region,
+    * re-read per batch, so a dim update is visible to the next batch
+    * without restarting the query). No state store at all: the static
+    * side broadcasts, the stream stays append-mode row-per-row — the
+    * cheapest join Structured Streaming has, and the right one
+    * whenever one side is a dim.
+    */
+  def enrichWithRegion(s: SparkSession, events: DataFrame,
+                       dir: String): DataFrame = {
+    val c = graft.Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = graft.Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+    val r = graft.Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name").as("region_name"))
+    val dim = broadcast(c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("region_name")))
+    events.join(dim, events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("region_name"))
+  }
+
   /** STATELESS incremental gold maintenance — the streaming form of
     * q87's merge discipline. Unlike [[upsertHourlyFact]] (Update-mode
     * streaming aggregation whose state store holds every running total),

@@ -375,4 +375,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.except(want).count() == 0 && want.except(replayed).count() == 0,
       "replayed batches were double-counted")
   }
+
+  test("stream-static enrichment matches the batch dim join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.enrichWithRegion(spark, stream, sf), "enrich_test")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sf).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, sf)
+      .select(col("r_regionkey"), col("r_name").as("region_name"))
+    val dim = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("region_name"))
+    val ev = Tables.events(spark, sf)
+    val want = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("region_name"))
+    assert(got.count() > 0, "enrichment matched no events")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
