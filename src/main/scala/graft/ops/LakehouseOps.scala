@@ -129,12 +129,8 @@ object LakehouseOps {
       .select(col("o_custkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("year"),
         month(col("o_orderdate")).as("month"))
-    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-    val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
-    val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name").as("region_name"))
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val dim = StarSchema.custRegion(s, d)
+    o.join(dim, o("o_custkey") === dim("c_custkey"))
       .groupBy("region_name", "year", "month")
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
         count(lit(1)).as("n_orders"))

@@ -51,13 +51,25 @@ object StarSchema {
       col("o_orderkey"), col("o_custkey"),
       year(col("o_orderdate")).as("year"),
       month(col("o_orderdate")).as("month"))
+    o.join(custRegion(s, d), o("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("region_name"), col("year"), col("month"))
+  }
+
+  /** THE (c_custkey → region_name) dim chain — customer⋈nation⋈region
+    * with the tiny sides broadcast and customer (the dim that GROWS
+    * with scale factor) left to the planner: AQE broadcasts it when it
+    * fits, shuffle-joins it when it doesn't. Shared by every consumer
+    * (orderRegion, the incremental gold partials, streaming
+    * enrichment) so the derivation can never diverge between the batch
+    * and streaming paths.
+    */
+  def custRegion(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
     val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name").as("region_name"))
-    o.join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .select(col("o_orderkey"), col("region_name"), col("year"), col("month"))
+      .select(col("c_custkey"), col("region_name"))
   }
 
   /** The carbon-intensity-mart analog (`silver_to_gold.py:64-84`):

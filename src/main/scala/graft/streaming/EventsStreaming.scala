@@ -251,24 +251,21 @@ object EventsStreaming {
   }
 
   /** Stream-STATIC join — the enrichment shape missing from the
-    * stream-stream family: each micro-batch joins the unbounded event
-    * stream against a bounded dimension (customer → nation → region,
-    * re-read per batch, so a dim update is visible to the next batch
-    * without restarting the query). No state store at all: the static
-    * side broadcasts, the stream stays append-mode row-per-row — the
-    * cheapest join Structured Streaming has, and the right one
-    * whenever one side is a dim.
+    * stream-stream family: micro-batches of the unbounded event stream
+    * join the bounded customer→region dim. No state store at all: the
+    * planner broadcasts the dim when it fits (AQE-sized, not hinted —
+    * customer cardinality grows with scale factor, the repo's
+    * goldMonthly discipline) and the stream stays append-mode
+    * row-per-row. NOTE the static side's parquet file listing is
+    * snapshotted when the query STARTS — re-executed per batch, but
+    * over the frozen file set, so a dim rewrite needs a query restart
+    * (or a snapshot-resolving table format) to become visible. The dim
+    * derivation is the shared `StarSchema.custRegion`, so batch and
+    * streaming enrichment can never diverge.
     */
   def enrichWithRegion(s: SparkSession, events: DataFrame,
                        dir: String): DataFrame = {
-    val c = graft.Tables.customer(s, dir).select("c_custkey", "c_nationkey")
-    val n = graft.Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
-    val r = graft.Tables.region(s, dir)
-      .select(col("r_regionkey"), col("r_name").as("region_name"))
-    val dim = broadcast(c
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .select(col("c_custkey"), col("region_name")))
+    val dim = graft.ops.StarSchema.custRegion(s, dir)
     events.join(dim, events("user_id") === dim("c_custkey"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"), col("region_name"))
