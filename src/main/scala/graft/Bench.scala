@@ -74,11 +74,26 @@ object Bench {
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
-    // The harness that captures this output keeps only the LAST 2000
-    // characters; a 2.4 KB JSON line is unparseable forever (every
-    // BENCH_r*.json so far shows "parsed": null). Keep the line well
-    // under that window: per-query keys are the unique qNN prefix
-    // (full names in QUERIES.md), times rounded to ms.
+    println(renderLine(results, sfDir, runs))
+    spark.stop()
+    val failed = results.collect { case (k, Left(_)) => k }
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
+  /** One JSON result line. The harness that captures stdout keeps only
+    * the LAST ~2000 characters (including sbt's trailing "[success] ..."
+    * lines), so an over-long line is unparseable forever — BENCH_r05–r07
+    * all show "parsed": null from exactly this. Per-query keys are the
+    * unique qNN prefix (full names in QUERIES.md), times rounded to ms;
+    * BenchHarnessSpec asserts the line for the FULL registered surface
+    * stays under budget, so adding queries past the window fails the
+    * build instead of silently zeroing the round's bench evidence.
+    */
+  def renderLine(results: Seq[(String, Either[String, Double])],
+                 sfDir: String, runs: Int): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       java.lang.Double.valueOf(v))
@@ -92,12 +107,7 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val note = "noop-sink action; median of " + runs + "; keys=qNN (QUERIES.md)"
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}""")
-    spark.stop()
-    if (failed.nonEmpty) {
-      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
-      sys.exit(1)
-    }
+    val note = "noop-sink; median of " + runs + "; keys=qNN (QUERIES.md)"
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
   }
 }

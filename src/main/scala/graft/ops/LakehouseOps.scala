@@ -65,6 +65,59 @@ object LakehouseOps {
         .orderBy("custkey", "version")
     }),
 
+    // Snapshot CDC diff: the keyed change set between two table states —
+    // what a replication/audit pipeline computes to ship (or verify) a
+    // delta instead of a full copy. Snapshot A = per-order fulfillment
+    // state as of the cutoff; snapshot B = current state with returned
+    // lines dropped, so all three change types arise naturally: orders
+    // first shipped after the cutoff (insert), orders whose quantities
+    // grew (update), and all-returned orders that vanished (delete).
+    // Measures are DECIMAL sums, so "changed" is exact equality, not a
+    // float tolerance. Scale shape: each side partial-aggregates
+    // map-side on l_orderkey, then ONE co-partitioned full-outer
+    // sort-merge join on that same key — two scans, one exchange per
+    // side, no broadcast of fact-sized data, and the unchanged majority
+    // is filtered right after the join so only the delta flows on.
+    "q102_snapshot_diff" -> ((s, d) => {
+      val a = orderState(s, d,
+        col("l_shipdate") <= lit("1998-06-30 23:59:59").cast("timestamp"))
+      val b = orderState(s, d, col("l_returnflag") =!= "R")
+      // change detection is exact DECIMAL equality inside snapshotDiff;
+      // only the REPORTED old/new values cast to double (DuckDB's .df()
+      // hands DECIMAL back as float64, so the compare needs one dtype)
+      val out = snapshotDiff(a, b, "okey", Seq("ship_qty", "ship_value"))
+      out.select(out.columns.map(c =>
+        if (c.startsWith("old_") || c.startsWith("new_"))
+          col(c).cast("double").as(c)
+        else col(c)): _*)
+        .orderBy("change_type", "okey")
+    }),
+
+    // Order-independent table fingerprint: per source, COUNT plus the
+    // mod-2^64 sum of each row's 64-bit content hash (lower half of the
+    // row md5). The replication-consistency check for a lakehouse: two
+    // replicas agree iff (n_rows, fingerprint) agree per slice, w.h.p.
+    // Addition mod 2^64 is commutative/associative, so the fingerprint
+    // is ROW-ORDER INVARIANT and MERGEABLE: partitions (or days, or
+    // replicas' shards) fingerprint independently and the slice value is
+    // the mod-sum — verify 100 TB without ever colocating it. Scale
+    // shape: narrow per-row hashing, one partial-aggregated shuffle on
+    // the (tiny) source key. Mergeability/permutation/sensitivity pinned
+    // in LakehouseSpec; the DuckDB oracle computes the same value via
+    // md5_number_lower, so the hash-compare crosses engines.
+    "q103_table_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp", rowFingerprint64(concat_ws("|",
+          col("doc_id").cast("string"), col("lang"), col("source"),
+          col("n_chars").cast("string"), col("text"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          // string, not numeric: a 64-bit value loses precision in the
+          // float64 the oracle compare coerces DECIMALs to
+          (sum(col("fp")) % lit(Mod64)).cast("decimal(38,0)")
+            .cast("string").as("fingerprint"))
+        .orderBy("source")),
+
     // Incremental gold maintenance: the monthly revenue gold table is
     // NOT recomputed from scratch when a new batch of orders lands —
     // the stored gold (here: everything before the cutoff) merges with
@@ -83,6 +136,62 @@ object LakehouseOps {
         .orderBy("region_name", "year", "month")
     })
   )
+
+  /** 2^64 as the DECIMAL modulus for the mergeable fingerprint sum. */
+  private[graft] val Mod64 = BigDecimal(BigInt(1) << 64)
+
+  /** The lower 64 bits of md5(s) as an unsigned DECIMAL(38,0) — the SAME
+    * value DuckDB's `md5_number_lower` returns (little-endian over md5
+    * bytes 8..15), so a Spark fingerprint and a DuckDB fingerprint of
+    * identical content are equal, making the check portable across
+    * engines/replicas. Pure codegen'd string/arithmetic expressions —
+    * no UDF in the per-row path.
+    */
+  private[graft] def rowFingerprint64(s: Column): Column = {
+    val hex = md5(s)
+    (0 to 7).map { i =>
+      // md5 hex chars 17..32 are bytes 8..15; byte 8+i at char 17+2i
+      conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("decimal(38,0)") *
+        lit(BigDecimal(BigInt(1) << (8 * i)))
+    }.reduce(_ + _).cast("decimal(38,0)")
+  }
+
+  /** Per-order fulfillment state over the lineitem slice matching
+    * `pred`: exact DECIMAL quantity/value sums keyed by l_orderkey. The
+    * predicate reaches the parquet scan; the aggregate partial-combines
+    * map-side before its one exchange on the key.
+    */
+  private[graft] def orderState(s: SparkSession, d: String,
+                                pred: Column): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(pred)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("ship_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("ship_value"))
+
+  /** Keyed CDC diff of two snapshots sharing a grain: full-outer on
+    * `key`, rows classified insert/delete/update by presence and exact
+    * measure equality; the unchanged majority is dropped so only the
+    * delta survives. Old/new measure values are carried side by side
+    * (null where the row is absent on that side).
+    */
+  private[graft] def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+                                  measures: Seq[String]): DataFrame = {
+    val joined = a.as("a").join(b.as("b"),
+      col(s"a.$key") === col(s"b.$key"), "full_outer")
+    val changed = measures.map(m => col(s"a.$m") =!= col(s"b.$m"))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(col(s"a.$key").isNull, "insert")
+          .when(col(s"b.$key").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(Seq(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+        col("change_type")) ++
+        measures.flatMap(m => Seq(col(s"a.$m").as(s"old_$m"),
+          col(s"b.$m").as(s"new_$m"))): _*)
+  }
 
   /** Run-length encode (o_custkey | odate, o_orderkey, priority) rows
     * into SCD2 intervals. All four steps — lag, running change count,
@@ -210,6 +319,49 @@ object LakehouseOps {
   val oracleSql: Map[String, String] = Map(
     "q80_scd2_history" -> Scd2Sql,
     "q99_scd2_incremental" -> Scd2Sql,
+
+    "q102_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS okey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ship_qty,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ship_value
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-06-30 23:59:59'
+        |  GROUP BY l_orderkey
+        |), b AS (
+        |  SELECT l_orderkey AS okey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ship_qty,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ship_value
+        |  FROM lineitem
+        |  WHERE l_returnflag <> 'R'
+        |  GROUP BY l_orderkey
+        |)
+        |SELECT COALESCE(a.okey, b.okey) AS okey,
+        |       CASE WHEN a.okey IS NULL THEN 'insert'
+        |            WHEN b.okey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       CAST(a.ship_qty AS DOUBLE) AS old_ship_qty,
+        |       CAST(b.ship_qty AS DOUBLE) AS new_ship_qty,
+        |       CAST(a.ship_value AS DOUBLE) AS old_ship_value,
+        |       CAST(b.ship_value AS DOUBLE) AS new_ship_value
+        |FROM a FULL OUTER JOIN b ON a.okey = b.okey
+        |WHERE a.okey IS NULL OR b.okey IS NULL
+        |   OR a.ship_qty <> b.ship_qty OR a.ship_value <> b.ship_value
+        |ORDER BY change_type, okey""".stripMargin,
+
+    // the oracle computes the SAME 64-bit row hash via md5_number_lower,
+    // so the fingerprint comparison itself crosses engines — exactly the
+    // replication-verification use the operator exists for
+    "q103_table_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |       CAST(CAST(SUM(CAST(md5_number_lower(concat_ws('|',
+        |              CAST(doc_id AS VARCHAR), lang, source,
+        |              CAST(n_chars AS VARCHAR), text)) AS HUGEINT))
+        |            % CAST('18446744073709551616' AS HUGEINT)
+        |            AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // the oracle is the FULL recompute — the merge must equal it exactly
     "q87_incremental_gold" ->

@@ -27,4 +27,23 @@ class BenchHarnessSpec extends AnyFunSuite {
       case Left(e) => fail(s"good query reported err: $e")
     }
   }
+
+  test("the JSON line for the FULL registered surface fits the capture window") {
+    // The round harness keeps only the last ~2000 chars of stdout, and
+    // sbt appends ~120 chars of "[success] Total time ..." after the
+    // line. BENCH_r05–r07 were all "parsed": null because the line
+    // outgrew that window as queries were added. Budget 1800 so the
+    // build fails BEFORE a round's bench evidence silently vanishes.
+    val worstCase = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => k -> (Right(9999.999): Either[String, Double]))
+    val line = Bench.renderLine(worstCase, "/root/testdata/sf0.1", runs = 3)
+    assert(!line.contains("\n"), "must be a single line")
+    assert(line.length <= 1800,
+      s"bench JSON line is ${line.length} chars; the harness captures only the " +
+        "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
+    // the qNN short keys must be collision-free, or renderLine falls back
+    // to full names and blows the budget at once
+    val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
+    assert(prefixes.distinct.size == prefixes.size, "duplicate qNN prefixes")
+  }
 }

@@ -125,4 +125,99 @@ class LakehouseSpec extends AnyFunSuite {
     assert(folded.except(full).count() == 0)
     assert(full.except(folded).count() == 0)
   }
+
+  test("q102 diff applied to snapshot A reproduces snapshot B exactly") {
+    // the defining CDC invariant: apply(A, diff(A,B)) == B
+    val a = ops.LakehouseOps.orderState(spark, sf,
+      col("l_shipdate") <= lit("1998-06-30 23:59:59").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(1), r.getDecimal(2)))
+      .toMap
+    val b = ops.LakehouseOps.orderState(spark, sf,
+      col("l_returnflag") =!= "R")
+      .collect().map(r => r.getLong(0) -> (r.getDecimal(1), r.getDecimal(2)))
+      .toMap
+    val diff = SparkEntry.queries("q102_snapshot_diff")(spark, sf).collect()
+    assert(diff.nonEmpty)
+    val byType = diff.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(Set("insert", "delete", "update").subsetOf(byType.keySet),
+      s"expected all three change types at this SF, got $byType")
+    val applied = diff.foldLeft(a) { (state, r) =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "delete" =>
+          assert(state.contains(k)); state - k
+        case "insert" =>
+          assert(!state.contains(k))
+          state + (k -> (BigDecimal(r.getDouble(3)).bigDecimal
+            .setScale(2), BigDecimal(r.getDouble(5)).bigDecimal.setScale(2)))
+        case "update" =>
+          assert(state.contains(k))
+          state + (k -> (BigDecimal(r.getDouble(3)).bigDecimal
+            .setScale(2), BigDecimal(r.getDouble(5)).bigDecimal.setScale(2)))
+      }
+    }
+    assert(applied == b, "diff application must reconstruct snapshot B")
+  }
+
+  test("q102 plans one co-partitioned full-outer join, no fact broadcast") {
+    val plan = SparkEntry.queries("q102_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "neither snapshot side may broadcast — both are fact-sized")
+    // each side partial-aggregates before its exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected two-phase aggregation on both snapshot sides")
+  }
+
+  test("q103 fingerprint is row-order invariant and mergeable") {
+    def fps(df: org.apache.spark.sql.DataFrame): Map[String, (Long, BigInt)] =
+      df.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), BigInt(r.getString(2)))).toMap
+    val full = fps(SparkEntry.queries("q103_table_fingerprint")(spark, sf))
+    assert(full.nonEmpty)
+    // permutation invariance: a shuffled layout fingerprints identically
+    val docs = Tables.documents(spark, sf)
+    def fpOf(df: org.apache.spark.sql.DataFrame) = fps(
+      df.withColumn("fp", ops.LakehouseOps.rowFingerprint64(concat_ws("|",
+        col("doc_id").cast("string"), col("lang"), col("source"),
+        col("n_chars").cast("string"), col("text"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("fp")) % lit(ops.LakehouseOps.Mod64))
+            .cast("decimal(38,0)").cast("string").as("fingerprint")))
+    assert(fpOf(docs.repartition(7, col("text"))) == full)
+    // mergeability: disjoint halves mod-sum to the full fingerprint
+    val mod = BigInt(1) << 64
+    val lo = fpOf(docs.filter(col("doc_id") % 2 === 0))
+    val hi = fpOf(docs.filter(col("doc_id") % 2 === 1))
+    full.foreach { case (src, (n, fp)) =>
+      val (nLo, fpLo) = lo.getOrElse(src, (0L, BigInt(0)))
+      val (nHi, fpHi) = hi.getOrElse(src, (0L, BigInt(0)))
+      assert(nLo + nHi == n)
+      assert((fpLo + fpHi) % mod == fp, s"merge mismatch for $src")
+    }
+    // sensitivity: one edited row flips its source's fingerprint only
+    val edited = fpOf(docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit("X")))
+        .otherwise(col("text"))))
+    val editedSrc = docs.filter(col("doc_id") === 0)
+      .select("source").head().getString(0)
+    assert(edited(editedSrc)._2 != full(editedSrc)._2)
+    assert(edited.filterNot(_._1 == editedSrc) ==
+      full.filterNot(_._1 == editedSrc))
+  }
+
+  test("q103 row hash matches an independent JVM md5 lower-64") {
+    import spark.implicits._
+    val got = Seq("abc", "", "graft|fingerprint|row").toDF("s")
+      .select(ops.LakehouseOps.rowFingerprint64(col("s")).cast("string"))
+      .as[String].collect().map(BigInt(_))
+    val want = Seq("abc", "", "graft|fingerprint|row").map { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 to 7).map(i => BigInt(d(8 + i) & 0xff) << (8 * i)).sum
+    }
+    assert(got.toSeq == want)
+  }
 }
