@@ -29,7 +29,8 @@ object SparkEntry {
       ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
       ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
-      ops.GraphOps.queries ++ sources.Layout.queries
+      ops.GraphOps.queries ++ sources.Layout.queries ++
+      sources.DataSkipping.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,7 +43,7 @@ object SparkEntry {
       ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
       ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
-      sources.Layout.oracleSql
+      sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -56,5 +57,5 @@ object SparkEntry {
       ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly ++
       ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
       ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
-      sources.Layout.rowsOnly
+      sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly
 }

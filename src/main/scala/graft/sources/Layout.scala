@@ -28,12 +28,12 @@ import graft.ops.StarSchema.sumMoney
   */
 object Layout {
 
-  private def tag(d: String): String =
+  private[sources] def tag(d: String): String =
     java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
-  private def tmpRoot: String = System.getProperty("java.io.tmpdir")
+  private[sources] def tmpRoot: String = System.getProperty("java.io.tmpdir")
 
   /** A committed write left Spark's _SUCCESS marker behind. */
-  private def hasSuccess(s: SparkSession, path: String): Boolean = {
+  private[sources] def hasSuccess(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
