@@ -150,6 +150,30 @@ object DataSkipping {
     (data, man)
   }
 
+  // --------------------------------------------------- schema evolution
+
+  /** Events re-written as two load epochs with DIFFERENT file schemas —
+    * the day a `value` measure was added to a live table: `batch=1`
+    * files (first half of January) lack the column entirely; `batch=2`
+    * files carry it. The hive-style `batch=` naming keeps the epochs
+    * independently prunable (a crude as-of read: `batch <= k` is the
+    * table before the change). Load-once cached like the other layouts.
+    */
+  def evolvedEventsLayout(s: SparkSession, d: String): String = {
+    val root = s"${Layout.tmpRoot}/graft_evolved_${Layout.tag(d)}"
+    val cutoff = lit("2024-01-16").cast("date")
+    val ev = Tables.events(s, d)
+    if (!Layout.hasSuccess(s, s"$root/batch=1"))
+      ev.filter(to_date(col("ts")) < cutoff)
+        .select("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+    if (!Layout.hasSuccess(s, s"$root/batch=2"))
+      ev.filter(to_date(col("ts")) >= cutoff)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+    root
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,6 +206,25 @@ object DataSkipping {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Schema evolution read: `mergeSchema` unions the per-file schemas,
+    // so pre-evolution rows surface the added column as null — no
+    // rewrite of old files, which at 100 TB is the only affordable
+    // answer to a column addition. The aggregate separates row counts
+    // from measure coverage (n vs n_with_value) exactly as a consumer
+    // of an evolved table must. The oracle recomputes from the raw
+    // table with the epoch rule spelled out — the merged read must be
+    // indistinguishable from it.
+    "q106_schema_evolution" -> ((s, d) => {
+      val root = evolvedEventsLayout(s, d)
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          sum(coalesce(col("value").cast("decimal(18,2)"), lit(0)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
     })
   )
 
@@ -219,6 +262,19 @@ object DataSkipping {
         |FROM lineitem
         |WHERE (l_orderkey * 37) % 1024 <= 255
         |  AND (l_partkey * 41) % 1024 <= 255
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // the epoch rule made explicit: value exists only from the cutoff on
+    "q106_schema_evolution" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |                  THEN 1 END) AS n_with_value,
+        |       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |                     THEN CAST(value AS DECIMAL(18,2))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS total_value
+        |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
   )

@@ -98,6 +98,24 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(viaSkip.getLong(0) > 0, "degenerate slice: no rows matched")
   }
 
+  test("schema evolution: old files lack the column, merged read nulls it") {
+    val root = DataSkipping.evolvedEventsLayout(spark, sf)
+    // the epochs genuinely differ on disk
+    assert(!spark.read.parquet(s"$root/batch=1").columns.contains("value"))
+    assert(spark.read.parquet(s"$root/batch=2").columns.contains("value"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.contains("value"))
+    // null exactly where the column predates its addition
+    val cutoff = lit("2024-01-16").cast("date")
+    assert(merged.filter(col("value").isNull =!=
+      (to_date(col("ts")) < cutoff)).count() == 0)
+    // crude as-of: batch <= 1 is the table before the evolution
+    val asOf = merged.filter(col("batch") === 1)
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) < cutoff).count()
+    assert(asOf.count() == expected && expected > 0)
+  }
+
   test("an empty manifest intersection yields an empty, well-typed frame") {
     val (data, man) = DataSkipping.zorderedLineitem(spark, sf)
     val manifest = spark.read.parquet(man)
