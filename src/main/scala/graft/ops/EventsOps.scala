@@ -231,6 +231,37 @@ object EventsOps {
     // operator (graft.plans.AsOfJoin) — hash-clustered build + binary
     // search, no per-event window; oracle-checked independently of the
     // composed q45
+    // Time-series densification: the observed hourly aggregate LEFT-joins
+    // a generated (hour x event_type) spine, so silent gaps become
+    // explicit rows — zero-filled for the additive measures (a missing
+    // hour really did total 0) and forward-filled for the state measure
+    // (last-observation-carried-forward via `last(_, ignoreNulls)` over
+    // an unbounded-preceding frame). Scale shape: the fill runs on the
+    // AGGREGATE, never the fact — the fact contributes one partial-
+    // combined shuffle (q32's), after which the spine join and window
+    // touch |types| x |hours| rows, thousands regardless of fact size.
+    "q107_gap_fill" -> ((s, d) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-30 23:00:00").cast("timestamp"),
+          expr("interval 1 hour"))).as("hour"))
+        .crossJoin(Tables.events(s, d).select("event_type").distinct())
+      val observed = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("value").cast("decimal(18,2)")).as("total_obs"))
+      val ffill = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(observed, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_obs"), lit(0L)).as("n"),
+          coalesce(col("total_obs").cast("double"), lit(0.0)).as("total_value"),
+          last(col("total_obs").cast("double"), ignoreNulls = true)
+            .over(ffill).as("last_seen_total"))
+        .orderBy("hour", "event_type")
+    }),
+
     "q46_asof_custom_op" -> ((s, d) => asOfViaOperator(s, d, "hash")),
 
     // the SAME as-of semantics through the sort-merge exec — O(1)
@@ -276,6 +307,33 @@ object EventsOps {
         |  FROM stages
         |)
         |ORDER BY stage""".stripMargin,
+
+    // the spine is regenerated in SQL (range is stop-exclusive, so Jan 31
+    // 00:00 is the right bound for hours through Jan 30 23:00); the
+    // forward fill must agree engine-for-engine on gap rows
+    "q107_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT h.hour, t.event_type
+        |  FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+        |             INTERVAL 1 HOUR) h(hour)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |), obs AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         COUNT(*) AS n_obs,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS total_obs
+        |  FROM events
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.hour, s.event_type,
+        |       COALESCE(o.n_obs, 0) AS n,
+        |       COALESCE(CAST(o.total_obs AS DOUBLE), 0.0) AS total_value,
+        |       last_value(CAST(o.total_obs AS DOUBLE) IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_seen_total
+        |FROM spine s
+        |LEFT JOIN obs o ON o.hour = s.hour AND o.event_type = s.event_type
+        |ORDER BY s.hour, s.event_type""".stripMargin,
 
     "q46_asof_custom_op" -> AsOfOracle,
     "q75_asof_merge_op" -> AsOfOracle,

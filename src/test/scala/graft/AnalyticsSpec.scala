@@ -121,6 +121,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 gap fill: dense spine, zero-filled sums, carried-forward state") {
+    // sf0.001 is sparse enough that real gaps exist (measured: 1000
+    // events over 720 hours x several types)
+    val sf = "/root/testdata/sf0.001"
+    val filled = SparkEntry.queries("q107_gap_fill")(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    assert(filled.length == 720 * nTypes, "spine must be dense: 720 hours x types")
+    val gaps = filled.filter(_.getLong(2) == 0)
+    assert(gaps.nonEmpty, "degenerate test: no gaps to fill at this SF")
+    gaps.foreach { r =>
+      assert(r.getDouble(3) == 0.0, s"gap hour must zero-fill total: $r")
+    }
+    // forward fill: per type, walk hours in order; last_seen_total must
+    // equal the most recent observed total (null before the first)
+    filled.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var lastSeen: Option[Double] = None
+      rows.sortBy(_.getTimestamp(0).getTime).foreach { r =>
+        if (r.getLong(2) > 0) lastSeen = Some(r.getDouble(3))
+        (lastSeen, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(e), Some(g)) => assert(e == g, s"ffill mismatch: $r")
+          case (None, None) => ()
+          case other => fail(s"ffill presence mismatch $other at $r")
+        }
+      }
+    }
+  }
+
   test("q40 raw HLL estimate is deterministic and pinned at rsd=0.02") {
     val est = Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
