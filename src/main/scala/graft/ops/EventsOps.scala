@@ -237,20 +237,23 @@ object EventsOps {
     // hour really did total 0) and forward-filled for the state measure
     // (last-observation-carried-forward via `last(_, ignoreNulls)` over
     // an unbounded-preceding frame). Scale shape: the fill runs on the
-    // AGGREGATE, never the fact — the fact contributes one partial-
-    // combined shuffle (q32's), after which the spine join and window
-    // touch |types| x |hours| rows, thousands regardless of fact size.
+    // AGGREGATE, never the fact — the fact contributes ONE partial-
+    // combined shuffle (q32's), whose materialized result (thousands of
+    // rows regardless of fact size) then feeds BOTH the spine's type
+    // list and the join; localCheckpoint keeps the two consumers from
+    // re-running the fact scan.
     "q107_gap_fill" -> ((s, d) => {
+      val observed = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("value").cast("decimal(18,2)")).as("total_obs"))
+        .localCheckpoint()
       val spine = s.range(1)
         .select(explode(sequence(
           lit("2024-01-01 00:00:00").cast("timestamp"),
           lit("2024-01-30 23:00:00").cast("timestamp"),
           expr("interval 1 hour"))).as("hour"))
-        .crossJoin(Tables.events(s, d).select("event_type").distinct())
-      val observed = Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_obs"),
-          sum(col("value").cast("decimal(18,2)")).as("total_obs"))
+        .crossJoin(observed.select("event_type").distinct())
       val ffill = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(observed, Seq("hour", "event_type"), "left")

@@ -107,9 +107,9 @@ object LakehouseOps {
     // md5_number_lower, so the hash-compare crosses engines.
     "q103_table_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("fp", rowFingerprint64(concat_ws("|",
-          col("doc_id").cast("string"), col("lang"), col("source"),
-          col("n_chars").cast("string"), col("text"))))
+        .withColumn("fp", rowFingerprint64(fingerprintInput(Seq(
+          col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")))))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
           // string, not numeric: a 64-bit value loses precision in the
@@ -139,6 +139,30 @@ object LakehouseOps {
 
   /** 2^64 as the DECIMAL modulus for the mergeable fingerprint sum. */
   private[graft] val Mod64 = BigDecimal(BigInt(1) << 64)
+
+  /** INJECTIVE row serialization for fingerprinting: each field is
+    * escaped (backslash doubled, then the separator escaped) and NULL
+    * becomes the bare marker `\N` — which no escaped non-null value can
+    * produce — then fields join on `|`. A naive concat_ws would let
+    * ("a|b", "c") collide with ("a", "b|c") and silently SKIP nulls,
+    * letting genuinely divergent replicas fingerprint as equal; the
+    * oracle reproduces this exact encoding (see `encFieldSql`).
+    */
+  private[graft] def fingerprintInput(cols: Seq[Column]): Column = {
+    val enc = cols.map { c =>
+      when(c.isNull, lit("\\N")).otherwise(
+        replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+          lit("|"), lit("\\|")))
+    }
+    concat(enc.flatMap(e => Seq(lit("|"), e)).tail: _*)
+  }
+
+  /** The same injective field encoding as DuckDB SQL (single-quoted SQL
+    * strings are escape-free, so `\` is one backslash).
+    */
+  private def encFieldSql(f: String): String =
+    s"CASE WHEN $f IS NULL THEN '\\N' " +
+      s"ELSE replace(replace(CAST($f AS VARCHAR), '\\', '\\\\'), '|', '\\|') END"
 
   /** The lower 64 bits of md5(s) as an unsigned DECIMAL(38,0) — the SAME
     * value DuckDB's `md5_number_lower` returns (little-endian over md5
@@ -179,7 +203,9 @@ object LakehouseOps {
                                   measures: Seq[String]): DataFrame = {
     val joined = a.as("a").join(b.as("b"),
       col(s"a.$key") === col(s"b.$key"), "full_outer")
-    val changed = measures.map(m => col(s"a.$m") =!= col(s"b.$m"))
+    // null-safe: `=!=` yields NULL (not true) when one side is NULL, so
+    // a null-to-value transition would silently classify as unchanged
+    val changed = measures.map(m => !(col(s"a.$m") <=> col(s"b.$m")))
       .reduce(_ || _)
     joined
       .withColumn("change_type",
@@ -353,10 +379,13 @@ object LakehouseOps {
     // so the fingerprint comparison itself crosses engines — exactly the
     // replication-verification use the operator exists for
     "q103_table_fingerprint" ->
-      """SELECT source, COUNT(*) AS n_rows,
-        |       CAST(CAST(SUM(CAST(md5_number_lower(concat_ws('|',
-        |              CAST(doc_id AS VARCHAR), lang, source,
-        |              CAST(n_chars AS VARCHAR), text)) AS HUGEINT))
+      s"""SELECT source, COUNT(*) AS n_rows,
+        |       CAST(CAST(SUM(CAST(md5_number_lower(
+        |              ${encFieldSql("doc_id")}
+        |              || '|' || ${encFieldSql("lang")}
+        |              || '|' || ${encFieldSql("source")}
+        |              || '|' || ${encFieldSql("n_chars")}
+        |              || '|' || ${encFieldSql("text")}) AS HUGEINT))
         |            % CAST('18446744073709551616' AS HUGEINT)
         |            AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
         |FROM documents

@@ -34,13 +34,19 @@ class BenchHarnessSpec extends AnyFunSuite {
     // line. BENCH_r05–r07 were all "parsed": null because the line
     // outgrew that window as queries were added. Budget 1800 so the
     // build fails BEFORE a round's bench evidence silently vanishes.
-    val worstCase = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => k -> (Right(9999.999): Either[String, Double]))
-    val line = Bench.renderLine(worstCase, "/root/testdata/sf0.1", runs = 3)
-    assert(!line.contains("\n"), "must be a single line")
-    assert(line.length <= 1800,
-      s"bench JSON line is ${line.length} chars; the harness captures only the " +
-        "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val allGood = keys.map(k => k -> (Right(9999.999): Either[String, Double]))
+    // a regression round is when the line matters most: failures add an
+    // "err" marker per query PLUS a short key in errors — model every
+    // query failing, not just the happy path
+    val allBad = keys.map(k => k -> (Left("boom"): Either[String, Double]))
+    for (results <- Seq(allGood, allBad)) {
+      val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3)
+      assert(!line.contains("\n"), "must be a single line")
+      assert(line.length <= 1800,
+        s"bench JSON line is ${line.length} chars; the harness captures only the " +
+          "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
+    }
     // the qNN short keys must be collision-free, or renderLine falls back
     // to full names and blows the budget at once
     val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq

@@ -179,9 +179,10 @@ class LakehouseSpec extends AnyFunSuite {
     // permutation invariance: a shuffled layout fingerprints identically
     val docs = Tables.documents(spark, sf)
     def fpOf(df: org.apache.spark.sql.DataFrame) = fps(
-      df.withColumn("fp", ops.LakehouseOps.rowFingerprint64(concat_ws("|",
-        col("doc_id").cast("string"), col("lang"), col("source"),
-        col("n_chars").cast("string"), col("text"))))
+      df.withColumn("fp", ops.LakehouseOps.rowFingerprint64(
+        ops.LakehouseOps.fingerprintInput(Seq(
+          col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")))))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("fp")) % lit(ops.LakehouseOps.Mod64))
@@ -206,6 +207,25 @@ class LakehouseSpec extends AnyFunSuite {
     assert(edited(editedSrc)._2 != full(editedSrc)._2)
     assert(edited.filterNot(_._1 == editedSrc) ==
       full.filterNot(_._1 == editedSrc))
+  }
+
+  test("fingerprintInput is injective across separator and null traps") {
+    import spark.implicits._
+    // each pair serializes two DIFFERENT logical rows that a naive
+    // concat_ws("|", ...) maps to the SAME string
+    val traps = Seq(
+      (("a|b", "c"), ("a", "b|c")),       // separator inside a field
+      (("a\\|b", "c"), ("a\\", "b|c")),   // escape char next to separator
+      ((null: String, "x"), ("\\N", "x")),// genuine null vs literal marker
+      (("", "x"), (null: String, "x")))   // empty string vs null
+    traps.foreach { case ((a1, a2), (b1, b2)) =>
+      val out = Seq((a1, a2), (b1, b2)).toDF("f1", "f2")
+        .select(ops.LakehouseOps.fingerprintInput(
+          Seq(col("f1"), col("f2"))).as("s"))
+        .as[String].collect()
+      assert(out(0) != out(1),
+        s"collision: ($a1, $a2) and ($b1, $b2) both encode to ${out(0)}")
+    }
   }
 
   test("q103 row hash matches an independent JVM md5 lower-64") {
