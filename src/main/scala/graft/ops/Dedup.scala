@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -110,6 +111,88 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Internal frames for the prefix-filtered exact-Jaccard join:
+    * (posting, candidates). `posting` is the hashed, localCheckpointed
+    * posting list (as in [[jaccardPairs]]); `candidates` is the distinct
+    * (doc_a, doc_b) pair set surviving the prefix filter. Split out so
+    * RecallSpec can gate the candidate count against the full join's.
+    */
+  private[graft] def prefixJaccardFrames(s: SparkSession, d: String,
+      tNum: Int, tDen: Int, maxDocFreq: Int): (DataFrame, DataFrame) = {
+    val posting = shingleSets(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint()
+    val docFreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = posting
+      .join(docFreq.filter(col("df") <= maxDocFreq), Seq("shingle"))
+    // canonical global token order: rarest first (df asc, hash tiebreak)
+    // — the order that makes prefixes selective, since a rare token's
+    // posting list generates few candidate pairs
+    val wDoc = Window.partitionBy("doc_id")
+    val positioned = filtered
+      .withColumn("pos", row_number().over(wDoc.orderBy("df", "shingle")))
+      .withColumn("n_capped", count(lit(1)).over(wDoc))
+    // J >= t forces |A'∩B'| >= ceil(t/(1+t)·n'_X) =: beta_X for EACH
+    // side (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs, WWW'07),
+    // so a qualifying pair must share a token within both docs' first
+    // (n' - beta + 1) positions. beta in exact integer arithmetic —
+    // ceil(a/b) = (a + b - 1) div b — because a float ceil rounding the
+    // wrong way by 1 would silently drop true pairs.
+    val denom = tNum + tDen
+    val prefix = positioned.filter(col("pos") <=
+      col("n_capped") -
+        expr(s"(n_capped * $tNum + ${denom - 1}) div $denom") + lit(1))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    (posting, candidates)
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING — the published exact
+    * algorithm for set-similarity joins at scale (All-Pairs/PPJoin
+    * family): order each doc's capped shingles rarest-first, join only
+    * on tokens inside each side's (1 - t/(1+t))-length prefix, then
+    * verify candidates exactly. Zero false negatives by the prefix
+    * lemma — unlike LSH (q27/q49) this needs no recall gate, so it
+    * shares q26's oracle — while candidates shrink from "docs sharing
+    * ANY rare shingle" to "docs sharing a PREFIX shingle" (gated in
+    * RecallSpec). Scale shape: same posting-list exchanges as q26 plus
+    * one per-doc window; the verification join touches only candidate
+    * docs' token arrays, never the corpus.
+    */
+  def prefixJaccardPairs(s: SparkSession, d: String, tNum: Int, tDen: Int,
+                         maxDocFreq: Int = 100): DataFrame = {
+    val (posting, candidates) = prefixJaccardFrames(s, d, tNum, tDen, maxDocFreq)
+    val docFreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = posting
+      .join(docFreq.filter(col("df") <= maxDocFreq), Seq("shingle"))
+    // token arrays ONLY for docs that survived into a candidate pair
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candSets = filtered.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("toks"))
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(candSets.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(candSets.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      // same intersection the full join counts: per-doc shingles are
+      // distinct, so the intersect size IS the shared-shingle count
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** MinHash+LSH near-dup pairs — the sub-quadratic 100 TB pair path:
     * 32-perm signatures (single-pass native expression), 8 bands × 4
     * rows banded bucketing, candidate equi-join on band keys, exact
@@ -160,6 +243,12 @@ object Dedup {
     // n-gram Jaccard near-dup pairs (exact similarity, capped fan-out)
     "q26_dedup_ngram_jaccard" -> ((s, d) =>
       jaccardPairs(s, d, threshold = 0.2).orderBy("doc_a", "doc_b")),
+
+    // prefix-filtered EXACT Jaccard at the near-duplicate threshold
+    // (t = 4/5): the sub-quadratic path that, unlike LSH, provably
+    // misses nothing — so it gets a full oracle, not a recall gate
+    "q108_dedup_jaccard_prefix" -> ((s, d) =>
+      prefixJaccardPairs(s, d, tNum = 4, tDen = 5).orderBy("doc_a", "doc_b")),
 
     // MinHash+LSH: 32 perms, 8 bands x 4 rows; verify candidates exactly
     "q27_dedup_minhash_lsh" -> ((s, d) =>
@@ -351,11 +440,15 @@ object Dedup {
     queries ++ componentQueries
 
   /** The q26 pair pipeline as a reusable DuckDB CTE chain (ends with a
-    * `pairs(doc_a, doc_b)` relation at jaccard >= 0.2) — shared verbatim
-    * by the q26 oracle and the q47 connected-components oracle so both
-    * check against the exact same pair graph.
+    * `pairs(doc_a, doc_b)` relation at jaccard >= the given threshold) —
+    * shared by the q26 oracle, the q47 connected-components oracle, and
+    * (at t = 0.8) the q108 prefix-filter oracle, so all check against
+    * the exact same pair graph definition.
     */
-  private val PairCtes =
+  private def pairCtes(threshold: String): String = PairCtes0
+    .replace("__T__", threshold)
+  private def PairCtes: String = pairCtes("0.2")
+  private val PairCtes0 =
     """sets AS (
       |  SELECT doc_id, lang,
       |         list_distinct(CASE WHEN len(w) >= 3
@@ -381,7 +474,7 @@ object Dedup {
       |  FROM inter i
       |  JOIN sized sa ON sa.doc_id = i.doc_a
       |  JOIN sized sb ON sb.doc_id = i.doc_b
-      |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.2
+      |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= __T__
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -395,6 +488,14 @@ object Dedup {
 
     "q26_dedup_ngram_jaccard" ->
       s"""WITH $PairCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the SAME pair-graph definition at the near-dup threshold — the
+    // prefix filter must be invisible in the result (zero false
+    // negatives), which is exactly what distinguishes it from LSH
+    "q108_dedup_jaccard_prefix" ->
+      s"""WITH ${pairCtes("0.8")}
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 

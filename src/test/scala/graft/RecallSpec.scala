@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Recall gates for the approximate (rows-only) ANN/sketch queries: each
@@ -24,6 +25,34 @@ class RecallSpec extends AnyFunSuite {
 
   private def recall(got: Set[(Long, Long)], want: Set[(Long, Long)]): Double =
     if (want.isEmpty) 1.0 else got.intersect(want).size.toDouble / want.size
+
+  test("q108 prefix filter: EXACT equality with the full join, fewer candidates") {
+    // not a recall gate — the prefix lemma promises zero false
+    // negatives, so the result must EQUAL the full posting-join pairs
+    // at the same threshold, tuple for tuple (jaccard doubles included:
+    // both paths divide the same integers)
+    val full = ops.Dedup.jaccardPairs(spark, d, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = SparkEntry.queries("q108_dedup_jaccard_prefix")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full, s"prefix join diverged: ${pref.diff(full)} extra, ${full.diff(pref)} missing")
+    assert(full.nonEmpty, "degenerate gate: no pairs at t=0.8 at this SF")
+    // the point of the prefix: strictly fewer candidate pairs than
+    // "docs sharing ANY capped shingle" (what the full join enumerates)
+    val (posting, candidates) =
+      ops.Dedup.prefixJaccardFrames(spark, d, 4, 5, 100)
+    val docFreq = posting.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    val filtered = posting.join(docFreq, Seq("shingle"))
+    val fullCandidates = filtered.as("a").join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefCandidates = candidates.count()
+    assert(prefCandidates < fullCandidates,
+      s"prefix filter pruned nothing: $prefCandidates vs $fullCandidates")
+  }
 
   test("q31 LSH KNN: recall >= 0.8 of the exact top-k (q30)") {
     val exact = pairs(SparkEntry.queries("q30_knn_bruteforce")(spark, d))
