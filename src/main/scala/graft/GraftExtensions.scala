@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.expressions.{CosineSimilarity, DotProduct, SimHash}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import graft.expressions.{CosineSimilarity, DotProduct, SimHash, ZOrder16}
 
 /** SparkSessionExtensions hook exposing the engine's native expressions
   * to SQL users:
@@ -38,7 +38,9 @@ object GraftExtensions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (args => CosineSimilarity(asVec(args(0)), asVec(args(1)))),
     "dot_product" -> (args => DotProduct(asVec(args(0)), asVec(args(1)))),
-    "simhash64" -> (args => SimHash(args.head)))
+    "simhash64" -> (args => SimHash(args.head)),
+    "zorder16" -> (args => ZOrder16(
+      Cast(args(0), LongType), Cast(args(1), LongType))))
 
   /** Register on an already-running session (builder extensions only
     * apply to sessions created after `withExtensions`).

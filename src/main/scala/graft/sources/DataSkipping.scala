@@ -35,37 +35,18 @@ object DataSkipping {
 
   // ------------------------------------------------------------ z-order
 
-  /** Domain check: `zorder16` interleaves exactly 16 bits per side, so a
-    * value outside [0, 2^16) would silently fold onto another cell's
-    * code — raise instead (same loud-precondition discipline as
-    * EventsOps.packedOrderKey).
-    */
-  private def guard16(c: Column): Column =
-    when(c < 0 || c >= lit(1 << 16),
-      raise_error(concat(
-        lit("zorder16 input outside [0, 2^16): "), c.cast("string"))))
-      .otherwise(c)
-
-  /** Spread the low 16 bits of `c` to the even bit positions of a 32-bit
-    * value (0b...b2 b1 b0 -> 0b...0b2 0b1 0b0): the classic 4-step
-    * shift-or-mask ladder, each step doubling the gap. Plain bitwise
-    * Column arithmetic — whole-stage-codegen'd, no UDF.
-    */
-  private def spread16(c: Column): Column = {
-    val v1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
-    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
-    (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
-  }
+  import org.apache.spark.sql.graft.ColumnBridge.{column => asCol, expression => asExpr}
 
   /** Morton code of (x, y): bit i of x lands at bit 2i, bit i of y at
-    * bit 2i+1. Monotone locality: a contiguous z range covers a small
-    * set of (x, y) tiles, which is what makes per-file min/max tight in
-    * both dimensions after a z sort.
+    * bit 2i+1, with a loud [0, 2^16) domain guard. Monotone locality: a
+    * contiguous z range covers a small set of (x, y) tiles, which is
+    * what makes per-file min/max tight in both dimensions after a z
+    * sort. A native codegen'd expression (`expressions.ZOrder16`) — see
+    * its Scaladoc for why the composed-Column form is a plan-size trap.
     */
   def zorder16(x: Column, y: Column): Column =
-    spread16(guard16(x).cast("long"))
-      .bitwiseOR(shiftleft(spread16(guard16(y).cast("long")), 1))
+    asCol(graft.expressions.ZOrder16(
+      asExpr(x.cast("long")), asExpr(y.cast("long"))))
 
   /** The same spread ladder as ANSI SQL over a column expression `e`
     * (DuckDB side of the oracle). Kept structurally identical to

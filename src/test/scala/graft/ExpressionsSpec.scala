@@ -82,6 +82,9 @@ class ExpressionsSpec extends AnyFunSuite {
       "SELECT dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
       .collect()(0)
     assert(f.getDouble(0) == 3.0)
+    // zorder16: interleave (3, 5) = 0b100111 = 39; int args coerce to long
+    val z = spark.sql("SELECT zorder16(3, 5)").collect()(0)
+    assert(z.getLong(0) == 39L)
   }
 
   test("native shingles match the HOF reference on the documents corpus") {

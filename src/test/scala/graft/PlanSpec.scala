@@ -233,4 +233,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"test side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian over the corpus:\n$p")
   }
+
+  test("q104 z-order cells: one scan, one shuffle, interleave stays codegen'd") {
+    val p = plan("q104_zorder_cells")
+    assert("Scan parquet".r.findAllIn(p).length == 1, s"one lineitem scan:\n$p")
+    // one hash exchange for the tile aggregate; the orderBy's range
+    // exchange is presentation-only and common to every registered query
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"tile agg should shuffle once, got $exchanges:\n$p")
+    // the Morton ladder is plain bitwise arithmetic — it must not break
+    // whole-stage codegen or fall back to an interpreted/UDF path
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"interleave fell out of codegen:\n$p")
+  }
+
+  test("q107 gap fill reads the fact exactly once (checkpointed aggregate)") {
+    // the spine's type list and the join both feed off the checkpointed
+    // hourly aggregate — a parquet scan of events in the FINAL plan
+    // would mean the fact is being re-read per consumer again
+    val p = plan("q107_gap_fill")
+    assert(!p.contains("Scan parquet"),
+      s"fact re-scan downstream of the checkpoint:\n$p")
+  }
+
+  test("q108 prefix join: no cartesian, no broadcast of the posting side") {
+    val p = plan("q108_dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in prefix dedup:\n$p")
+  }
 }
