@@ -65,6 +65,34 @@ object LakehouseOps {
         .orderBy("custkey", "version")
     }),
 
+    // Point-in-time dimension snapshots — the CONSUMER side of q80's
+    // SCD2 history, and the reason type-2 history exists at all: "what
+    // did the dimension look like on date D" without replaying facts.
+    // Each probe date lands in at most one validity interval per
+    // customer, so the census per (snapshot, priority) is a plain
+    // count. Customers whose history starts after the probe date are
+    // correctly absent. Scale shape: the 3-row probe frame broadcasts
+    // into a nested-loop join that is effectively a per-row flatMap
+    // (each interval emits <= 3 snapshot rows), then ONE shuffle for
+    // the census count — the history is never re-sorted or rebuilt per
+    // probe date.
+    "q109_dim_snapshot" -> ((s, d) => {
+      val history = scd2Runs(Tables.orders(s, d).select(
+        col("o_custkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_orderkey"),
+        col("o_orderpriority").as("priority")))
+      val snapshots = s.range(1).select(explode(array(
+        Seq("1996-01-01", "1998-01-01", "2000-01-01")
+          .map(x => lit(x).cast("date")): _*)).as("snap"))
+      history.join(broadcast(snapshots),
+          col("snap") >= col("valid_from") &&
+            (col("valid_to").isNull || col("snap") < col("valid_to")))
+        .groupBy("snap", "priority")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("snap", "priority")
+    }),
+
     // Snapshot CDC diff: the keyed change set between two table states —
     // what a replication/audit pipeline computes to ship (or verify) a
     // delta instead of a full copy. Snapshot A = per-order fulfillment
@@ -345,6 +373,18 @@ object LakehouseOps {
   val oracleSql: Map[String, String] = Map(
     "q80_scd2_history" -> Scd2Sql,
     "q99_scd2_incremental" -> Scd2Sql,
+
+    // the oracle probes the SAME interval semantics against the full
+    // q80 history definition
+    "q109_dim_snapshot" ->
+      s"""SELECT s.snap, h.priority, COUNT(*) AS n_customers
+         |FROM ($Scd2Sql) h
+         |JOIN (SELECT UNNEST([DATE '1996-01-01', DATE '1998-01-01',
+         |                     DATE '2000-01-01']) AS snap) s
+         |  ON s.snap >= h.valid_from
+         | AND (h.valid_to IS NULL OR s.snap < h.valid_to)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q102_snapshot_diff" ->
       """WITH a AS (

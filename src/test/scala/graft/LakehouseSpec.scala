@@ -126,6 +126,25 @@ class LakehouseSpec extends AnyFunSuite {
     assert(full.except(folded).count() == 0)
   }
 
+  test("q109 snapshots place each existing customer in exactly one interval") {
+    val census = SparkEntry.queries("q109_dim_snapshot")(spark, sf)
+      .collect().groupBy(_.getDate(0).toString)
+    assert(census.keySet == Set("1996-01-01", "1998-01-01", "2000-01-01"))
+    // per probe date, the census total must equal the number of
+    // customers whose history had started — interval tiling (pinned in
+    // the q80 test) makes membership exactly-one for those, zero before
+    val firstSeen = SparkEntry.queries("q80_scd2_history")(spark, sf)
+      .groupBy("custkey").agg(min("valid_from").as("first_from"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    census.foreach { case (snap, rows) =>
+      val d = java.time.LocalDate.parse(snap)
+      val expected = firstSeen.count(!_._2.isAfter(d))
+      val got = rows.map(_.getLong(2)).sum
+      assert(got == expected, s"census at $snap: $got != $expected existing customers")
+      assert(got > 0, s"degenerate probe date $snap")
+    }
+  }
+
   test("q102 diff applied to snapshot A reproduces snapshot B exactly") {
     // the defining CDC invariant: apply(A, diff(A,B)) == B
     val a = ops.LakehouseOps.orderState(spark, sf,
