@@ -81,12 +81,30 @@ object DataSkipping {
     * writer task instead of recomputed.
     */
   def buildManifest(s: SparkSession, path: String,
-                    cols: Seq[String]): DataFrame = {
+                    cols: Seq[String]): DataFrame =
+    fileStats(s.read.parquet(path), cols)
+
+  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    s.read.parquet(path)
-      .groupBy(col("_metadata.file_path").as("file"))
+    df.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental manifest maintenance — the write-time path: when a
+    * batch lands, stats are computed for the NEW files only (the writer
+    * knows its file list from the commit) and appended to the stored
+    * manifest. At 100 TB this is the difference between scanning one
+    * batch and rescanning the table to refresh its own index; the
+    * result is row-identical to a full rebuild (pinned in
+    * DataSkippingSpec). After a compaction, rebuild the affected
+    * directory's rows the same way — stats rows are per-file, so any
+    * file-level rewrite maps to a delete+append on the manifest.
+    */
+  def appendManifest(s: SparkSession, stored: DataFrame,
+                     newFiles: Seq[String], cols: Seq[String]): DataFrame = {
+    require(newFiles.nonEmpty, "appendManifest needs at least one new file")
+    stored.unionByName(fileStats(s.read.parquet(newFiles: _*), cols))
   }
 
   /** Read only the files whose [min, max] box can intersect the given
