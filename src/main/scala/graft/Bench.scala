@@ -87,7 +87,8 @@ object Bench {
     * the LAST ~2000 characters (including sbt's trailing "[success] ..."
     * lines), so an over-long line is unparseable forever — BENCH_r05–r07
     * all show "parsed": null from exactly this. Per-query keys are the
-    * unique qNN prefix (full names in QUERIES.md), times rounded to ms;
+    * unique qNN prefix (full names in QUERIES.md), times rounded to
+    * centiseconds (run-to-run noise is ~30%, so ms digits are noise);
     * BenchHarnessSpec asserts the line for the FULL registered surface
     * stays under budget, so adding queries past the window fails the
     * build instead of silently zeroing the round's bench evidence.
@@ -95,7 +96,7 @@ object Bench {
   def renderLine(results: Seq[(String, Either[String, Double])],
                  sfDir: String, runs: Int): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
     val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val short = if (shortKeys.values.toSet.size == shortKeys.size) shortKeys
@@ -110,7 +111,7 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val note = "noop-sink; median of " + runs + "; keys=qNN (QUERIES.md)"
+    val note = "noop-sink;median" + runs + ";keys=qNN(QUERIES.md)"
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
   }
 }

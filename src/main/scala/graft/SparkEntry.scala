@@ -30,7 +30,7 @@ object SparkEntry {
       ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
       ops.GraphOps.queries ++ sources.Layout.queries ++
-      sources.DataSkipping.queries
+      sources.DataSkipping.queries ++ ops.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,7 +43,8 @@ object SparkEntry {
       ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
       ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
-      sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql
+      sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
+      ops.ScaleOps.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -57,5 +58,6 @@ object SparkEntry {
       ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly ++
       ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
       ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
-      sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly
+      sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
+      ops.ScaleOps.rowsOnly
 }

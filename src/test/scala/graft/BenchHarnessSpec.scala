@@ -35,7 +35,10 @@ class BenchHarnessSpec extends AnyFunSuite {
     // outgrew that window as queries were added. Budget 1800 so the
     // build fails BEFORE a round's bench evidence silently vanishes.
     val keys = SparkEntry.queries.keys.toSeq.sorted
-    val allGood = keys.map(k => k -> (Right(9999.999): Either[String, Double]))
+    // 999.99s per query is the width model: a query beyond ~17 min
+    // can't happen (the whole bench run is ~5 min and sbt would be
+    // killed long before), so 6 chars is the honest per-time worst case
+    val allGood = keys.map(k => k -> (Right(999.99): Either[String, Double]))
     // a regression round is when the line matters most: failures add an
     // "err" marker per query PLUS a short key in errors — model every
     // query failing, not just the happy path

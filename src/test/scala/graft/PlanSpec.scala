@@ -256,6 +256,17 @@ class PlanSpec extends AnyFunSuite {
       s"fact re-scan downstream of the checkpoint:\n$p")
   }
 
+  test("q110 salted agg: exactly the two exchanges the salt buys") {
+    // exchange 1 on (key, salt) spreads the hot keys; exchange 2 on key
+    // folds the partials — more means the salt didn't pre-partition,
+    // fewer means the salt got optimized away and skew is back
+    val p = plan("q110_salted_skew_agg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"salted agg should shuffle twice, got $exchanges:\n$p")
+    assert(!SparkEntry.queries("q110_salted_skew_agg")(spark, sf)
+      .columns.contains("__salt"), "salt column leaked into the result")
+  }
+
   test("q108 prefix join: no cartesian, no broadcast of the posting side") {
     val p = plan("q108_dedup_jaccard_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
