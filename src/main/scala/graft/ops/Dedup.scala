@@ -112,13 +112,17 @@ object Dedup {
   }
 
   /** Internal frames for the prefix-filtered exact-Jaccard join:
-    * (posting, candidates). `posting` is the hashed, localCheckpointed
-    * posting list (as in [[jaccardPairs]]); `candidates` is the distinct
+    * (posting, filtered, candidates). `posting` is the hashed,
+    * localCheckpointed posting list (as in [[jaccardPairs]]);
+    * `filtered` is the doc-freq-capped posting list (built ONCE here —
+    * the verification step reuses it rather than re-running the df
+    * aggregate and cap join); `candidates` is the distinct
     * (doc_a, doc_b) pair set surviving the prefix filter. Split out so
     * RecallSpec can gate the candidate count against the full join's.
     */
   private[graft] def prefixJaccardFrames(s: SparkSession, d: String,
-      tNum: Int, tDen: Int, maxDocFreq: Int): (DataFrame, DataFrame) = {
+      tNum: Int, tDen: Int, maxDocFreq: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val posting = shingleSets(s, d)
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
@@ -149,7 +153,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    (posting, candidates)
+    (posting, filtered, candidates)
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING — the published exact
@@ -166,10 +170,8 @@ object Dedup {
     */
   def prefixJaccardPairs(s: SparkSession, d: String, tNum: Int, tDen: Int,
                          maxDocFreq: Int = 100): DataFrame = {
-    val (posting, candidates) = prefixJaccardFrames(s, d, tNum, tDen, maxDocFreq)
-    val docFreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val filtered = posting
-      .join(docFreq.filter(col("df") <= maxDocFreq), Seq("shingle"))
+    val (posting, filtered, candidates) =
+      prefixJaccardFrames(s, d, tNum, tDen, maxDocFreq)
     // token arrays ONLY for docs that survived into a candidate pair
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()

@@ -412,7 +412,8 @@ object LakehouseOps {
         |       CAST(b.ship_value AS DOUBLE) AS new_ship_value
         |FROM a FULL OUTER JOIN b ON a.okey = b.okey
         |WHERE a.okey IS NULL OR b.okey IS NULL
-        |   OR a.ship_qty <> b.ship_qty OR a.ship_value <> b.ship_value
+        |   OR a.ship_qty IS DISTINCT FROM b.ship_qty
+        |   OR a.ship_value IS DISTINCT FROM b.ship_value
         |ORDER BY change_type, okey""".stripMargin,
 
     // the oracle computes the SAME 64-bit row hash via md5_number_lower,

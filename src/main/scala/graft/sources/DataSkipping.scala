@@ -264,11 +264,14 @@ object DataSkipping {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
-    // the epoch rule made explicit: value exists only from the cutoff on
+    // the epoch rule made explicit: value exists only from the cutoff
+    // on. n_with_value counts NON-NULL values inside the epoch (CASE ...
+    // THEN value, not THEN 1) so both engines agree even if the datagen
+    // ever emits a null value for a post-cutoff row
     "q106_schema_evolution" ->
       """SELECT event_type, COUNT(*) AS n,
         |       COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
-        |                  THEN 1 END) AS n_with_value,
+        |                  THEN value END) AS n_with_value,
         |       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
         |                     THEN CAST(value AS DECIMAL(18,2))
         |                     ELSE CAST(0 AS DECIMAL(18,2)) END)

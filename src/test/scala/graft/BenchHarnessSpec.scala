@@ -39,9 +39,10 @@ class BenchHarnessSpec extends AnyFunSuite {
     // can't happen (the whole bench run is ~5 min and sbt would be
     // killed long before), so 6 chars is the honest per-time worst case
     val allGood = keys.map(k => k -> (Right(999.99): Either[String, Double]))
-    // a regression round is when the line matters most: failures add an
-    // "err" marker per query PLUS a short key in errors — model every
-    // query failing, not just the happy path
+    // a regression round is when the line matters most: a failed query
+    // renders ONLY as its short key in errors (it leaves the queries
+    // object entirely), so the all-fail line must also fit — and be
+    // shorter than the all-success one
     val allBad = keys.map(k => k -> (Left("boom"): Either[String, Double]))
     for (results <- Seq(allGood, allBad)) {
       val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3)

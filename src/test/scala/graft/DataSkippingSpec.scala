@@ -105,10 +105,14 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/batch=2").columns.contains("value"))
     val merged = spark.read.option("mergeSchema", "true").parquet(root)
     assert(merged.columns.contains("value"))
-    // null exactly where the column predates its addition
+    // pre-evolution rows MUST be null (their files lack the column);
+    // post-cutoff rows carry whatever the source had — don't assume the
+    // datagen never emits a null value there
     val cutoff = lit("2024-01-16").cast("date")
-    assert(merged.filter(col("value").isNull =!=
-      (to_date(col("ts")) < cutoff)).count() == 0)
+    assert(merged.filter(to_date(col("ts")) < cutoff &&
+      col("value").isNotNull).count() == 0)
+    assert(merged.filter(to_date(col("ts")) >= cutoff &&
+      col("value").isNotNull).count() > 0)
     // crude as-of: batch <= 1 is the table before the evolution
     val asOf = merged.filter(col("batch") === 1)
     val expected = Tables.events(spark, sf)

@@ -39,11 +39,8 @@ class RecallSpec extends AnyFunSuite {
     assert(full.nonEmpty, "degenerate gate: no pairs at t=0.8 at this SF")
     // the point of the prefix: strictly fewer candidate pairs than
     // "docs sharing ANY capped shingle" (what the full join enumerates)
-    val (posting, candidates) =
+    val (_, filtered, candidates) =
       ops.Dedup.prefixJaccardFrames(spark, d, 4, 5, 100)
-    val docFreq = posting.groupBy("shingle")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    val filtered = posting.join(docFreq, Seq("shingle"))
     val fullCandidates = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
