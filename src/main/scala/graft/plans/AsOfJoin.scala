@@ -49,6 +49,38 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Predicate pushdown THROUGH the custom as-of node. Catalyst's
+  * `PushDownPredicates` only understands built-in operators, so without
+  * this rule any filter above an as-of join stays above it — the fact
+  * scan reads and shuffles every row just to discard most of them after
+  * the join, exactly the regression `PlanSpec` exists to prevent, but
+  * silently re-introduced by the custom operator.
+  *
+  * Sound for LEFT-side deterministic predicates only: each output row's
+  * left attributes come verbatim from one left row, and removing a left
+  * row can never change another row's match (matching is per-left-row
+  * against the right side). Right-side predicates must NOT push: they
+  * would change WHICH right row is the latest eligible match (filter-
+  * then-match vs match-then-filter), so they stay above the join.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, maxGroup, false) =>
@@ -282,10 +314,14 @@ object AsOf {
     */
   val DefaultMaxBuildGroupSize: Long = 8L * 1000 * 1000
 
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
 
   /** As-of join on `leftOn == rightOn` with `rightTime <= leftTime`,
     * latest-wins, ties broken by greatest `tieBreak` (a right-side

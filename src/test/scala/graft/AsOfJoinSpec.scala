@@ -213,4 +213,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"as-of fell back to a cross join:\n$p")
   }
+
+  test("left-side filters push THROUGH the as-of node to the scan") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val joined = AsOf.join(spark, e, o,
+      Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+    val filtered = joined.filter(col("event_id") < 100)
+    // the rewrite must reach the events parquet scan as a pushed filter
+    // — without PushFilterThroughAsOfJoin the predicate is stuck above
+    // the custom node and the fact scan reads everything
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(event_id,100)"),
+      s"left predicate did not reach the scan as a pushed filter:\n$p")
+    // and the rewrite is invisible in the result
+    val expected = joined.collect().filter(_.getLong(0) < 100).toSet
+    assert(filtered.collect().toSet == expected)
+    assert(expected.nonEmpty, "degenerate: empty filtered result")
+  }
+
+  test("right-side filters stay ABOVE the join (match-then-filter semantics)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val joined = AsOf.join(spark, e, o,
+      Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+    val pred = col("o_totalprice") > 100000.0
+    // pushing this into the right child would MATCH A DIFFERENT ORDER
+    // (the latest order passing the filter instead of the latest order);
+    // correct semantics filter the matched row
+    val viaPlan = joined.filter(pred).collect().toSet
+    val reference = joined.collect()
+      .filter(_.getAs[Double]("o_totalprice") > 100000.0).toSet
+    assert(viaPlan == reference, "right-side predicate changed match semantics")
+    assert(reference.nonEmpty && reference.size < joined.count(),
+      "degenerate right-side predicate")
+    // the orders scan must NOT carry the pushed price predicate
+    val p = joined.filter(pred).queryExecution.executedPlan.toString
+    assert(!p.contains("GreaterThan(o_totalprice"),
+      s"right predicate wrongly pushed into the build side:\n$p")
+  }
 }
