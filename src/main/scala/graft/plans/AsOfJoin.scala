@@ -319,8 +319,18 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      // extraOptimizations run as a FIXPOINT batch but AFTER the main
+      // optimizer — a predicate our rule pushes below the as-of node
+      // would stop at the first built-in operator (PushDownPredicates
+      // already ran). Appending Catalyst's own PushDownPredicates to the
+      // same batch lets the two alternate to a fixpoint, so the filter
+      // cascades through a composed left side all the way to the scan.
+      // (The GraftExtensions path doesn't need this: injectOptimizerRule
+      // joins the main operator-optimization fixpoint directly.)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+        spark.experimental.extraOptimizations :+
+          PushFilterThroughAsOfJoin :+
+          org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
   }
 
   /** As-of join on `leftOn == rightOn` with `rightTime <= leftTime`,

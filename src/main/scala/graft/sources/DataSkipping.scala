@@ -268,15 +268,20 @@ object DataSkipping {
     // on. n_with_value counts NON-NULL values inside the epoch (CASE ...
     // THEN value, not THEN 1) so both engines agree even if the datagen
     // ever emits a null value for a post-cutoff row
+    // COALESCE on the sum (an all-null group sums to NULL in SQL, 0.0 in
+    // the Spark coalesce form) and ts IS NOT NULL (a null-ts row lands
+    // in NEITHER layout epoch, so the raw-table oracle must not count
+    // it) keep the compare robust to hostile datagen, not just today's
     "q106_schema_evolution" ->
       """SELECT event_type, COUNT(*) AS n,
         |       COUNT(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
         |                  THEN value END) AS n_with_value,
-        |       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |       CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
         |                     THEN CAST(value AS DECIMAL(18,2))
-        |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END), 0)
         |            AS DOUBLE) AS total_value
         |FROM events
+        |WHERE ts IS NOT NULL
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
   )

@@ -234,6 +234,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate: empty filtered result")
   }
 
+  test("pushdown cascades through a COMPOSED left side to the scan") {
+    // the left child is itself a join — our rule only moves the filter
+    // below the as-of node; Catalyst's PushDownPredicates (appended to
+    // the same fixpoint batch by AsOf.install) must take it the rest of
+    // the way through the inner join to the events scan
+    val d = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val left = Tables.events(spark, d)
+      .select("event_id", "user_id", "ts")
+      .join(broadcast(cust), Seq("user_id"))
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val p = AsOf.join(spark, left, o,
+      Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+      .filter(col("event_id") < 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(event_id,100)"),
+      s"predicate stalled above the composed left side:\n$p")
+  }
+
   test("right-side filters stay ABOVE the join (match-then-filter semantics)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
