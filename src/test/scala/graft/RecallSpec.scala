@@ -51,6 +51,19 @@ class RecallSpec extends AnyFunSuite {
       s"prefix filter pruned nothing: $prefCandidates vs $fullCandidates")
   }
 
+  test("prefix filter stays exact at a second threshold (different bound arithmetic)") {
+    // t = 1/2 exercises beta = ceil(n'/3) instead of t=0.8's ceil(4n'/9)
+    // — the integer prefix bound must stay conservative at every
+    // threshold, not just the registered one
+    val full = ops.Dedup.jaccardPairs(spark, d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = ops.Dedup.prefixJaccardPairs(spark, d, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert(pref == full,
+      s"missing ${full.diff(pref)}, extra ${pref.diff(full)}")
+  }
+
   test("q31 LSH KNN: recall >= 0.8 of the exact top-k (q30)") {
     val exact = pairs(SparkEntry.queries("q30_knn_bruteforce")(spark, d))
     val lsh = pairs(SparkEntry.queries("q31_knn_lsh")(spark, d))
