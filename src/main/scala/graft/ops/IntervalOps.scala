@@ -30,17 +30,24 @@ object IntervalOps {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
+      // both sides derive from the SAME frame, so unqualified
+      // `purchases("user_id") === clicks("user_id")` is the classic
+      // self-join ambiguity (Spark warns "trivially true equals
+      // predicate" and a refactor could silently degrade it to a
+      // cross-user join); explicit aliases make the key unambiguous
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+        .as("p")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("value").as("c_value"),
           col("us").as("c_us"))
+        .as("c")
       purchases.join(clicks,
-          purchases("user_id") === clicks("user_id") &&
+          col("p.user_id") === col("c.user_id") &&
             col("c_us") >= col("p_us") - WindowUs &&
             col("c_us") < col("p_us"),
           "left_outer")
-        .groupBy(purchases("event_id"), purchases("user_id"))
+        .groupBy(col("p.event_id"), col("p.user_id"))
         .agg(count(col("c_us")).as("n_clicks"),
           coalesce(sum(col("c_value").cast("decimal(18,6)")).cast("double"),
             lit(0.0)).as("click_value"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Warehouse-lifecycle operators beyond the reference's one-shot load
-  * (`SQL/02_load_star_schema.sql` rebuilds dims in full each run): SCD
+  * (`load_to_postgres.py` rebuilds dims in full each run): SCD
   * type-2 history tracking and incremental gold maintenance — the two
   * operations that replace "recompute everything" once the fact history
   * is too large to rescan.
