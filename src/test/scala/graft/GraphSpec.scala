@@ -44,6 +44,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 10, "degenerate uniform ranks")
   }
 
+  test("convergence early-exit fires on an already-converged graph and never degrades accuracy") {
+    import spark.implicits._
+    // A <-> B with uniform init is a fixpoint from round 1: maxDelta = 0,
+    // so with eps on the loop must stop long before the iteration cap
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("id")
+    val (rdf, rounds) = ops.GraphOps.pageRankWithStats(edges, nodes,
+      iters = 50, eps = ops.GraphOps.Eps)
+    val r = rdf.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(rounds < 50, s"early-exit never fired ($rounds rounds)")
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+    // q93's own graph decays at ~0.82/round (ProfPR: maxDelta 2.4e-5 at
+    // round 10), so Eps=1e-6 must NOT fire inside the 10-round budget —
+    // the early-exit is a capability, not a change to q93's output
+    val knnEdges = ops.SimilaritySearch.graphQueries("q90_knn_graph_lsh")(spark, sf)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val knnNodes = Tables.embeddings(spark, sf).select(col("vec_id").as("id"))
+    val (_, knnRounds) = ops.GraphOps.pageRankWithStats(knnEdges, knnNodes,
+      iters = ops.GraphOps.Iters, eps = ops.GraphOps.Eps)
+    assert(knnRounds == ops.GraphOps.Iters,
+      s"eps fired at round $knnRounds on the k-NN graph — q93 output changed")
+  }
+
   test("pageRank is exact on a hand-computed 3-node fixture") {
     import spark.implicits._
     // A -> B, B -> A, C dangling. Symmetry of A/B + C's uniform leak
