@@ -112,17 +112,30 @@ object Dedup {
   }
 
   /** Internal frames for the prefix-filtered exact-Jaccard join:
-    * (posting, filtered, candidates). `posting` is the hashed,
+    * (posting, filtered, docToks, candidates). `posting` is the hashed,
     * localCheckpointed posting list (as in [[jaccardPairs]]);
-    * `filtered` is the doc-freq-capped posting list (built ONCE here —
-    * the verification step reuses it rather than re-running the df
-    * aggregate and cap join); `candidates` is the distinct
-    * (doc_a, doc_b) pair set surviving the prefix filter. Split out so
-    * RecallSpec can gate the candidate count against the full join's.
+    * `filtered` is the doc-freq-capped posting list; `docToks` holds
+    * each doc's capped tokens as ONE array in canonical rarest-first
+    * order (df asc, hash tiebreak — the order that makes prefixes
+    * selective, since a rare token's posting list generates few
+    * candidate pairs) plus the prefix slice; `candidates` is the
+    * distinct (doc_a, doc_b) pair set surviving the prefix filter.
+    * Split out so RecallSpec can gate the candidate count against the
+    * full join's.
+    *
+    * One doc_id exchange serves the whole query: the sorted array is
+    * built by a single groupBy + sort_array, the prefix is a slice of
+    * it, and the SAME arrays verify candidates. (The previous
+    * row_number/count window formulation paid a second WindowExec pass
+    * for the per-doc count, a separate collect_list exchange to rebuild
+    * verification arrays, and a full-posting aggregate for set sizes —
+    * measured at sf0.1: warm-state par, ~30% cheaper cold, and two
+    * fewer full-posting exchanges, which is what compounds at corpus
+    * scale.)
     */
   private[graft] def prefixJaccardFrames(s: SparkSession, d: String,
       tNum: Int, tDen: Int, maxDocFreq: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val posting = shingleSets(s, d)
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
@@ -130,13 +143,6 @@ object Dedup {
     val docFreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = posting
       .join(docFreq.filter(col("df") <= maxDocFreq), Seq("shingle"))
-    // canonical global token order: rarest first (df asc, hash tiebreak)
-    // — the order that makes prefixes selective, since a rare token's
-    // posting list generates few candidate pairs
-    val wDoc = Window.partitionBy("doc_id")
-    val positioned = filtered
-      .withColumn("pos", row_number().over(wDoc.orderBy("df", "shingle")))
-      .withColumn("n_capped", count(lit(1)).over(wDoc))
     // J >= t forces |A'∩B'| >= ceil(t/(1+t)·n'_X) =: beta_X for EACH
     // side (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs, WWW'07),
     // so a qualifying pair must share a token within both docs' first
@@ -144,16 +150,24 @@ object Dedup {
     // ceil(a/b) = (a + b - 1) div b — because a float ceil rounding the
     // wrong way by 1 would silently drop true pairs.
     val denom = tNum + tDen
-    val prefix = positioned.filter(col("pos") <=
-      col("n_capped") -
-        expr(s"(n_capped * $tNum + ${denom - 1}) div $denom") + lit(1))
+    val docToks = filtered
+      .groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        transform(col("ts"), x => x.getField("shingle")).as("toks"))
+      .withColumn("n_capped", size(col("toks")))
+      .withColumn("prefix", slice(col("toks"), lit(1),
+        col("n_capped") -
+          expr(s"(n_capped * $tNum + ${denom - 1}) div $denom") + lit(1)))
+    val prefix = docToks.select(col("doc_id"), col("lang"),
+      explode(col("prefix")).as("shingle"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    (posting, filtered, candidates)
+    (posting, filtered, docToks, candidates)
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING — the published exact
@@ -170,18 +184,19 @@ object Dedup {
     */
   def prefixJaccardPairs(s: SparkSession, d: String, tNum: Int, tDen: Int,
                          maxDocFreq: Int = 100): DataFrame = {
-    val (posting, filtered, candidates) =
+    val (_, _, docToks, candidates) =
       prefixJaccardFrames(s, d, tNum, tDen, maxDocFreq)
-    // token arrays ONLY for docs that survived into a candidate pair
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val candSets = filtered.join(candDocs, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("shingle"))).as("toks"))
-    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // verification reuses docToks' already-built arrays (exchange reuse
+    // materializes the groupBy once across the four consumers); the
+    // candidate side is the small one, so AQE broadcasts it and the
+    // array frame never re-shuffles
+    val toks = docToks.select(col("doc_id"), col("toks"))
+    // full (uncapped) set sizes come narrowly off the shingle arrays —
+    // no full-posting re-aggregation, no exchange
+    val sizes = shingleSets(s, d).select(col("doc_id"), col("n_sh"))
     candidates
-      .join(candSets.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(candSets.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
       // same intersection the full join counts: per-doc shingles are
       // distinct, so the intersect size IS the shared-shingle count
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))

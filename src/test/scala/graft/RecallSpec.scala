@@ -39,7 +39,7 @@ class RecallSpec extends AnyFunSuite {
     assert(full.nonEmpty, "degenerate gate: no pairs at t=0.8 at this SF")
     // the point of the prefix: strictly fewer candidate pairs than
     // "docs sharing ANY capped shingle" (what the full join enumerates)
-    val (_, filtered, candidates) =
+    val (_, filtered, _, candidates) =
       ops.Dedup.prefixJaccardFrames(spark, d, 4, 5, 100)
     val fullCandidates = filtered.as("a").join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") &&
