@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * measured plan = registered plan. METHODOLOGY BREAK vs rounds ≤4:
   * totals are not comparable with BENCH_r04 and earlier; expression-
   * heavy queries report honestly higher times from round 5 on.
+  *
+  * Cross-SESSION variance caveat (r8→r9 investigation): median-of-3
+  * absorbs within-session noise but not machine-level contention across
+  * whole bench invocations — the r8 round file read q36–q44 at 1.5–2.8x
+  * and q93/q108 at ~2.4–4.6x their steady-state times with zero code
+  * change, and two full 111-query sessions the next round reproduced
+  * none of it (same code, r7-level times). Treat a cross-round delta as
+  * real only when it survives a re-run in a quiet session; within-run
+  * ordering effects are already controlled (sorted order, untimed
+  * warmup, inter-query GC).
   */
 object Bench {
 
