@@ -30,7 +30,8 @@ object SparkEntry {
       ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
       ops.GraphOps.queries ++ sources.Layout.queries ++
-      sources.DataSkipping.queries ++ ops.ScaleOps.queries
+      sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
+      ops.SegmentDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,7 +45,7 @@ object SparkEntry {
       ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
       sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
-      ops.ScaleOps.oracleSql
+      ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -59,5 +60,5 @@ object SparkEntry {
       ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
       ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
       sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
-      ops.ScaleOps.rowsOnly
+      ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly
 }

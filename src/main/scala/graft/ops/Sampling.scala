@@ -15,6 +15,11 @@ import graft.Tables
   */
 object Sampling {
 
+  /** Max passes over any single source in the q114 mixing plan (the
+    * standard "small sources repeat, but never more than a few epochs"
+    * curation rule). */
+  val MaxEpochs = 4L
+
   /** First `n` hex chars of md5 of the row id — uniform in [0, 16^n),
     * compared lexicographically (fixed-length lowercase hex, so string
     * order IS numeric order).
@@ -89,6 +94,43 @@ object Sampling {
         .filter(hexPrefix(col("doc_id"), 4) < cutoff)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // token-budget mixture planning (q78's sibling for the UP-weighting
+    // direction): given a training budget of half the corpus, allocate
+    // per-source token quotas by temperature weights w_s = isqrt(T_s)
+    // (α = 0.5), then turn each quota into an epoch count capped at
+    // MaxEpochs — the LLaMA-style "how many passes over each source"
+    // plan. ENTIRELY integer arithmetic: weights are floor(sqrt) of
+    // bigints (cast→sqrt→floor is correctly rounded in both engines,
+    // so the integers agree), the quota split is the overflow-safe
+    // decomposition w*(B/W) + w*(B%B mod W)/W — exact floor(B*w/W)
+    // without ever forming B*w (which would wrap at corpus scale:
+    // B ~ 2^44 tokens × w ~ 2^21 exceeds int64) — and epoch ceils are
+    // (a + b - 1) div b. One tiny per-source aggregate + a 1-row
+    // broadcast; every output value hash-compares exactly.
+    "q114_token_budget_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = least(ceil(coalesce(col("n_chars"), lit(0L)).cast("double") / 4.0),
+        lit(2048L)).cast("long")
+      val perSource = docs.groupBy("source").agg(sum(tok).as("t_s"))
+        .withColumn("w", floor(sqrt(col("t_s").cast("double"))).cast("long"))
+      val totals = perSource.agg(
+        sum(col("t_s")).cast("long").as("t_total"),
+        sum(col("w")).cast("long").as("w_total"))
+        .withColumn("budget", expr("t_total div 2"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("alloc_tokens",
+          expr("w * (budget div w_total) + (w * (budget % w_total)) div w_total"))
+        .withColumn("epochs_raw",
+          when(col("t_s") === 0, 0L)
+            .otherwise(expr("(alloc_tokens + t_s - 1) div t_s")))
+        .select(col("source"), col("t_s").as("tokens_avail"), col("w"),
+          col("alloc_tokens"),
+          least(col("epochs_raw"), lit(MaxEpochs)).as("epochs"),
+          (col("epochs_raw") > MaxEpochs).as("capped"),
+          least(col("alloc_tokens"), col("t_s") * MaxEpochs).as("final_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -135,7 +177,37 @@ object Sampling {
         |FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '1000' ELSE '8000' END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q114_token_budget_plan" ->
+      """WITH per_source AS (
+        |  SELECT source,
+        |         CAST(SUM(CAST(LEAST(CEIL(CAST(COALESCE(n_chars, 0) AS DOUBLE) / 4.0), 2048) AS BIGINT)) AS BIGINT) AS t_s
+        |  FROM documents GROUP BY source
+        |), weighted AS (
+        |  SELECT source, t_s,
+        |         CAST(FLOOR(SQRT(CAST(t_s AS DOUBLE))) AS BIGINT) AS w
+        |  FROM per_source
+        |), totals AS (
+        |  SELECT CAST(SUM(t_s) AS BIGINT) // 2 AS budget,
+        |         CAST(SUM(w) AS BIGINT) AS w_total
+        |  FROM weighted
+        |), planned AS (
+        |  SELECT source, t_s, w,
+        |         w * (budget // w_total) + (w * (budget % w_total)) // w_total AS alloc_tokens
+        |  FROM weighted, totals
+        |), epochs AS (
+        |  SELECT source, t_s, w, alloc_tokens,
+        |         CASE WHEN t_s = 0 THEN 0
+        |              ELSE (alloc_tokens + t_s - 1) // t_s END AS epochs_raw
+        |  FROM planned
+        |)
+        |SELECT source, t_s AS tokens_avail, w, alloc_tokens,
+        |       LEAST(epochs_raw, 4) AS epochs,
+        |       epochs_raw > 4 AS capped,
+        |       LEAST(alloc_tokens, t_s * 4) AS final_tokens
+        |FROM epochs
+        |ORDER BY source""".stripMargin
   )
 
   val rowsOnly: Set[String] = Set.empty

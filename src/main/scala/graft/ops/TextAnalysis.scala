@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -12,6 +12,10 @@ import graft.functions.TextFunctions._
   * with corpus size.
   */
 object TextAnalysis {
+
+  /** The fixed q115 retrieval query — terms from the corpus vocabulary
+    * so tf/df are non-degenerate at every SF. */
+  val BM25QueryTerms: Seq[String] = Seq("spark", "join", "window")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish lexical tokens + diversity
@@ -136,6 +140,51 @@ object TextAnalysis {
         .select(explode(col("merged")).as(Seq("token", "est_count")))
         .orderBy(col("est_count").desc, col("token"))
         .limit(20)
+    }),
+
+    // BM25 retrieval (Robertson–Spärck Jones, the Okapi form): top-10
+    // docs for a fixed 3-term query. Completes the lexical-scoring
+    // family — q76's TF-IDF ranks terms WITHIN a doc; BM25 ranks docs
+    // FOR a query, with tf saturation (k1) and length normalization
+    // (b). Shapes for scale: tf per query term is a NARROW array
+    // filter over the token array (the query is a known literal set —
+    // no posting-list explode, zero exchanges to score); df/N/Σdl is
+    // ONE tiny aggregate broadcast back; top-10 is TakeOrdered, never
+    // a global sort. Cross-engine floats: avgdl = exact-int Σdl / N,
+    // one correctly-rounded ln per df, identical expression shape both
+    // sides, and the hash compares round(score, 6) — the q78 rate
+    // discipline.
+    "q115_bm25_retrieval" -> ((s, d) => {
+      // k1 = 1.2, b = 0.75; k1+1 is written as the literal 2.2 so the
+      // oracle's parsed double is bit-identical (a Scala-side 1.2 + 1
+      // and a SQL-parsed "2.2" may round differently at the last ulp)
+      val (k1, k1p1, b) = (1.2, 2.2, 0.75)
+      val terms = BM25QueryTerms
+      val w = tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: size(w).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(w, x => x === lit(t))).cast("long").as(s"tf$i")
+          }: _*)
+      val dfCols = terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).as("sum_dl") +: dfCols): _*)
+      val scored = base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("score", terms.indices.map { i =>
+          val tf = col(s"tf$i").cast("double")
+          val idf = log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+            (col(s"df$i") + lit(0.5)) + lit(1.0))
+          idf * (tf * lit(k1p1)) /
+            (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        }.reduce(_ + _))
+        .withColumn("score_r", round(col("score"), 6))
+      scored.select(
+        (col("doc_id") +: col("dl") +:
+          terms.indices.map(i => col(s"tf$i")) :+ col("score_r")): _*)
+        .orderBy(col("score_r").desc, col("doc_id"))
+        .limit(10)
     }),
 
     // CAPSTONE: the manifest a training run starts from, composing the
@@ -264,6 +313,43 @@ object TextAnalysis {
       |            ELSE 'zh' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // expression SHAPE mirrors the Spark side exactly (same literals,
+    // same association) so every double derives identically; the hash
+    // compares round(score, 6)
+    "q115_bm25_retrieval" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(w) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf2
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM base
+        |), scored AS (
+        |  SELECT b.doc_id, b.dl, b.tf0, b.tf1, b.tf2,
+        |         ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |           * (CAST(tf0 AS DOUBLE) * 2.2)
+        |           / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |       + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |           * (CAST(tf1 AS DOUBLE) * 2.2)
+        |           / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |       + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |           * (CAST(tf2 AS DOUBLE) * 2.2)
+        |           / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |         AS score
+        |  FROM base b, stats
+        |)
+        |SELECT doc_id, dl, tf0, tf1, tf2, ROUND(score, 6) AS score_r
+        |FROM scored
+        |ORDER BY score_r DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
     "q76_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS term, COUNT(*) AS tf

@@ -162,4 +162,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(est == Seq(("A", 2019L, 2000L), ("N", 2019L, 2000L), ("R", 2019L, 2000L)),
       s"HLL estimate drifted: $est")
   }
+
+  test("q115 BM25 matches an independent scalar reimplementation bit-for-bit") {
+    // recompute everything (tokenization, tf, df, avgdl, scores, top-10)
+    // in plain Scala from the raw text — same double formula, same
+    // association order — and require exact row equality including the
+    // rounded score. Catches any drift in the columnar expression shape.
+    val small = "/root/testdata/sf0.001"
+    val terms = graft.ops.TextAnalysis.BM25QueryTerms
+    val raw = Tables.documents(spark, small)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toks = raw.map { case (id, t) => (id, t.trim.split("\\s+").toSeq) }
+    val n = toks.length.toLong
+    val sumDl = toks.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / n
+    val tf = toks.map { case (id, w) =>
+      (id, w.length.toLong, terms.map(q => w.count(_ == q).toLong))
+    }
+    val df = terms.indices.map(i => tf.count(_._3(i) > 0).toLong)
+    def score(dl: Long, tfs: Seq[Long]): Double =
+      terms.indices.map { i =>
+        val t = tfs(i).toDouble
+        val idf = math.log((n - df(i) + 0.5) / (df(i) + 0.5) + 1.0)
+        idf * (t * 2.2) / (t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      }.reduce(_ + _)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tf.map { case (id, dl, tfs) =>
+      (id, dl, tfs(0), tfs(1), tfs(2), r6(score(dl, tfs)))
+    }.sortBy { case (id, _, _, _, _, s) => (-s, id) }.take(10).toSeq
+    val got = SparkEntry.queries("q115_bm25_retrieval")(spark, small)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(_._6 > 0.0), "testdata trap: all-zero BM25 scores")
+  }
 }

@@ -70,4 +70,37 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(got("src_big") == ((16L, expectBig.toLong, 0.5)), s"got $got")
   }
+
+  test("q114 budget plan: hand-computed quotas, epoch cap fires, integer-exact") {
+    import spark.implicits._
+    // src_a: 1 doc, 16 chars → 4 tokens; src_b: 4 docs, 400 chars → 400.
+    // w = (2, 20), W = 22, total = 404, budget = 202.
+    // alloc_a = 2*(202/22) + (2*(202%22))/22 = 18 + 0 = 18 → epochs
+    // ceil(18/4) = 5, CAPPED to 4, final = min(18, 16) = 16.
+    // alloc_b = 20*9 + (20*4)/22 = 183 → 1 epoch, final 183.
+    val dir = "/tmp/graft_test_budget"
+    val docs = Seq((1L, "t", "en", "src_a", 16L)) ++
+      (101L to 104L).map(i => (i, "t", "en", "src_b", 400L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q114_token_budget_plan")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getLong(6)))).toMap
+    assert(got("src_a") == ((4L, 2L, 18L, 4L, true, 16L)), s"got $got")
+    assert(got("src_b") == ((400L, 20L, 183L, 1L, false, 183L)), s"got $got")
+  }
+
+  test("q114 conserves the budget and respects the cap on real data") {
+    val rows = SparkEntry.queries("q114_token_budget_plan")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getLong(1)).sum / 2
+    assert(rows.map(_.getLong(3)).sum <= budget,
+      "sum of floor-quotas may never exceed the budget")
+    for (r <- rows) {
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 4, s"epochs out of range: $r")
+      assert(r.getLong(6) <= r.getLong(3), s"final > alloc: $r")
+      assert(r.getLong(6) <= 4 * r.getLong(1), s"final > cap x avail: $r")
+    }
+  }
 }
