@@ -61,9 +61,15 @@ object SegmentDedup {
 
   /** The q112 segment frame: one row per (doc_id, seg_idx) with the
     * segment text and digest. Narrow — no exchange. */
-  private[graft] def segments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def segments(s: SparkSession, d: String): DataFrame =
+    segmentsOf(Tables.documents(s, d))
+
+  /** Frame-parameterized twin of [[segments]] so specs can run the
+    * operator over constructed fixtures (the testdata has no natural
+    * byte-identical docs at any SF — measured, r9 verdict). */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame = {
     val w = tokens(col("text"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), col("w"),
         posexplode(sequence(lit(0), size(col("w")) - 1, lit(SegTokens))))
@@ -73,8 +79,12 @@ object SegmentDedup {
   }
 
   /** q112 core, exposed for the spec's invariant checks. */
-  private[graft] def segmentDedup(s: SparkSession, d: String): DataFrame = {
-    val segs = segments(s, d)
+  private[graft] def segmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedupOf(Tables.documents(s, d))
+
+  /** Frame-parameterized twin of [[segmentDedup]] (see [[segmentsOf]]). */
+  private[graft] def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val segs = segmentsOf(docs)
     // first global occurrence of each distinct segment: hash agg on the
     // digest, then join the winners back on the same key (AQE sizes it)
     val keepers = segs
