@@ -31,7 +31,7 @@ object SparkEntry {
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
       ops.GraphOps.queries ++ sources.Layout.queries ++
       sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
-      ops.SegmentDedup.queries
+      ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,7 +45,8 @@ object SparkEntry {
       ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
       sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
-      ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql
+      ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
+      streaming.StreamingQueries.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in

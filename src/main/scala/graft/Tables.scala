@@ -17,8 +17,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
     * type for. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
@@ -26,17 +28,31 @@ object Tables {
     * microsecond TimestampType column here so downstream code sees one
     * schema. Day/hour/month truncations are unaffected by the ns→µs cut.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"), "ts")
+
+  /** The driver regenerates testdata between rounds and the parquet flavor of
+    * `events.ts` has drifted (timestamp[ns] → timestamp[us] no-tz). Normalize
+    * every flavor to session-TZ TimestampType at the loader so no query ever
+    * branches on it:
+    *  - LongType epoch nanos (legacy, via nanosAsLong=true): integer `div`,
+    *    NOT `/` — Column./ is DOUBLE division and epoch nanos (~1.7e18) exceed
+    *    double's 2^53 mantissa; `(ts / 1000L).cast("long")` came back ±1µs on
+    *    ~12% of rows (caught by q58's session bounds).
+    *  - TimestampNTZType (parquet timestamp[us] without tz): cast to
+    *    TimestampType. Session TZ is pinned UTC everywhere (Verify/Bench/
+    *    tests), so the instant is unchanged and matches DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` oracle semantics.
+    *  - TimestampType: pass through.
+    */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = table(s, d, "events")
-    // integer `div`, NOT `/`: Column./ is a DOUBLE division, and epoch
-    // nanos (~1.7e18) are far beyond double's 2^53 mantissa — the old
-    // `(ts / 1000L).cast("long")` came back ±1µs on ~12% of rows (caught
-    // by q58's session bounds; hour-grain queries never noticed)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -28,6 +28,28 @@ object EmbeddingOps {
   /** Symmetric int8 range: quantized components live in [-127, 127]. */
   val QuantLevels = 127
 
+  /** q101's `crossJoin(broadcast(test))` shape is correct ONLY while the
+    * held-out side stays driver-broadcastable. Real eval sets are small
+    * by construction, but q101's test split is hash-DEFINED as 2/16 of
+    * the corpus — a fraction, not a bound — which does NOT stay small at
+    * 100 TB. This guard makes that assumption fail LOUDLY (limit+count:
+    * scans at most MaxBroadcastRows+1 rows, never the full side) instead
+    * of as a driver OOM; an unbounded test split belongs on q74's
+    * bipartite-LSH path, which banded-joins the two sides without ever
+    * broadcasting either.
+    */
+  val MaxBroadcastRows = 2000000L
+
+  private[graft] def guardBroadcastSide(side: DataFrame,
+                                        max: Long = MaxBroadcastRows): DataFrame = {
+    val n = side.limit((max + 1).toInt).count()
+    require(n <= max,
+      s"broadcast side has > $max rows: the crossJoin(broadcast(...)) " +
+        "decontamination shape assumes a bounded held-out set — route " +
+        "unbounded test splits to q74's bipartite-LSH path")
+    side
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // int8 quantization round-trip report. All narrow per-row math over
     // the vector column — no shuffle but the presentation sort. The
@@ -107,8 +129,9 @@ object EmbeddingOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           (Sampling.splitOf(col("vec_id")) === "test").as("is_test"))
       val train = e.filter(!col("is_test")).select(col("vec_id"), col("v"))
-      val test = e.filter(col("is_test"))
-        .select(col("vec_id").as("t_id"), col("v").as("tv"))
+      val test = guardBroadcastSide(
+        e.filter(col("is_test"))
+          .select(col("vec_id").as("t_id"), col("v").as("tv")))
       train.crossJoin(broadcast(test))
         .groupBy("vec_id")
         .agg(max(cosine(col("v"), col("tv"))).as("max_cos"))

@@ -118,7 +118,10 @@ object GraphOps {
     // conservation and a driver-side reference replay instead, and the
     // output rounds to 6 digits so the report is presentation-stable.
     "q93_pagerank" -> ((s, d) => {
-      val edges = SimilaritySearch.graphQueries("q90_knn_graph_lsh")(s, d)
+      // memoized q90 graph — the edge build is shared with q90/q43/q68,
+      // not recomputed per consumer (and the memo skips q90's orderBy,
+      // which PageRank doesn't need)
+      val edges = SimilaritySearch.knnGraphLsh(s, d)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       val nodes = graft.Tables.embeddings(s, d).select(col("vec_id").as("id"))
       pageRank(edges, nodes, Iters, Eps)

@@ -26,11 +26,9 @@ object EventsStreaming {
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
-    // same ns→µs normalization as Tables.events (integer div — Column./
-    // is a double division and epoch nanos overflow double's mantissa)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same flavor normalization as Tables.events (nanos-long / NTZ / TZ);
+    // must happen BEFORE any withWatermark — watermarks reject NTZ
+    graft.Tables.normalizeTs(raw, "ts")
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour
@@ -41,7 +39,11 @@ object EventsStreaming {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-exact sum (q32's sumMoney discipline): a double sum's
+      // result depends on partition arrival order, which would make the
+      // streaming replay hash-unstable vs the batch/oracle twin
+      .agg(count(lit(1)).as("n"),
+        graft.ops.StarSchema.sumMoney(col("value")).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Driver-visible queries that execute through the Structured Streaming
+  * engine (MicroBatchExecution + stateful aggregation), not the batch
+  * planner. The nine streaming plans in [[EventsStreaming]] are pinned
+  * batch-equal by StreamingSpec; this registers the flagship one as a
+  * CORRECTNESS entry so the oracle checks the streaming engine itself:
+  * an AvailableNow replay of the bounded events table through the
+  * windowed-aggregation plan must land on exactly the batch q32 answer.
+  */
+object StreamingQueries {
+
+  /** FileStreamSource needs a directory; the testdata is one parquet
+    * FILE per table. Stage via symlink (no copy — sf0.1 events is tens
+    * of MB and Verify/Bench call this once per run), one staging dir per
+    * source dir so SFs never collide.
+    */
+  private def stageEventsDir(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$d/events.parquet")
+    val stage = Paths.get(
+      s"/tmp/graft_stream_stage/${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    stage.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q32 replayed through the streaming engine: same grouping, same
+    // decimal-exact sum, but planned as an unbounded stateful
+    // aggregation and driven to completion with Trigger.AvailableNow.
+    // Complete output mode: on a bounded replay the final state IS the
+    // batch answer (Append would withhold the windows the final
+    // watermark hasn't sealed — that path, plus late-data drop and
+    // state eviction, is exercised in StreamingSpec; here the contract
+    // is exact oracle equality).
+    "q116_stream_hourly_replay" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val replayed = EventsStreaming.runToMemory(s,
+        EventsStreaming.hourlyCounts(stream), "q116_stream_hourly_replay",
+        OutputMode.Complete)
+      replayed.orderBy("hour", "event_type")
+    })
+  )
+
+  /** Same SQL as q32 — the point: the streaming engine must reproduce
+    * the batch aggregation bit-for-bit on a bounded replay.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q116_stream_hourly_replay" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin
+  )
+
+  val rowsOnly: Set[String] = Set.empty
+}

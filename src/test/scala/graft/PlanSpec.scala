@@ -98,8 +98,11 @@ class PlanSpec extends AnyFunSuite {
     // the LSH candidate `distinct` must run over id pairs only — an
     // exchange whose hashpartitioning includes the vector column means
     // 64-dim arrays are riding (and being hash-compared in) the shuffle,
-    // the shape the round-4 audit flagged
-    val p = plan("q43_dedup_embedding_lsh")
+    // the shape the round-4 audit flagged. Audit the UNmemoized build:
+    // the registered q43 reads the per-(session, dir) checkpointed pair
+    // frame, whose plan is just a scan of the materialized partitions.
+    val p = ops.SimilaritySearch.buildLshCandidatesWithCos(spark, sf)
+      .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchanges.nonEmpty, s"no hash exchanges in q43 plan:\n$p")

@@ -50,17 +50,20 @@ class SegmentDedupSpec extends AnyFunSuite {
   }
 
   test("q112 drops the later copy of an exact duplicate doc's segments") {
-    // q25's exact-dup pairs duplicate EVERY segment: the later doc of a
-    // byte-identical pair must keep zero segments
-    val dupLater = Tables.documents(spark, d)
-      .groupBy(md5(col("text").cast("binary")).as("cdg"))
-      .agg(min("doc_id").as("keep"), max("doc_id").as("later"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .select(col("later").as("doc_id"))
-    val later = SegmentDedup.segmentDedup(spark, d).join(dupLater, Seq("doc_id"))
+    // the testdata has no natural byte-identical docs at any SF (measured,
+    // r9 verdict), so CONSTRUCT the duplicate: union a re-ID'd copy of 5
+    // real docs past the id space and run the frame-parameterized op. The
+    // later doc of a byte-identical pair duplicates EVERY segment, so it
+    // must keep zero.
+    val docs = Tables.documents(spark, d)
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val originals = docs.orderBy("doc_id").limit(5)
+    val copies = originals.withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+    val later = SegmentDedup.segmentDedupOf(docs.unionByName(copies))
+      .filter(col("doc_id") > maxId)
+    assert(later.count() == 5, "all 5 constructed copies must come back")
     assert(later.filter(col("n_kept") =!= 0).count() == 0,
       "every segment of a later byte-identical copy already occurred in the keeper")
-    assert(dupLater.count() > 0, "testdata trap: no exact-dup docs at this SF")
   }
 
   test("q113 verdicts partition the batch and provenance points backward") {
