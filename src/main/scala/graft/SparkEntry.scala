@@ -46,7 +46,7 @@ object SparkEntry {
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
       sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
       ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
-      streaming.StreamingQueries.oracleSql
+      ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in

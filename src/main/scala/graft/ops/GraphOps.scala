@@ -127,9 +127,87 @@ object GraphOps {
       pageRank(edges, nodes, Iters, Eps)
         .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank_r"))
         .orderBy("vec_id")
+    }),
+
+    // PageRank with a FULL DuckDB oracle — the iterative operator's
+    // hash-compare closure (q93's LSH edges aren't portable SQL, so its
+    // check is spec-level only). Graph: the anchor subgraph of q89's
+    // EXACT k-NN graph (edges with both endpoints under the anchor cap)
+    // — deterministic and SQL-expressible, so the oracle can rebuild the
+    // identical edge list and unroll the identical fixed-round
+    // iteration. eps=0: no early exit, both sides run exactly Iters
+    // rounds. round(rank, 6) absorbs double-summation-order noise
+    // (~1e-15 against a 1e-6 grain).
+    "q118_pagerank_exact" -> ((s, d) => {
+      val anchor = SimilaritySearch.GraphAnchorNodes
+      val edges = SimilaritySearch.knnGraphExact(s, d)
+        .filter(col("neighbor_id") < anchor)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val nodes = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < anchor).select(col("vec_id").as("id"))
+      pageRank(edges, nodes, Iters, eps = 0.0)
+        .select(col("id").as("vec_id"), round(col("rank"), 6).as("rank_r"))
+        .orderBy("vec_id")
     })
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** The q118 oracle unrolls the fixed-round iteration as chained CTEs
+    * (DuckDB's recursive CTEs forbid aggregation in the recursive term,
+    * so PageRank can't use the q47 transitive-closure shape): per round,
+    * a dangling-mass scalar CTE and a rank CTE with exactly the engine's
+    * update rule — (1-d)/n + d·dangling/n + d·Σ rank/deg over in-edges.
+    */
+  private def q118OracleSql: String = {
+    val anchor = SimilaritySearch.GraphAnchorNodes
+    val k = SimilaritySearch.GraphK
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references its predecessor twice (dangling scalar + inflow)
+    // — inlining would re-evaluate the whole chain exponentially (2^10
+    // copies of the quadratic knn CTE)
+    val rounds = (0 until Iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+         |  FROM r$i r LEFT JOIN outdeg o ON o.id = r.id WHERE o.id IS NULL
+         |), r${i + 1} AS MATERIALIZED (
+         |  SELECT nd.id,
+         |         ${1.0 - Damping}/(SELECT n FROM nn)
+         |         + $Damping*(SELECT dm FROM d$i)/(SELECT n FROM nn)
+         |         + $Damping*COALESCE(f.inflow, 0.0) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.rank / o.deg) AS inflow
+         |    FROM edges e JOIN r$i r ON r.id = e.src
+         |                 JOIN outdeg o ON o.id = e.src
+         |    GROUP BY e.dst
+         |  ) f ON f.id = nd.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (
+       |             PARTITION BY a.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                             CAST(b.embedding AS DOUBLE[])) DESC,
+       |                      b.vec_id) AS rank
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.vec_id < $anchor AND a.vec_id <> b.vec_id
+       |  ) WHERE rank <= $k
+       |),
+       |edges AS MATERIALIZED (SELECT src, dst FROM knn WHERE dst < $anchor),
+       |nodes AS MATERIALIZED (
+       |  SELECT vec_id AS id FROM embeddings WHERE vec_id < $anchor),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS MATERIALIZED (
+       |  SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg
+       |  FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+       |$rounds
+       |SELECT id AS vec_id, ROUND(rank, 6) AS rank_r FROM r$Iters
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q118_pagerank_exact" -> q118OracleSql)
   val rowsOnly: Set[String] = Set("q93_pagerank")
 }

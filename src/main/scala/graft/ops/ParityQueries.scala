@@ -182,12 +182,16 @@ object ParityQueries {
       val base = n.join(Tables.customer(s, d),
           n("n_nationkey") === col("c_nationkey"), "left_semi")
         .select("n_name").distinct()
-        .withColumn("id", row_number().over(Window.orderBy("n_name")).cast("int"))
+        // tinyGlobalWindow: ≤25 distinct dim values by construction; the
+        // constant partition key silences WindowExec's scale warning
+        .withColumn("id", row_number()
+          .over(graft.pipeline.StarOps.tinyGlobalWindow(col("n_name"))).cast("int"))
       val incoming = n.join(Tables.supplier(s, d),
           n("n_nationkey") === col("s_nationkey"), "left_semi")
         .select("n_name").distinct()
       val newVals = incoming.join(base, Seq("n_name"), "left_anti")
-        .withColumn("rid", row_number().over(Window.orderBy("n_name")).cast("int"))
+        .withColumn("rid", row_number()
+          .over(graft.pipeline.StarOps.tinyGlobalWindow(col("n_name"))).cast("int"))
       val maxId = base.agg(max(col("id")).as("mx"))
       val appended = newVals.crossJoin(maxId)
         .select(col("n_name"), (col("mx") + col("rid")).cast("int").as("id"))

@@ -109,7 +109,8 @@ object StarSchema {
   def dimRegion(s: SparkSession, d: String): DataFrame =
     Tables.region(s, d).select(col("r_name").as("region_name")).distinct()
       .withColumn("region_id",
-        row_number().over(Window.orderBy("region_name")).cast("int"))
+        row_number().over(graft.pipeline.StarOps.tinyGlobalWindow(
+          col("region_name"))).cast("int"))
 
   /** (year, month) time dim from the union of orders and events time
     * domains (D3: distinct pairs from multiple marts,
@@ -123,7 +124,8 @@ object StarSchema {
       .select(year(col("ts")).as("year"), month(col("ts")).as("month"))
     fromOrders.union(fromEvents).distinct()
       .withColumn("time_id",
-        row_number().over(Window.orderBy("year", "month")).cast("int"))
+        row_number().over(graft.pipeline.StarOps.tinyGlobalWindow(
+          col("year"), col("month"))).cast("int"))
   }
 
   /** Fact with surrogate keys: broadcast-join the dims onto the

@@ -33,7 +33,8 @@ object EnergyStar {
       .map(_.select("year", "month")).reduce(_ union _)
     val dimTime = times.distinct()
       .withColumn("time_id",
-        row_number().over(Window.orderBy("year", "month")).cast("int"))
+        row_number().over(StarOps.tinyGlobalWindow(
+          col("year"), col("month"))).cast("int"))
 
     def withRegion(df: DataFrame) = df.join(broadcast(dimRegion),
       df("region") === dimRegion("region_name"))

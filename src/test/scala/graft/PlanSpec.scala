@@ -237,6 +237,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian over the corpus:\n$p")
   }
 
+  test("q101's broadcast-side guard trips loudly on an oversized held-out set") {
+    // the crossJoin(broadcast(test)) shape assumes a bounded held-out
+    // set; an unbounded one must fail with the q74 routing message, not
+    // a driver OOM. The guard's limit+count also must not scan the full
+    // side: feed it an 'unbounded' frame and a tiny ceiling.
+    import spark.implicits._
+    val big = spark.range(100).toDF("vec_id")
+    val err = intercept[IllegalArgumentException] {
+      ops.EmbeddingOps.guardBroadcastSide(big, max = 10L)
+    }
+    assert(err.getMessage.contains("bipartite-LSH"),
+      s"guard message must route to q74: ${err.getMessage}")
+    // under the ceiling: pass-through, same frame
+    assert(ops.EmbeddingOps.guardBroadcastSide(big, max = 100L).count() == 100)
+  }
+
   test("q104 z-order cells: one scan, one shuffle, interleave stays codegen'd") {
     val p = plan("q104_zorder_cells")
     assert("Scan parquet".r.findAllIn(p).length == 1, s"one lineitem scan:\n$p")
