@@ -78,7 +78,16 @@ object Dedup {
     * quadratic fan-out at corpus scale; real pipelines always cap).
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
-                   maxDocFreq: Int = 100): DataFrame = {
+                   maxDocFreq: Int = 100): DataFrame =
+    // q26 registers these pairs and q47 feeds them to connected
+    // components: one posting build + self-join per (dir, params), not
+    // one per consumer (FrameMemo; the q43/q90/q93 edge-list discipline)
+    FrameMemo.cached(s, d, s"jaccard:$threshold:$maxDocFreq") {
+      buildJaccardPairs(s, d, threshold, maxDocFreq)
+    }
+
+  private def buildJaccardPairs(s: SparkSession, d: String, threshold: Double,
+                                maxDocFreq: Int): DataFrame = {
     // The ONLY materialized state is the hashed posting list — 24-byte
     // rows of (doc_id, lang, 8-byte shingle hash); same pairs as joining
     // the strings (64-bit collision odds ~n²/2⁶⁴), and the string shingle
@@ -217,7 +226,15 @@ object Dedup {
     * what gets COMPARED, never what gets KEPT). Recall vs the exact q26
     * pairs is gated in RecallSpec.
     */
-  def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+  def minhashLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame =
+    // shared by q27 (pairs) and q49 (components over the same pairs) —
+    // one band join + exact verification per (dir, threshold)
+    FrameMemo.cached(s, d, s"minhashLsh:$threshold") {
+      buildMinhashLshPairs(s, d, threshold)
+    }
+
+  private def buildMinhashLshPairs(s: SparkSession, d: String,
+                                   threshold: Double): DataFrame = {
     // only (doc_id, lang, sig) is materialized — 32 longs per doc; the
     // shingle arrays are recomputed for the (small) candidate verification
     // joins below rather than checkpointed, keeping array blocks out of

@@ -257,12 +257,10 @@ object SimilaritySearch {
     * analog, and either way the invariant is the same: the bucket
     * self-join runs once per corpus snapshot, never once per query.
     */
-  private val lshPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private[graft] def lshCandidatesWithCos(s: SparkSession, d: String): DataFrame =
-    lshPairsMemo.computeIfAbsent((s, d),
-      _ => buildLshCandidatesWithCos(s, d).localCheckpoint())
+    FrameMemo.cached(s, d, "lshCandidatesWithCos") {
+      buildLshCandidatesWithCos(s, d)
+    }
 
   /** Exposed unmemoized so PlanSpec can audit the build's exchanges
     * (the memoized frame is a checkpoint scan — its plan hides them). */
@@ -312,11 +310,8 @@ object SimilaritySearch {
     * q118 iterates PageRank over its anchor subgraph — one broadcast
     * quadratic per (session, dir), not three.
     */
-  private val knnExactMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private[graft] def knnGraphExact(s: SparkSession, d: String): DataFrame =
-    knnExactMemo.computeIfAbsent((s, d), _ => {
+    FrameMemo.cached(s, d, "knnGraphExact") {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val nbrs = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
@@ -329,8 +324,7 @@ object SimilaritySearch {
         .filter(col("rank") <= GraphK)
         .select(col("vec_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
-        .localCheckpoint()
-    })
+    }
 
   val graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXACT k-NN graph: top-3 cosine neighbors in the full corpus for
@@ -357,11 +351,8 @@ object SimilaritySearch {
     * (top-GraphK window over the pair stream) also runs once per
     * (session, dir). The graph is |V|·GraphK rows — checkpoint-cheap.
     */
-  private val knnGraphMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private[graft] def knnGraphLsh(s: SparkSession, d: String): DataFrame =
-    knnGraphMemo.computeIfAbsent((s, d), _ => {
+    FrameMemo.cached(s, d, "knnGraphLsh") {
       val pairs = lshCandidatesWithCos(s, d)
       val sym = pairs.select(col("vec_a").as("vec_id"),
           col("vec_b").as("neighbor_id"), col("cos"))
@@ -373,8 +364,7 @@ object SimilaritySearch {
         .filter(col("rank") <= GraphK)
         .select(col("vec_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 4).as("cos_r"))
-        .localCheckpoint()
-    })
+    }
 
   /** Skew guard for the q43 bucket join: per-(table, bucket) population
     * above which the bucket is dropped rather than self-joined (a bucket
