@@ -20,13 +20,20 @@ object StreamingQueries {
     * source dir so SFs never collide.
     */
   private def stageEventsDir(d: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$d/events.parquet")
     val stage = Paths.get(
       s"/tmp/graft_stream_stage/${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // a link left from an earlier run can dangle if the target was
+    // swapped out underneath it (the driver regenerates testdata between
+    // rounds) — NOFOLLOW detects the link itself, the follow-check its
+    // health; recreate rather than trip FileAlreadyExists
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, src)
     stage.toString
   }
 

@@ -24,6 +24,18 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("q116 registered streaming replay equals batch q32 exactly") {
+    // the driver's oracle proves this at sf0.01; pin it locally too so a
+    // regression (mode/watermark/staging) fails in-suite, not at the gate
+    val got = SparkEntry.queries("q116_stream_hourly_replay")(
+      spark, "/root/testdata/sf0.001")
+    val batch = SparkEntry.queries("q32_events_hourly")(
+      spark, "/root/testdata/sf0.001")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "bounded streaming replay must reproduce the batch aggregation bit-for-bit")
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runToMemory(
