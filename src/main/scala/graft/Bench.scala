@@ -83,8 +83,24 @@ object Bench {
     // whichever query happens to run first
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
     catch { case _: Throwable => () }
+    // shared-artifact pre-build, timed and reported SEPARATELY: the
+    // FrameMemo edge lists (LSH pairs, both k-NN graphs, jaccard/minhash
+    // pair graphs) are built once and read by many queries, so inside
+    // the per-query loop the one run that builds is discarded by the
+    // median — without this line the build cost would be billed to no
+    // query at all and a pair-build regression would be invisible in the
+    // recorded bench evidence. This is the amortized "build the layout"
+    // step of the stored-edge-list contract, priced honestly.
+    val tB = System.nanoTime()
+    try {
+      ops.SimilaritySearch.knnGraphLsh(spark, sfDir)       // + LSH pair frame
+      ops.SimilaritySearch.knnGraphExact(spark, sfDir)
+      ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
+      ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
+    } catch { case _: Throwable => () } // a broken build shows up as query errors
+    val sharedBuildSec = (System.nanoTime() - tB) / 1e9
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
-    println(renderLine(results, sfDir, runs))
+    println(renderLine(results, sfDir, runs, sharedBuildSec))
     spark.stop()
     val failed = results.collect { case (k, Left(_)) => k }
     if (failed.nonEmpty) {
@@ -104,7 +120,8 @@ object Bench {
     * build instead of silently zeroing the round's bench evidence.
     */
   def renderLine(results: Seq[(String, Either[String, Double])],
-                 sfDir: String, runs: Int): String = {
+                 sfDir: String, runs: Int,
+                 sharedBuildSec: Double = 0.0): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
@@ -121,7 +138,15 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val note = "noop-sink;median" + runs + ";keys=qNN(QUERIES.md)"
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
+    val note = "noop-sink;median" + runs + ";keys=qNN(QUERIES.md)" +
+      (if (sharedBuildSec > 0) ";total incl shared_build (memoized edge lists)"
+       else "")
+    // shared_build is INSIDE the total (steady-state medians + one
+    // amortized build = what a full pass actually costs) and also broken
+    // out so a build regression is visible on its own
+    val totalAll = total + sharedBuildSec
+    val buildJson =
+      if (sharedBuildSec > 0) s""","shared_build":${ms(sharedBuildSec)}""" else ""
+    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
   }
 }

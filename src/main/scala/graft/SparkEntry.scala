@@ -61,5 +61,6 @@ object SparkEntry {
       ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
       ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
       sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
-      ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly
+      ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
+      streaming.StreamingQueries.rowsOnly
 }

@@ -444,10 +444,10 @@ object Dedup {
     // portable (q26) and the component labels are re-derived in DuckDB by
     // a recursive transitive-closure CTE + MIN per node.
     "q47_dedup_groups" -> ((s, d) => {
-      // eager checkpoint: the shingle-join pair graph is computed ONCE;
-      // the edge union and every propagation round read the materialized
-      // result instead of re-running the expensive join per branch
-      val pairs = jaccardPairs(s, d, threshold = 0.2).localCheckpoint()
+      // the pair graph arrives materialized (FrameMemo contract): the
+      // edge union and every propagation round read the checkpointed
+      // partitions — no per-consumer re-checkpoint
+      val pairs = jaccardPairs(s, d, threshold = 0.2)
       dedupComponents(pairs)
         .groupBy(col("label").as("keep_doc_id"))
         .agg(count(lit(1)).as("group_size"),
@@ -462,7 +462,7 @@ object Dedup {
     // full corpus. Rows-only (xxhash64 signatures aren't portable SQL);
     // RecallSpec gates its groups against q47's exact-pair groups.
     "q49_dedup_groups_lsh" -> ((s, d) => {
-      val pairs = minhashLshPairs(s, d, threshold = 0.2).localCheckpoint()
+      val pairs = minhashLshPairs(s, d, threshold = 0.2)
       dedupComponents(pairs)
         .groupBy(col("label").as("keep_doc_id"))
         .agg(count(lit(1)).as("group_size"),

@@ -42,6 +42,11 @@ object EmbeddingOps {
 
   private[graft] def guardBroadcastSide(side: DataFrame,
                                         max: Long = MaxBroadcastRows): DataFrame = {
+    // limit takes an Int: a ceiling at/over Int.MaxValue would silently
+    // wrap negative and crash with an unrelated AnalysisException — and a
+    // 2^31-row broadcast side is far past driver-viable anyway
+    require(max > 0 && max < Int.MaxValue,
+      s"broadcast guard ceiling must be in (0, ${Int.MaxValue}): $max")
     val n = side.limit((max + 1).toInt).count()
     require(n <= max,
       s"broadcast side has > $max rows: the crossJoin(broadcast(...)) " +
@@ -141,12 +146,11 @@ object EmbeddingOps {
     }),
 
     "q68_dedup_groups_embedding" -> ((s, d) => {
-      // eager checkpoint, as in q47/q49: the pair graph is computed once;
-      // the edge union and every propagation round read the materialized
-      // frame instead of re-running the bucket joins per branch
+      // the pair frame arrives materialized (FrameMemo contract); each
+      // propagation round re-reads a narrow projection of the
+      // checkpointed partitions — no second copy needed
       val pairs = SimilaritySearch.embeddingLshPairs(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        .localCheckpoint()
       Dedup.dedupComponents(pairs)
         .groupBy(col("label").as("keep_vec_id"))
         .agg(count(lit(1)).as("group_size"),

@@ -271,7 +271,8 @@ object TextAnalysis {
     * their own canon via the left join + coalesce.
     */
   private[graft] def lshVerdicts(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(s, d, threshold = 0.2).localCheckpoint()
+    // already materialized (FrameMemo contract) — no defensive checkpoint
+    val pairs = Dedup.minhashLshPairs(s, d, threshold = 0.2)
     val labels = Dedup.dedupComponents(pairs)
       .withColumnRenamed("label", "canon_id")
     withVerdict(scoredDocs(s, d)

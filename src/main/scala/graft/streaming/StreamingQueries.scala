@@ -33,7 +33,12 @@ object StreamingQueries {
     if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
       Files.delete(link)
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-      Files.createSymbolicLink(link, src)
+      try Files.createSymbolicLink(link, src)
+      catch {
+        // concurrent stager won the check-then-create race — its link
+        // points at the same source, so staging is already done
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     stage.toString
   }
 
