@@ -91,14 +91,22 @@ object Bench {
     // query at all and a pair-build regression would be invisible in the
     // recorded bench evidence. This is the amortized "build the layout"
     // step of the stored-edge-list contract, priced honestly.
-    val tB = System.nanoTime()
-    try {
-      ops.SimilaritySearch.knnGraphLsh(spark, sfDir)       // + LSH pair frame
-      ops.SimilaritySearch.knnGraphExact(spark, sfDir)
-      ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
-      ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
-    } catch { case _: Throwable => () } // a broken build shows up as query errors
-    val sharedBuildSec = (System.nanoTime() - tB) / 1e9
+    // only when the memo will actually retain the artifacts: on a
+    // non-memoizable dir the pre-build would be discarded and every
+    // consumer would rebuild per run anyway — pre-paying would bill the
+    // same work twice and the note would falsely claim memoization
+    val sharedBuildSec =
+      if (!ops.FrameMemo.memoizable(sfDir)) 0.0
+      else {
+        val tB = System.nanoTime()
+        try {
+          ops.SimilaritySearch.knnGraphLsh(spark, sfDir)   // + LSH pair frame
+          ops.SimilaritySearch.knnGraphExact(spark, sfDir)
+          ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
+          ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
+        } catch { case _: Throwable => () } // a broken build surfaces as query errors
+        (System.nanoTime() - tB) / 1e9
+      }
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
     println(renderLine(results, sfDir, runs, sharedBuildSec))
     spark.stop()

@@ -36,7 +36,11 @@ object FrameMemo {
   /** Dirs the driver guarantees immutable (TESTDATA.md: read-only). */
   private val ImmutableRoots = Seq("/root/testdata")
 
-  private def immutable(dir: String): Boolean =
+  /** Whether frames built from `dir` are shared across callers — public
+    * so Bench only runs (and bills) its shared-build pre-pass when the
+    * memo will actually retain the result.
+    */
+  def memoizable(dir: String): Boolean =
     ImmutableRoots.exists(r => dir == r || dir.startsWith(r + "/"))
 
   private val memo =
@@ -44,7 +48,7 @@ object FrameMemo {
 
   def cached(s: SparkSession, dir: String, key: String)
             (build: => DataFrame): DataFrame =
-    if (!immutable(dir)) build.localCheckpoint()
+    if (!memoizable(dir)) build.localCheckpoint()
     else {
       val k = (s, s"$dir|$key")
       val hit = memo.get(k)

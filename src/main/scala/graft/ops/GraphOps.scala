@@ -159,7 +159,6 @@ object GraphOps {
     */
   private def q118OracleSql: String = {
     val anchor = SimilaritySearch.GraphAnchorNodes
-    val k = SimilaritySearch.GraphK
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references its predecessor twice (dangling scalar + inflow)
     // — inlining would re-evaluate the whole chain exponentially (2^10
@@ -183,15 +182,8 @@ object GraphOps {
     }.mkString(",\n")
     s"""WITH knn AS MATERIALIZED (
        |  SELECT vec_id AS src, neighbor_id AS dst FROM (
-       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |           ROW_NUMBER() OVER (
-       |             PARTITION BY a.vec_id
-       |             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                                             CAST(b.embedding AS DOUBLE[])) DESC,
-       |                      b.vec_id) AS rank
-       |    FROM embeddings a JOIN embeddings b
-       |      ON a.vec_id < $anchor AND a.vec_id <> b.vec_id
-       |  ) WHERE rank <= $k
+       |${SimilaritySearch.knnExactOracleInner}
+       |  )
        |),
        |edges AS MATERIALIZED (SELECT src, dst FROM knn WHERE dst < $anchor),
        |nodes AS MATERIALIZED (

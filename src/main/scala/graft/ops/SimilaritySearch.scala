@@ -415,6 +415,27 @@ object SimilaritySearch {
     "q117_ann_recall_report" -> ((s, d) => recallReport(s, d))
   )
 
+  /** DuckDB SQL for the exact k-NN edge stream (vec_id, neighbor_id,
+    * cos, rank ≤ GraphK, sources capped at GraphAnchorNodes) — the ONE
+    * source of truth for the q89 oracle and q118's oracle edge CTE. Both
+    * interpolate the same constants as the engine-side knnGraphExact; a
+    * second hardcoded copy would silently diverge if the anchor cap or k
+    * ever moved.
+    */
+  private[graft] def knnExactOracleInner: String =
+    s"""SELECT vec_id, neighbor_id, cos, rank FROM (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                CAST(b.embedding AS DOUBLE[])) AS cos,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY a.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                           CAST(b.embedding AS DOUBLE[])) DESC,
+       |                    b.vec_id) AS INTEGER) AS rank
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < $GraphAnchorNodes AND a.vec_id <> b.vec_id
+       |) WHERE rank <= $GraphK""".stripMargin
+
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ ivfQueries ++ graphQueries ++ reportQueries
 
@@ -431,20 +452,9 @@ object SimilaritySearch {
         |ORDER BY label, pos""".stripMargin,
 
     "q89_knn_graph" ->
-      """SELECT vec_id, rank, neighbor_id, ROUND(cos, 4) AS cos_r FROM (
-        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                CAST(b.embedding AS DOUBLE[])) AS cos,
-        |         CAST(ROW_NUMBER() OVER (
-        |           PARTITION BY a.vec_id
-        |           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                           CAST(b.embedding AS DOUBLE[])) DESC,
-        |                    b.vec_id) AS INTEGER) AS rank
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id < 500 AND a.vec_id <> b.vec_id
-        |)
-        |WHERE rank <= 3
-        |ORDER BY vec_id, rank""".stripMargin,
+      s"""SELECT vec_id, rank, neighbor_id, ROUND(cos, 4) AS cos_r
+         |FROM ($knnExactOracleInner)
+         |ORDER BY vec_id, rank""".stripMargin,
 
     "q30_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_r FROM (

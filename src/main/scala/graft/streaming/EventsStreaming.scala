@@ -230,7 +230,11 @@ object EventsStreaming {
                        factDir: String): StreamingQuery = {
     val totals = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // decimal-exact like hourlyCounts: the upserted fact is compared
+      // bit-for-bit against batch recomputes, and a double sum's low
+      // bits vary with partition arrival order
+      .agg(count(lit(1)).as("n"),
+        graft.ops.StarSchema.sumMoney(col("value")).as("total_value"))
     totals.writeStream
       .outputMode(OutputMode.Update) // emits only keys corrected this batch
       .foreachBatch { (updates: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -22,21 +22,28 @@ object StreamingQueries {
   private def stageEventsDir(d: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$d/events.parquet")
+    // readable prefix + a digest of the RAW path: sanitization alone maps
+    // distinct dirs (sf0.1 vs a hypothetical sf0_1) onto one name, and a
+    // collision would silently replay the wrong table
+    val raw = src.toAbsolutePath.toString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
     val stage = Paths.get(
-      s"/tmp/graft_stream_stage/${src.toAbsolutePath.toString.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_stage/${raw.replaceAll("[^A-Za-z0-9]", "_")}_$digest")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     // a link left from an earlier run can dangle if the target was
     // swapped out underneath it (the driver regenerates testdata between
     // rounds) — NOFOLLOW detects the link itself, the follow-check its
-    // health; recreate rather than trip FileAlreadyExists
+    // health; recreate rather than trip FileAlreadyExists. deleteIfExists
+    // + the create catch make both halves of check-then-act safe against
+    // a concurrent stager (which stages the identical source anyway).
     if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) && !Files.exists(link))
-      Files.delete(link)
+      Files.deleteIfExists(link)
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       try Files.createSymbolicLink(link, src)
       catch {
-        // concurrent stager won the check-then-create race — its link
-        // points at the same source, so staging is already done
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     stage.toString

@@ -327,7 +327,8 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.parquet(factDir)
     val want = Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.StarSchema.sumMoney(col("value")).as("total_value"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // idempotent: re-running the whole stream over the same input
     // converges to the same fact (upsert replaces by key)
