@@ -237,6 +237,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian over the corpus:\n$p")
   }
 
+  test("GLOBAL: no registered query plans a CartesianProduct; BNLJ only on the known broadcast shapes") {
+    // the whole-surface net behind the per-query pins above: a cartesian
+    // product anywhere in the 118-query surface is a scale landmine no
+    // matter which query grew it. BroadcastNestedLoopJoin is legitimate
+    // ONLY where one side is provably tiny by construction — 1-row
+    // scalar folds, capped anchors, broadcast query sides — so new BNLJs
+    // must be justified here or eliminated.
+    val bnljAllowed = Set(
+      "q101_decontaminate_semantic", // broadcast held-out side (guarded)
+      "q107_gap_fill",               // 1-row min/max bounds fold
+      "q109_dim_snapshot",           // 1-row as-of cutoff fold
+      "q113_dedup_incremental",      // 1-row ingest-cutoff fold
+      "q114_token_budget_plan",      // 1-row corpus-total fold
+      "q115_bm25_retrieval",         // 1-row corpus stats + tiny query side
+      "q117_ann_recall_report",      // 1-row hit/total aggregates crossed
+      "q15_date_dim_gen",            // the cross-product generator op itself
+      "q18_upsert_dim",              // 1-row max-id fold
+      "q29_dedup_embedding",         // capped exact anchor (quadratic by intent)
+      "q30_knn_bruteforce",          // broadcast 10-query side vs corpus
+      "q76_tfidf_terms",             // 1-row doc-count fold
+      "q77_matryoshka_eval",         // broadcast 10-query side vs corpus
+      "q78_source_mixing")           // 1-row temperature-normalizer fold
+    val skip = Set("q116_stream_hourly_replay") // executes a streaming job
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded at scale:\n$p")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name grew a BroadcastNestedLoopJoin outside the allowlist — " +
+            s"justify it there or fix the join:\n$p")
+    }
+  }
+
   test("q101's broadcast-side guard trips loudly on an oversized held-out set") {
     // the crossJoin(broadcast(test)) shape assumes a bounded held-out
     // set; an unbounded one must fail with the q74 routing message, not
