@@ -44,6 +44,22 @@ case class AsOfJoin(
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
                     else right.output)
+
+  /** Size estimate for the planner. Without this, Spark's size-only
+    * stats visitor treats an unknown binary node like a cross join —
+    * PRODUCT of the children's sizes — so a 1 GB ⋈ 100 MB as-of join
+    * would advertise ~10^17 bytes and veto every downstream broadcast.
+    * The honest shape: output rows ≈ left rows (exactly, for
+    * left-outer; at most, for inner), each widened by the right schema
+    * — left's size scaled by the column-count ratio.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val widthL = math.max(1, left.output.size)
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes *
+        (widthL + right.output.size) / widthL)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -81,6 +97,24 @@ object PushFilterThroughAsOfJoin
   }
 }
 
+/** Time-to-long widening shared by both execs and the API-layer type
+  * check — ONE mapping, so adding a supported time type can't leave an
+  * exec behind.
+  */
+private[plans] object AsOfTime {
+  def supported(d: org.apache.spark.sql.types.DataType): Boolean = d match {
+    case TimestampType | TimestampNTZType | LongType | DateType => true
+    case _ => false
+  }
+
+  def asLong(e: Expression, value: Any): Long = e.dataType match {
+    case TimestampType | TimestampNTZType | LongType => value.asInstanceOf[Long]
+    case DateType => value.asInstanceOf[Int].toLong
+    case other => throw new IllegalArgumentException(
+      s"as-of time must be timestamp/date/long, got ${other.catalogString}")
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tb, outer, maxGroup, false) =>
@@ -113,15 +147,18 @@ case class AsOfJoinExec(
     Nil,
     (rightKeys :+ rightTime :+ tieBreak).map(SortOrder(_, Ascending)))
 
-  /** Times compare as raw longs (TimestampType = micros, DateType = days
-    * widened to long via the analyzer-inserted cast in the API layer).
+  /** zipPartitions emits rows partition-for-partition with the left
+    * child, so the left's hash clustering survives — advertise it, or a
+    * downstream groupBy on the join keys pays a pointless re-shuffle
+    * (the same pass-through built-in shuffled joins declare).
     */
-  private def timeAsLong(e: Expression, value: Any): Long = e.dataType match {
-    case TimestampType | TimestampNTZType | LongType => value.asInstanceOf[Long]
-    case DateType => value.asInstanceOf[Int].toLong
-    case other => throw new IllegalArgumentException(
-      s"as-of time must be timestamp/date/long, got ${other.catalogString}")
-  }
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
+  /** Times compare as raw longs (TimestampType = micros, DateType = days
+    * widened to long — one shared mapping, [[AsOfTime]]).
+    */
+  private def timeAsLong(e: Expression, value: Any): Long = AsOfTime.asLong(e, value)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
@@ -230,12 +267,16 @@ case class AsOfMergeJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime :+ tieBreak).map(SortOrder(_, Ascending)))
 
-  private def timeAsLong(e: Expression, value: Any): Long = e.dataType match {
-    case TimestampType | TimestampNTZType | LongType => value.asInstanceOf[Long]
-    case DateType => value.asInstanceOf[Int].toLong
-    case other => throw new IllegalArgumentException(
-      s"as-of time must be timestamp/date/long, got ${other.catalogString}")
-  }
+  /** The merge walk emits rows in left-row order within each partition
+    * and zipPartitions keeps the left's clustering — advertise both, so
+    * a downstream key-grouped or key-ordered operator reuses the sort
+    * this exec already required instead of re-shuffling/re-sorting.
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def timeAsLong(e: Expression, value: Any): Long = AsOfTime.asLong(e, value)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
@@ -314,11 +355,19 @@ object AsOf {
     */
   val DefaultMaxBuildGroupSize: Long = 8L * 1000 * 1000
 
-  def install(spark: SparkSession): Unit = {
+  def install(spark: SparkSession): Unit = AsOf.synchronized {
+    // synchronized: the read-modify-write of the experimental methods
+    // would otherwise race when two threads' first as-of joins collide
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+    // under GraftExtensions the rule already sits in the main
+    // operator-optimization fixpoint — appending it again would make
+    // EVERY query in the session pay a redundant extra fixpoint batch
+    val inOptimizer = spark.sessionState.optimizer.batches
+      .exists(_.rules.exists(_ eq PushFilterThroughAsOfJoin))
+    if (!inOptimizer &&
+        !spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
       // extraOptimizations run as a FIXPOINT batch but AFTER the main
       // optimizer — a predicate our rule pushes below the as-of node
       // would stop at the first built-in operator (PushDownPredicates
@@ -348,33 +397,72 @@ object AsOf {
     require(algo == "hash" || algo == "merge", s"unknown as-of algo: $algo")
     install(spark)
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
-    val rPlan = ColumnBridge.analyzedPlan(rightDf)
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val rPlan0 = ColumnBridge.analyzedPlan(rightDf)
+    // SELF-JOIN / shared lineage: if both sides carry the same expression
+    // IDs, key/time references are ambiguous — the analyzer either
+    // regenerates the right side's ids (dangling our resolved attrs) or
+    // keeps duplicates (making the pushdown rule's left-subset test
+    // unsound). Re-alias the right side so every attr gets a fresh id;
+    // names and values are unchanged.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rPlan0)
+    def attr(plan: LogicalPlan, name: String): Attribute = {
+      // exact name first, then case-insensitive (Spark's default
+      // resolution); EXACTLY one match either way — silently taking the
+      // first of two same-named columns would bind keys to the wrong one
+      val exact = plan.output.filter(_.name == name)
+      val hits = if (exact.nonEmpty) exact
+                 else plan.output.filter(_.name.equalsIgnoreCase(name))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} attributes named " +
+            s"${many.map(_.name).mkString(", ")} — disambiguate before the as-of join")
+      }
+    }
     val lk = leftOn.map(attr(lPlan, _))
     val rk = rightOn.map(attr(rPlan, _))
     // key lookup compares UnsafeRow bytes: mismatched key types (int vs
-    // long) would silently produce an empty join — fail loudly instead
+    // long) would silently produce an empty join — fail loudly instead.
+    // Float/double keys are rejected outright: -0.0/0.0 and NaN bit
+    // patterns compare equal under SQL but differ as bytes, so the hash
+    // exec would silently drop matches the merge exec keeps.
     lk.zip(rk).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"as-of key type mismatch: ${a.name}:${a.dataType.catalogString} vs " +
           s"${b.name}:${b.dataType.catalogString}")
+      require(a.dataType != org.apache.spark.sql.types.DoubleType &&
+          a.dataType != org.apache.spark.sql.types.FloatType,
+        s"as-of key ${a.name} is ${a.dataType.catalogString}: floating-point " +
+          "equi-keys are not supported (byte-equality vs SQL-equality diverge " +
+          "on -0.0/NaN) — cast to a decimal/integral key")
     }
     val lt = attr(lPlan, leftTime)
     val rt = attr(rPlan, rightTime)
-    // TIMESTAMP and TIMESTAMP_NTZ both carry epoch micros as long and
-    // compare consistently under the pinned UTC session — treat them as
-    // one comparable class; DATE (days) must not mix with either.
-    def timeClass(d: org.apache.spark.sql.types.DataType): String = d match {
-      case TimestampType | TimestampNTZType | LongType => "micros"
-      case DateType => "days"
-      case other => throw new IllegalArgumentException(
-        s"as-of time must be timestamp/date/long, got ${other.catalogString}")
-    }
-    require(timeClass(lt.dataType) == timeClass(rt.dataType),
-      s"as-of time type mismatch: ${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
+    // Same time TYPE on both sides — a LongType column of epoch MILLIS
+    // against TimestampType micros would pass a same-unit-class check
+    // and silently mismatch by 1000x. The one sanctioned mix is
+    // TIMESTAMP with TIMESTAMP_NTZ, and only under a UTC session where
+    // the wall-clock micros coincide with the instant micros.
+    val tsMix = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
+    val utcSession = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    require(lt.dataType == rt.dataType ||
+        (tsMix(lt.dataType) && tsMix(rt.dataType) && utcSession),
+      s"as-of time type mismatch: ${lt.dataType.catalogString} vs " +
+        s"${rt.dataType.catalogString}" +
+        (if (tsMix(lt.dataType) && tsMix(rt.dataType))
+           " (mixing TIMESTAMP with TIMESTAMP_NTZ requires a UTC session)"
+         else ""))
+    // both must be a supported time type at all (fail at plan time, not
+    // inside an executor task)
+    Seq(lt, rt).foreach(a => require(AsOfTime.supported(a.dataType),
+      s"as-of time must be timestamp/date/long, got ${a.dataType.catalogString}"))
     val maxGroup = spark.conf.getOption("graft.asof.maxBuildGroupSize")
       .map(_.toLong).getOrElse(DefaultMaxBuildGroupSize)
     val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, tieBreak),

@@ -255,6 +255,71 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"predicate stalled above the composed left side:\n$p")
   }
 
+  test("SELF as-of join (shared lineage) resolves cleanly and matches the composed form") {
+    // both sides from ONE frame: same expression IDs arrive on left and
+    // right — the API must re-alias the right side or key binding is
+    // ambiguous (the analyzer would either dangle our resolved attrs or
+    // let the pushdown rule treat right columns as left ones). The
+    // natural "join a table to its own history" shape.
+    val f = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 4L), (2L, 25L, 5L)).toDF("k", "t", "id")
+    val out = AsOf.join(spark, f, f, Seq("k"), Seq("k"), "t", "t", "id")
+    // output carries duplicate NAMES (k,t,id,k,t,id — the normal Spark
+    // self-join shape); access positionally. Every row's latest match at
+    // its own time is ITSELF (t <= t, max-id tie-break, unique (k, t)).
+    val rows = out.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(4) &&
+      r.getLong(2) == r.getLong(5)),
+      "each row's as-of match at its own time must be itself")
+  }
+
+  test("floating-point equi-keys are rejected loudly (hash/merge byte-equality divergence)") {
+    val l = Seq((0.0d, 10L, 1L)).toDF("k", "t", "id")
+    val r = Seq((-0.0d, 5L, 2L)).toDF("rk", "rt", "rid")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(spark, l, r, Seq("k"), Seq("rk"), "t", "rt", "rid")
+    }
+    assert(err.getMessage.contains("floating-point"))
+  }
+
+  test("ambiguous and mismatched-time-type inputs fail at plan time, not in a task") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val dup = l.join(Seq((1L, 99L)).toDF("k", "t"), Seq("k"))
+    // two columns literally named t after the join
+    val amb = intercept[IllegalArgumentException] {
+      AsOf.join(spark, dup, Seq((1L, 5L, 1L)).toDF("rk", "rt", "rid"),
+        Seq("k"), Seq("rk"), "t", "rt", "rid")
+    }
+    assert(amb.getMessage.contains("ambiguous"))
+    // LongType (could be any unit) against TimestampType micros: a
+    // same-unit-class check would wave this through and mismatch 1000x
+    val rTs = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("rk", "rt", "rid")
+    val mix = intercept[IllegalArgumentException] {
+      AsOf.join(spark, l, rTs, Seq("k"), Seq("rk"), "t", "rt", "rid")
+    }
+    assert(mix.getMessage.contains("time type mismatch"))
+  }
+
+  test("the logical node's stats stay left-sized, never the cross-join product default") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val joined = AsOf.join(spark, e, o,
+      Seq("user_id"), Seq("o_custkey"), "ts", "o_orderdate", "o_orderkey")
+    val analyzed = joined.queryExecution.analyzed
+    val node = analyzed.collectFirst {
+      case j: graft.plans.AsOfJoin => j }.getOrElse(fail("no AsOfJoin node"))
+    val product = node.left.stats.sizeInBytes * node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes < product / 100,
+      s"as-of stats ${node.stats.sizeInBytes} look like the product default " +
+        s"($product) — downstream broadcasts would be vetoed")
+    // and they are at least the left side's size (rows widen, never shrink)
+    assert(node.stats.sizeInBytes >= node.left.stats.sizeInBytes)
+  }
+
   test("right-side filters stay ABOVE the join (match-then-filter semantics)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.events(spark, d).select("event_id", "user_id", "ts")
