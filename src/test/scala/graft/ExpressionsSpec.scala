@@ -108,6 +108,46 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r(1).getSeq[Double](1) == Seq(10.0, 20.0, 30.0))
   }
 
+  test("every custom expression: interpreted path equals the codegen path on real data") {
+    // the oracle/specs exercise whatever path Spark picks — codegen, by
+    // default — so a divergence between doGenCode and eval would ship
+    // silently and only surface when a plan falls back to interpretation
+    // (codegen compile failure, >64KB method, SPARK conf drift). Force
+    // NO_CODEGEN and compare every custom expression's output frame
+    // bit-for-bit against the default-path run.
+    val d = "/root/testdata/sf0.001"
+    def sample() = {
+      val docs = Tables.documents(spark, d).limit(50)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      val embs = Tables.embeddings(spark, d).limit(50)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      docs.crossJoin(embs.limit(1).select(col("v").as("v1")))
+        .join(embs.limit(2), col("doc_id") % 2 === col("vec_id") % 2)
+        .select(
+          col("doc_id"), col("vec_id"),
+          VF.dot(col("v"), col("v1")).as("dot"),
+          VF.cosine(col("v"), col("v1")).as("cos"),
+          graft.ops.Dedup.simhash(col("w")).as("sh"),
+          graft.ops.Dedup.minhashSignature(col("w")).as("mh"),
+          graft.functions.TextFunctions.shingles(concat_ws(" ", col("w")), 3).as("sg"),
+          expr("zorder16(cast(doc_id % 65536 as int), cast(vec_id % 65536 as int))").as("z"))
+    }
+    val defaultRows = sample().collect().map(_.toString).sorted
+    val conf = spark.conf
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevWhole = conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpretedRows = sample().collect().map(_.toString).sorted
+      assert(interpretedRows.sameElements(defaultRows),
+        "interpreted eval diverges from the codegen path")
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      conf.set("spark.sql.codegen.wholeStage", prevWhole)
+    }
+  }
+
   test("minhash signature: similar sets share most minima, is deterministic") {
     val sh1 = (1 to 50).map(i => s"s$i")
     val sh2 = (1 to 48).map(i => s"s$i") ++ Seq("x", "y")
