@@ -120,9 +120,12 @@ object DataSkipping {
       col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
     // the manifest is small by construction (one row per file); the
-    // collect is the planning step, not a data move
+    // collect is the planning step, not a data move. distinct: a
+    // duplicate manifest row (append retry, imperfect
+    // compaction-rebuild) would otherwise list the file under two root
+    // paths and double every row it contains in the scan
     val files = manifest.filter(survives)
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file").distinct().collect().map(_.getString(0)).toSeq
     if (files.isEmpty) s.read.parquet(layoutPath).filter(lit(false))
     else s.read.parquet(files: _*)
   }
@@ -134,7 +137,7 @@ object DataSkipping {
     * layouts). Returns (layout dir, manifest dir).
     */
   def zorderedLineitem(s: SparkSession, d: String): (String, String) = {
-    val root = s"${Layout.tmpRoot}/graft_zorder_${Layout.tag(d)}"
+    val root = s"${Layout.tmpRoot}/graft_zorder_${Layout.tag(d, "lineitem")}"
     val (data, man) = (s"$root/data", s"$root/manifest")
     if (!(Layout.hasSuccess(s, data) && Layout.hasSuccess(s, man))) {
       gridXY(Tables.lineitem(s, d)
@@ -159,7 +162,7 @@ object DataSkipping {
     * table before the change). Load-once cached like the other layouts.
     */
   def evolvedEventsLayout(s: SparkSession, d: String): String = {
-    val root = s"${Layout.tmpRoot}/graft_evolved_${Layout.tag(d)}"
+    val root = s"${Layout.tmpRoot}/graft_evolved_${Layout.tag(d, "events")}"
     val cutoff = lit("2024-01-16").cast("date")
     val ev = Tables.events(s, d)
     if (!Layout.hasSuccess(s, s"$root/batch=1"))

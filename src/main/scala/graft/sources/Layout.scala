@@ -28,8 +28,22 @@ import graft.ops.StarSchema.sumMoney
   */
 object Layout {
 
-  private[sources] def tag(d: String): String =
-    java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+  /** Cache tag for a derived layout: hash of the source dir PATH plus a
+    * CONTENT fingerprint (size + mtime) of the source tables it was
+    * built from. The driver regenerates testdata between rounds under
+    * the same paths — a path-only tag would let a stale cached layout
+    * (committed `_SUCCESS` from the previous round's bytes) silently
+    * serve old rows against a fresh oracle. A regeneration changes
+    * size/mtime → new tag → rebuild; the previous round's dirs just age
+    * out of /tmp.
+    */
+  private[sources] def tag(d: String, tables: String*): String = {
+    val fp = tables.sorted.map { t =>
+      val f = new java.io.File(s"$d/$t.parquet")
+      s"$t:${f.length}:${f.lastModified}"
+    }.mkString("|")
+    java.lang.Integer.toHexString((d + "|" + fp).hashCode & 0x7fffffff)
+  }
   private[sources] def tmpRoot: String = System.getProperty("java.io.tmpdir")
 
   /** A committed write left Spark's _SUCCESS marker behind. */
@@ -67,7 +81,7 @@ object Layout {
     */
   def bucketedOrdersPerCustomer(s: SparkSession, d: String,
                                 buckets: Int = 16): DataFrame = {
-    val t = tag(d)
+    val t = tag(d, "customer", "orders")
     val root = s"$tmpRoot/graft_bucketed_$t"
     // bucketing's whole point is that the layout shuffle is paid ONCE at
     // load, then every query rides it for free — so the load is
@@ -94,7 +108,7 @@ object Layout {
     * directory, compactable and prunable independently).
     */
   def writeEventsPartitioned(s: SparkSession, d: String): String = {
-    val root = s"$tmpRoot/graft_events_parted_${tag(d)}"
+    val root = s"$tmpRoot/graft_events_parted_${tag(d, "events")}"
     // same load-once contract as the bucketed layout
     if (!hasSuccess(s, root))
       Tables.events(s, d)
@@ -129,8 +143,14 @@ object Layout {
     *     row-group/file size the scan path wants
     *     (`files.maxPartitionBytes`-aligned);
     *   - swapped in only after the rewrite fully commits (write to a
-    *     temp sibling, then two renames) — a crash mid-compaction
-    *     leaves the original directory intact.
+    *     temp sibling, then two checked renames). A crash at any point
+    *     leaves the data REACHABLE: before both renames the original is
+    *     live; between them the only copy sits at the hidden `.old`
+    *     sibling, and [[recoverCompaction]] (run on entry to every
+    *     compact, and over the whole root by compactPartitioned)
+    *     restores it. Readers can transiently miss the directory inside
+    *     the two-rename window — a table-format commit log is the real
+    *     fix at scale; plain-directory swaps can't close that window.
     *
     * Returns the target file count.
     */
@@ -139,6 +159,7 @@ object Layout {
     val conf = s.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(path)
     val fs = src.getFileSystem(conf)
+    recoverCompaction(fs, src)
     val bytes = fs.getContentSummary(src).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // dot-prefixed siblings: Spark's file listing skips hidden paths, so
@@ -151,9 +172,29 @@ object Layout {
     fs.delete(tmp, true)
     s.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
-    require(fs.rename(src, old) && fs.rename(tmp, src), s"compaction swap failed: $path")
+    require(fs.rename(src, old), s"compaction swap failed staging $path aside")
+    if (!fs.rename(tmp, src)) {
+      // roll back so the original stays live rather than hidden
+      require(fs.rename(old, src),
+        s"compaction swap AND rollback failed: data is at $old")
+      throw new IllegalStateException(
+        s"compaction swap failed publishing $tmp; original restored at $path")
+    }
     fs.delete(old, true)
     n
+  }
+
+  /** Repair a crash between compact's two renames: the live dir is gone
+    * and the only copy sits at the hidden `.name.old` sibling — restore
+    * it. No-op when the live dir exists (its `.old` is then just
+    * pre-delete garbage, removed by the next compact).
+    */
+  private[sources] def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                                         src: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(
+      src.getParent, s".${src.getName}.old")
+    if (!fs.exists(src) && fs.exists(old))
+      require(fs.rename(old, src), s"compaction recovery failed: $old -> $src")
   }
 
   /** Per-partition compaction over a hive-partitioned root (the q57
@@ -167,8 +208,23 @@ object Layout {
     val conf = s.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
+    // repair any crashed swap FIRST: a hidden '.p.old' whose live
+    // sibling is missing IS the data (the crash hit between compact's
+    // two renames) — restore it before listing partitions
     fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".old"))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(rootPath,
+          st.getPath.getName.stripPrefix(".").stripSuffix(".old"))
+        recoverCompaction(fs, live)
+      }
+    // hidden ('.') and metadata ('_') siblings are NOT partitions — a
+    // stale work dir from a crashed run contains '=' in its name and
+    // would otherwise be compacted in place, still invisible to readers
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
       .map(st => st.getPath.getName ->
         compact(s, st.getPath.toString, targetBytes))
   }

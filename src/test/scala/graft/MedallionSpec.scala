@@ -190,6 +190,53 @@ class MedallionSpec extends AnyFunSuite {
     assert(JdbcStage.readTable(spark, url, "dim_region").count() == 4)
   }
 
+  test("M1 under source evolution: stored dim ids never renumber; facts land under stored ids") {
+    // the id-lifecycle trap: per-load surrogate ids are row_number over
+    // SORTED values, so a new region sorting FIRST shifts the whole
+    // staged numbering. The warehouse must (a) keep every stored dim id
+    // (insert-if-absent, reference load_to_postgres.py:29-35), (b) give
+    // the new value an id past the stored max, and (c) re-key incoming
+    // facts from staged ids to STORED ids — or history silently
+    // re-points.
+    import graft.sources.{JdbcStage, JdbcWarehouse}
+    // fresh warehouse per run: this test's whole point is the two-load
+    // id lifecycle, so a database persisted from a previous run (where
+    // the evolved dim was already inserted) would shift the expectations
+    new scala.reflect.io.Directory(
+      new java.io.File("/tmp/graft_test_derby/warehouse_evolve")).deleteRecursively()
+    val url = JdbcStage.derbyUrl("/tmp/graft_test_derby/warehouse_evolve")
+    val eM = Medallion.energyMonthly(energySilver)
+    val sM = Medallion.emissionsMonthly(emissionsSilver)
+    val ci = Medallion.carbonIntensity(energySilver, emissionsSilver)
+    JdbcWarehouse.loadStar(url, EnergyStar.build(eM, sM, ci))
+    val before = JdbcStage.readTable(spark, url, "dim_region").collect()
+      .map(r => r.getAs[String]("region_name") -> r.getAs[Int]("region_id")).toMap
+
+    // evolved source: one region's mart rows cloned under a name that
+    // sorts before every existing one
+    val donor = eM.select("region").orderBy("region").limit(1)
+      .collect()(0).getString(0)
+    val evolved = eM.unionByName(
+      eM.filter(col("region") === donor).withColumn("region", lit("AAA_new")))
+    JdbcWarehouse.loadStar(url, EnergyStar.build(evolved, sM, ci))
+
+    val after = JdbcStage.readTable(spark, url, "dim_region").collect()
+      .map(r => r.getAs[String]("region_name") -> r.getAs[Int]("region_id")).toMap
+    before.foreach { case (name, id) =>
+      assert(after(name) == id, s"stored id for $name renumbered $id -> ${after(name)}")
+    }
+    assert(after("AAA_new") == before.values.max + 1,
+      "new dim id must continue after the stored max")
+    // facts for the new region landed under the STORED id, not the
+    // staged one (staged numbering had AAA_new first = id 1)
+    val factRegions = JdbcStage.readTable(spark, url, "fact_energy_monthly")
+      .select("region_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(factRegions.contains(after("AAA_new")),
+      "evolved facts must carry the stored id for the new region")
+    assert(factRegions.subsetOf(after.values.toSet),
+      "every fact region id must resolve to a stored dim row")
+  }
+
   test("assertNoNulls fails fast on null keys") {
     import spark.implicits._
     val bad = Seq((Some(1), Some(1.0)), (None, Some(2.0))).toDF("k", "v")
