@@ -64,6 +64,26 @@ object StreamingQueries {
         EventsStreaming.hourlyCounts(stream), "q116_stream_hourly_replay",
         OutputMode.Complete)
       replayed.orderBy("hour", "event_type")
+    }),
+
+    // The same plan in APPEND mode: a window row is emitted exactly once,
+    // when the watermark proves it can no longer change — and its state is
+    // EVICTED. Where q116 checks the streaming engine reproduces the batch
+    // aggregation (final state == batch answer), this checks the
+    // watermark/eviction machinery itself: the emitted set must be
+    // precisely the windows the final watermark seals. Spark's arithmetic
+    // (EventTimeWatermarkExec truncates the max event time to MILLIS, then
+    // StateStoreSaveExec evicts keys with window_end <= watermark): the
+    // oracle reproduces it literally — W = floor_ms(max ts) - 2h,
+    // emitted = hours with hour_end <= W. Late/unsealed windows (the last
+    // ~3h of the table) stay in state and are withheld, so this answer is
+    // a strict subset of q116's.
+    "q119_stream_hourly_append" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val sealedWindows = EventsStreaming.runToMemory(s,
+        EventsStreaming.hourlyCounts(stream), "q119_stream_hourly_append",
+        OutputMode.Append)
+      sealedWindows.orderBy("hour", "event_type")
     })
   )
 
@@ -76,6 +96,25 @@ object StreamingQueries {
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // q32's aggregation restricted to the windows the final watermark
+    // seals. Spark truncates the max event time to millis before
+    // subtracting the 2h delay (EventTimeWatermarkExec: micros/1000),
+    // and Append-mode eviction emits keys with window_end <= watermark —
+    // both reproduced here in integer micros so the boundary is
+    // bit-identical, not approximately equal.
+    "q119_stream_hourly_append" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 7200000000 AS w_us
+        |  FROM events
+        |)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, wm
+        |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.w_us
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin
   )

@@ -36,6 +36,28 @@ class StreamingSpec extends AnyFunSuite {
       "bounded streaming replay must reproduce the batch aggregation bit-for-bit")
   }
 
+  test("q119 append replay emits exactly the windows the final watermark seals") {
+    // the oracle's predicate, mirrored engine-side: W = floor_ms(max ts)
+    // - 2h (EventTimeWatermarkExec truncates micros to millis), sealed =
+    // window_end <= W. The emitted set must equal it EXACTLY — this is
+    // the state-EVICTION contract, not just aggregation correctness —
+    // and must be a strict subset of the full q32 answer (the unsealed
+    // tail is withheld in state).
+    val got = SparkEntry.queries("q119_stream_hourly_append")(
+      spark, "/root/testdata/sf0.001")
+    val batch = SparkEntry.queries("q32_events_hourly")(
+      spark, "/root/testdata/sf0.001")
+    val maxUs = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wUs = maxUs / 1000 * 1000 - 7200000000L
+    val sealedBatch = batch.filter(unix_micros(col("hour")) + 3600000000L <= wUs)
+    assert(got.count() > 0)
+    assert(got.count() < batch.count(),
+      "some windows must remain unsealed, or eviction was never exercised")
+    assert(got.exceptAll(sealedBatch).isEmpty && sealedBatch.exceptAll(got).isEmpty,
+      "append-mode emission must equal the sealed-window predicate bit-for-bit")
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runToMemory(
