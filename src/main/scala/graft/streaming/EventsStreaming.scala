@@ -381,16 +381,33 @@ object EventsStreaming {
     * source via a memory sink; returns the materialized result table.
     * Used by tests and local verification — production would write to a
     * real sink with `trigger(Trigger.ProcessingTime(...))`.
+    *
+    * `statePartitions`: the stateful-operator partition count is fixed
+    * from `spark.sql.shuffle.partitions` at FIRST query start (it's baked
+    * into the checkpoint thereafter), and each state partition pays a
+    * delta-file round trip per micro-batch regardless of how few keys it
+    * holds — so it must track state-key CARDINALITY, not the batch
+    * shuffle default. The hourly replay holds ~3-4k window keys at bench
+    * SF: 32 partitions measured 2× slower than 8 from pure per-partition
+    * state-store overhead. At cluster scale the same knob is sized to
+    * executor count × cores, deliberately, per query. Restored after the
+    * run (bench/verify drive queries sequentially).
     */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q: StreamingQuery = streamed.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                  mode: OutputMode = OutputMode.Append,
+                  statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    statePartitions.foreach(n => s.conf.set(key, n.toString))
+    try {
+      val q: StreamingQuery = streamed.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, saved)
     s.table(name)
   }
 }

@@ -62,7 +62,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val replayed = EventsStreaming.runToMemory(s,
         EventsStreaming.hourlyCounts(stream), "q116_stream_hourly_replay",
-        OutputMode.Complete)
+        OutputMode.Complete, statePartitions = Some(8))
       replayed.orderBy("hour", "event_type")
     }),
 
@@ -82,7 +82,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val sealedWindows = EventsStreaming.runToMemory(s,
         EventsStreaming.hourlyCounts(stream), "q119_stream_hourly_append",
-        OutputMode.Append)
+        OutputMode.Append, statePartitions = Some(8))
       sealedWindows.orderBy("hour", "event_type")
     })
   )
