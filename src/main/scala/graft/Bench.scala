@@ -79,6 +79,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
     // untimed warmup: JVM/codegen/session init should not be charged to
     // whichever query happens to run first
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))

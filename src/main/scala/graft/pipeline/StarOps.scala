@@ -17,16 +17,18 @@ import org.apache.spark.sql.expressions.Window
 object StarOps {
 
   /** Global-ordering window for a provably tiny frame (distinct dim
-    * values — bounded by dim cardinality, not data volume). Partitioning
-    * by a constant is semantically identical to an unpartitioned window
-    * (one global ordering, same row_numbers) but gives WindowExec a
-    * ClusteredDistribution instead of AllTuples, so it stops logging the
-    * single-partition scale warning on every dim build: here the single
-    * partition is by DESIGN, and the noise kept tripping scale review.
+    * values — bounded by dim cardinality, not data volume). The single
+    * partition is by DESIGN here, and WindowExec's scale warning for it
+    * is noise: the harness mains silence that one logger
+    * (graft.Logs.silenceTinyWindowWarning). Partitioning by a constant
+    * does NOT avoid the warning — the optimizer folds a constant
+    * partition spec away before WindowExec sees it (bench logs proved
+    * it), so this is the plain unpartitioned window it always
+    * effectively was.
     */
   def tinyGlobalWindow(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(lit(0)).orderBy(cols: _*)
+    Window.orderBy(cols: _*)
 
   /** Build a dimension: distinct natural key(s) → dense surrogate ids
     * (M3/D2/O3, load_to_postgres.py:19-26).

@@ -21,6 +21,7 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()

@@ -18,6 +18,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
     s
   }
 }
