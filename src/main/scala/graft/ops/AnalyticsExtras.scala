@@ -39,6 +39,27 @@ object AnalyticsExtras {
       perDay.unionByName(total).orderBy("period")
     }),
 
+    // q61's ORACLE-CHECKED exact twin (the q118 twin design): the same
+    // per-day + ALL distinct-user rollup with exact counts, which plain
+    // SQL expresses — AnalyticsSpec gates every q61 estimate against
+    // this registered query, so the sketch side is anchored to a
+    // driver-verified ground truth, not an inline recompute. Scale
+    // shape: ONE shuffle dedupes (day, user) pairs (map-side combine
+    // collapses each partition's repeats first); per-day counts are
+    // then a narrow agg and the ALL row re-aggregates the already
+    // deduped pairs — the raw events are never shuffled twice, unlike
+    // the naive two COUNT(DISTINCT) passes.
+    "q121_distinct_rollup_exact" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val perDay = pairs
+        .groupBy(col("day").cast("string").as("period"))
+        .agg(count(lit(1)).as("distinct_users"))
+      val total = pairs.agg(countDistinct(col("user_id")).as("distinct_users"))
+        .select(lit("ALL").as("period"), col("distinct_users"))
+      perDay.unionByName(total).orderBy("period")
+    }),
+
     // A1/A2 analog: grouped avg/max/count in one pass. avg computed as
     // exact-sum / count (plain avg() over doubles is accumulation-order-
     // dependent under shuffle; sum of integral quantities and decimal
@@ -312,6 +333,14 @@ object AnalyticsExtras {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q121_distinct_rollup_exact" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS period,
+        |       COUNT(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+        |ORDER BY period""".stripMargin,
+
     "q79_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events

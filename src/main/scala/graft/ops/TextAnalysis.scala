@@ -66,6 +66,29 @@ object TextAnalysis {
         xxhash64(col("text")).as("content_hash"))
         .orderBy("doc_id")),
 
+    // q24's ORACLE-CHECKED twin (the q118 twin design): the same
+    // rolling-window fingerprint shape — hash every 8-token gram, keep
+    // the lexical min/max as the doc signature — but every hash is md5,
+    // which DuckDB recomputes bit-for-bit. q24's xxhash64 forms stay as
+    // the production fast path (8-byte hashes, no hex strings); this
+    // pins the window/slice/tokenize plumbing both share. Narrow
+    // per-row transform, no shuffle except the presentation sort.
+    "q120_fingerprint_md5" -> ((s, d) => {
+      val t = tokens(col("text"))
+      // 1-based gram starts; < 8 tokens degrades to one whole-doc gram
+      // (slice clamps at the end of the list, same as DuckDB t[i:i+7])
+      val grams = transform(
+        sequence(lit(1), greatest(size(t) - 7, lit(1))),
+        i => md5(concat_ws(" ", slice(t, i, lit(8)))))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        size(t).as("n_tokens"),
+        array_min(grams).as("fp_min"),
+        array_max(grams).as("fp_max"))
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END corpus curation — the pipeline this engine exists for:
     // quality gate + language agreement + exact dedup, reported per
     // (lang, verdict). Drop reasons are prioritized duplicate > quality
@@ -314,6 +337,19 @@ object TextAnalysis {
       |            ELSE 'zh' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q120_fingerprint_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(text) AS content_md5,
+        |       CAST(len(t) AS INTEGER) AS n_tokens,
+        |       list_min([md5(array_to_string(t[i:i+7], ' '))
+        |                 for i in range(1, greatest(len(t)-7, 1)+1)]) AS fp_min,
+        |       list_max([md5(array_to_string(t[i:i+7], ' '))
+        |                 for i in range(1, greatest(len(t)-7, 1)+1)]) AS fp_max
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
     // expression SHAPE mirrors the Spark side exactly (same literals,
     // same association) so every double derives identically; the hash
     // compares round(score, 6)

@@ -59,29 +59,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("q61 sketches track exact distincts; daily union equals the global sketch") {
+  test("q61 sketches track the q121 exact twin; daily union equals the global sketch") {
     val out = SparkEntry.queries("q61_sketch_rollup")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val events = Tables.events(spark, d)
-    val exactAll = events.select("user_id").distinct().count()
-    assert(math.abs(out("ALL") - exactAll).toDouble / exactAll < 0.05,
-      s"ALL estimate ${out("ALL")} vs exact $exactAll")
+    // ground truth = the REGISTERED oracle-checked exact twin, not an
+    // inline recompute: the gate and the driver now verify one query
+    val exact = SparkEntry.queries("q121_distinct_rollup_exact")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size == out.size && exact.keySet == out.keySet,
+      "sketch and exact rollups must cover identical periods")
+    // every estimate (per-day AND the ALL rollup) within 5% of exact
+    exact.foreach { case (period, n) =>
+      assert(math.abs(out(period) - n).toDouble / n < 0.05,
+        s"$period: ${out(period)} vs $n")
+    }
     // HLL unions are LOSSLESS register-max merges: the union of per-day
     // sketches must estimate identically to one sketch of everything
-    val global = events
+    val global = Tables.events(spark, d)
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
       .collect().head.getLong(0)
     assert(out("ALL") == global,
       s"union-of-daily ${out("ALL")} != global sketch $global")
-    // every per-day estimate within 5% of its exact distinct
-    val exactDaily = events
-      .groupBy(to_date(col("ts")).cast("string").as("period"))
-      .agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(exactDaily.nonEmpty)
-    exactDaily.foreach { case (day, n) =>
-      assert(math.abs(out(day) - n).toDouble / n < 0.05, s"$day: ${out(day)} vs $n")
-    }
   }
 
   test("Misra-Gries sketch: heavy hitters survive eviction within n/(k+1)") {
