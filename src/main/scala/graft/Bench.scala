@@ -96,20 +96,28 @@ object Bench {
     // non-memoizable dir the pre-build would be discarded and every
     // consumer would rebuild per run anyway — pre-paying would bill the
     // same work twice and the note would falsely claim memoization
-    val sharedBuildSec =
-      if (!ops.FrameMemo.memoizable(sfDir)) 0.0
+    // a FAILED build must not fold its partial elapsed time into the
+    // total under the "memoized" label: the memo is unpopulated, every
+    // consumer rebuilds per run (billed in their own medians), and the
+    // note would falsely claim amortization. Report the failure as its
+    // own marker instead; the root cause still surfaces as query errors.
+    val (sharedBuildSec, sharedBuildFailed) =
+      if (!ops.FrameMemo.memoizable(sfDir)) (0.0, false)
       else {
         val tB = System.nanoTime()
-        try {
-          ops.SimilaritySearch.knnGraphLsh(spark, sfDir)   // + LSH pair frame
-          ops.SimilaritySearch.knnGraphExact(spark, sfDir)
-          ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
-          ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
-        } catch { case _: Throwable => () } // a broken build surfaces as query errors
-        (System.nanoTime() - tB) / 1e9
+        val ok =
+          try {
+            ops.SimilaritySearch.knnGraphLsh(spark, sfDir)   // + LSH pair frame
+            ops.SimilaritySearch.knnGraphExact(spark, sfDir)
+            ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
+            ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
+            true
+          } catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - tB) / 1e9
+        if (ok) (sec, false) else (0.0, true)
       }
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
-    println(renderLine(results, sfDir, runs, sharedBuildSec))
+    println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed))
     spark.stop()
     val failed = results.collect { case (k, Left(_)) => k }
     if (failed.nonEmpty) {
@@ -130,7 +138,8 @@ object Bench {
     */
   def renderLine(results: Seq[(String, Either[String, Double])],
                  sfDir: String, runs: Int,
-                 sharedBuildSec: Double = 0.0): String = {
+                 sharedBuildSec: Double = 0.0,
+                 sharedBuildFailed: Boolean = false): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
       java.lang.Double.valueOf(v))
@@ -149,13 +158,17 @@ object Bench {
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val note = "noop-sink;median" + runs + ";keys=qNN(QUERIES.md)" +
       (if (sharedBuildSec > 0) ";total incl shared_build (memoized edge lists)"
+       else "") +
+      (if (sharedBuildFailed) ";shared_build FAILED (memo unpopulated, consumers rebuild per run)"
        else "")
     // shared_build is INSIDE the total (steady-state medians + one
     // amortized build = what a full pass actually costs) and also broken
     // out so a build regression is visible on its own
     val totalAll = total + sharedBuildSec
     val buildJson =
-      if (sharedBuildSec > 0) s""","shared_build":${ms(sharedBuildSec)}""" else ""
+      if (sharedBuildFailed) ""","shared_build_error":true"""
+      else if (sharedBuildSec > 0) s""","shared_build":${ms(sharedBuildSec)}"""
+      else ""
     s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
   }
 }

@@ -55,6 +55,30 @@ object EmbeddingOps {
     side
   }
 
+  /** Guard verdicts for IMMUTABLE dirs (the FrameMemo contract): the
+    * limit+count probe is cheap but it is still an extra Spark job, and
+    * inside the bench's timed runs it was re-billed into q101's
+    * steady-state median on every execution. A dir the driver guarantees
+    * immutable can be probed once per session; mutable dirs re-check
+    * every call (the data may have changed under them). Only a PASSING
+    * verdict is cached — a failing guard keeps failing loudly.
+    */
+  private val guardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
+  private[graft] def guardBroadcastSideMemo(s: SparkSession, dir: String,
+                                            side: DataFrame,
+                                            max: Long = MaxBroadcastRows): DataFrame =
+    if (!FrameMemo.memoizable(dir)) guardBroadcastSide(side, max)
+    else {
+      val k = (s, dir)
+      if (guardMemo.get(k) == null) {
+        guardBroadcastSide(side, max) // throws on violation; nothing cached
+        guardMemo.put(k, java.lang.Boolean.TRUE)
+      }
+      side
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // int8 quantization round-trip report. All narrow per-row math over
     // the vector column — no shuffle but the presentation sort. The
@@ -134,7 +158,7 @@ object EmbeddingOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           (Sampling.splitOf(col("vec_id")) === "test").as("is_test"))
       val train = e.filter(!col("is_test")).select(col("vec_id"), col("v"))
-      val test = guardBroadcastSide(
+      val test = guardBroadcastSideMemo(s, d,
         e.filter(col("is_test"))
           .select(col("vec_id").as("t_id"), col("v").as("tv")))
       train.crossJoin(broadcast(test))

@@ -451,7 +451,13 @@ object AsOf {
     // TIMESTAMP with TIMESTAMP_NTZ, and only under a UTC session where
     // the wall-clock micros coincide with the instant micros.
     val tsMix = Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType)
-    val utcSession = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    // "UTC-equivalent", not the literal string "UTC": Etc/UTC, +00:00, Z
+    // etc. all pin wall-clock micros to instant micros just as well, and
+    // a string compare would wrongly reject those sessions
+    val utcSession = spark.conf.getOption("spark.sql.session.timeZone").exists { tz =>
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    }
     require(lt.dataType == rt.dataType ||
         (tsMix(lt.dataType) && tsMix(rt.dataType) && utcSession),
       s"as-of time type mismatch: ${lt.dataType.catalogString} vs " +

@@ -68,13 +68,42 @@ object JdbcWarehouse {
 
   /** Create the warehouse table with the staging table's schema if it
     * doesn't exist yet (Derby has no IF NOT EXISTS; X0Y32 = exists).
+    * Returns whether this call created it, so constraints are added
+    * exactly once.
     */
-  private def ensureTable(conn: Connection, target: String, staging: String): Unit =
+  private def ensureTable(conn: Connection, target: String, staging: String): Boolean =
     try {
       withStatement(conn)(_.executeUpdate(
         s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA"))
+      true
+    } catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => false }
+
+  /** The reference schema's integrity constraints
+    * (`SQL/01_create_schema.sql`: SERIAL PRIMARY KEY + UNIQUE natural
+    * keys on dims, composite PKs on facts), which CREATE TABLE AS ...
+    * WITH NO DATA does NOT copy. Without them a concurrent second loader
+    * (two MAX(id) literals read before either inserts) or a duplicate
+    * natural key that slips into staging would silently insert
+    * colliding rows, and the fact rekey join would then fan facts out.
+    * With them the database rejects the bad insert and the transaction
+    * rolls back loudly. CTAS columns come out nullable; Derby wants
+    * NOT NULL under a PK, and the tables are empty here so the ALTER is
+    * safe.
+    */
+  private def addConstraints(conn: Connection, target: String,
+                             pk: Seq[String], unique: Seq[String] = Nil): Unit = {
+    (pk ++ unique).foreach { c =>
+      withStatement(conn)(_.executeUpdate(
+        s"ALTER TABLE $target ALTER COLUMN ${q(c)} NOT NULL"))
+    }
+    withStatement(conn)(_.executeUpdate(
+      s"ALTER TABLE $target ADD CONSTRAINT ${target}_pk PRIMARY KEY (${pk.map(q).mkString(", ")})"))
+    if (unique.nonEmpty) {
+      withStatement(conn)(_.executeUpdate(
+        s"ALTER TABLE $target ADD CONSTRAINT ${target}_nk UNIQUE (${unique.map(q).mkString(", ")})"))
       ()
-    } catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    }
+  }
 
   /** Set-based upsert from staging, executed BY the database. */
   private def mergeFromStaging(conn: Connection, target: String, staging: String,
@@ -223,11 +252,13 @@ object JdbcWarehouse {
     }
     inTransaction(url) { conn =>
       DimTables.foreach { case (t, idCol, nks, _) =>
-        ensureTable(conn, t, s"stg_$t")
+        if (ensureTable(conn, t, s"stg_$t"))
+          addConstraints(conn, t, pk = Seq(idCol), unique = nks)
         insertMissingDims(conn, t, s"stg_$t", idCol, nks)
       }
       FactTables.foreach { case (t, pk, bridges) =>
-        ensureTable(conn, t, s"stg_$t")
+        if (ensureTable(conn, t, s"stg_$t"))
+          addConstraints(conn, t, pk = pk)
         val rekeyed = rekeyedFactTable(conn, s"stg_$t", bridges)
         try mergeFromStaging(conn, t, rekeyed, pk)
         finally dropTable(conn, rekeyed)

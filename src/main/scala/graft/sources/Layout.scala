@@ -38,9 +38,27 @@ object Layout {
     * out of /tmp.
     */
   private[sources] def tag(d: String, tables: String*): String = {
+    // Hadoop FS, not java.io.File: a table "file" may be a directory of
+    // part files (rewriting one part in place does NOT bump the dir
+    // mtime, so a dir-level stat would serve stale bytes), and the path
+    // may live on a non-local filesystem. Fingerprint = every file's
+    // (name, size, mtime) under the path, recursively. A MISSING source
+    // table fails loudly here — java.io.File silently yielded 0:0 and
+    // cached a layout of nothing.
+    val conf = new org.apache.hadoop.conf.Configuration()
     val fp = tables.sorted.map { t =>
-      val f = new java.io.File(s"$d/$t.parquet")
-      s"$t:${f.length}:${f.lastModified}"
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p))
+        throw new java.io.FileNotFoundException(
+          s"layout source table missing: $p — refusing to fingerprint an absent table")
+      val it = fs.listFiles(p, true)
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+      s"$t:${files.sorted.mkString(",")}"
     }.mkString("|")
     java.lang.Integer.toHexString((d + "|" + fp).hashCode & 0x7fffffff)
   }
@@ -79,10 +97,17 @@ object Layout {
     * partition-local sorts) — LayoutSpec pins that plan shape. The
     * orderBy is presentation-only (oracle hash contract).
     */
+  /** Where the co-bucketed customer/orders layout for `d` lives — the
+    * single source of truth for the path (LayoutSpec asserts on the
+    * files; deriving the tag twice is how a stale copy passes).
+    */
+  private[graft] def bucketedRoot(d: String): String =
+    s"$tmpRoot/graft_bucketed_${tag(d, "customer", "orders")}"
+
   def bucketedOrdersPerCustomer(s: SparkSession, d: String,
                                 buckets: Int = 16): DataFrame = {
     val t = tag(d, "customer", "orders")
-    val root = s"$tmpRoot/graft_bucketed_$t"
+    val root = bucketedRoot(d)
     // bucketing's whole point is that the layout shuffle is paid ONCE at
     // load, then every query rides it for free — so the load is
     // idempotent: rebuild only when the catalog entry or the committed

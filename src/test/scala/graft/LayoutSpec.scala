@@ -149,11 +149,12 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("bucketed writes land exactly one file per bucket") {
-    val t = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
     Layout.bucketedOrdersPerCustomer(spark, d) // ensure written
     for (sub <- Seq("customer", "orders")) {
-      val files = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$t/$sub")
+      // the REAL root via Layout.bucketedRoot — a re-derived tag here
+      // once let the assertion pass against a stale dir from an older
+      // tag scheme
+      val files = new java.io.File(s"${Layout.bucketedRoot(d)}/$sub")
         .listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length == 16, s"$sub: ${files.length} files for 16 buckets")
     }
