@@ -84,6 +84,39 @@ object StreamingQueries {
         EventsStreaming.hourlyCounts(stream), "q119_stream_hourly_append",
         OutputMode.Append, statePartitions = Some(8))
       sealedWindows.orderBy("hour", "event_type")
+    }),
+
+    // NATIVE session windows under streaming, Append mode: Spark merges
+    // overlapping [ts, ts+gap) spans in the state store and emits a
+    // session exactly once — when the watermark (1h) proves it can no
+    // longer grow — then evicts its state. The emitted set must equal
+    // batch q58's sessions restricted to session_end <= final watermark
+    // (same millis-truncation arithmetic as q119). This is the
+    // MERGING-state operator under the oracle gate (q119 covers
+    // fixed-window state; sessions also merge windows).
+    "q122_stream_sessions_append" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val sealedSessions = EventsStreaming.runToMemory(s,
+        EventsStreaming.sessionWindows(stream), "q122_stream_sessions_append",
+        OutputMode.Append, statePartitions = Some(8))
+      sealedSessions.orderBy("user_id", "session_start")
+    }),
+
+    // Stream-STREAM interval join replayed bounded: clicks and purchases
+    // are two watermarked filters of the same source, joined on user +
+    // a 1h event-time interval. On a single-batch AvailableNow replay
+    // every match emits (inner-join rows emit the batch they match;
+    // the watermark only bounds buffered STATE), so the oracle is the
+    // plain batch interval join — what the gate checks is that the
+    // streaming join machinery (two stateful sides, interval-bounded
+    // buffers) reproduces it bit-for-bit.
+    "q123_stream_attribution_replay" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val joined = EventsStreaming.runToMemory(s,
+        EventsStreaming.purchaseAttribution(stream),
+        "q123_stream_attribution_replay",
+        OutputMode.Append, statePartitions = Some(8))
+      joined.orderBy("purchase_id", "click_id")
     })
   )
 
@@ -116,7 +149,51 @@ object StreamingQueries {
         |FROM events, wm
         |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.w_us
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // q58's session derivation (same >= gap split on µs-truncated ts)
+    // restricted to sessions the final 1h watermark seals:
+    // session_end (= last event + 30min gap) <= floor_ms(max ts) - 1h.
+    "q122_stream_sessions_append" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000 AS w_us
+        |  FROM events
+        |), base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events
+        |), lagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM base
+        |), ids AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM ids GROUP BY user_id, sid
+        |)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sessions, wm
+        |WHERE epoch_us(session_end) <= wm.w_us
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the batch interval join verbatim: a bounded single-batch replay
+    // emits every matched pair (state eviction never fires before the
+    // only batch completes), so streaming == batch exactly.
+    "q123_stream_attribution_replay" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 
   val rowsOnly: Set[String] = Set.empty

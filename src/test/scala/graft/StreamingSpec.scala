@@ -58,6 +58,42 @@ class StreamingSpec extends AnyFunSuite {
       "append-mode emission must equal the sealed-window predicate bit-for-bit")
   }
 
+  test("q122 append session windows equal batch q58 restricted to sealed sessions") {
+    val got = SparkEntry.queries("q122_stream_sessions_append")(
+      spark, "/root/testdata/sf0.001")
+    val batch = SparkEntry.queries("q58_session_window")(
+      spark, "/root/testdata/sf0.001")
+    val maxUs = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wUs = maxUs / 1000 * 1000 - 3600000000L
+    val sealedBatch = batch.filter(unix_micros(col("session_end")) <= wUs)
+    assert(got.count() > 0)
+    assert(got.count() < batch.count(),
+      "some sessions must remain unsealed, or eviction was never exercised")
+    assert(got.exceptAll(sealedBatch).isEmpty && sealedBatch.exceptAll(got).isEmpty,
+      "append-mode session emission must equal the sealed-session predicate bit-for-bit")
+  }
+
+  test("q123 stream-stream replay equals the batch interval join exactly") {
+    val got = SparkEntry.queries("q123_stream_attribution_replay")(
+      spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val batch = purchases.join(clicks,
+      col("buyer_id") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("buyer_id").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "bounded stream-stream replay must equal the batch interval join bit-for-bit")
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runToMemory(
