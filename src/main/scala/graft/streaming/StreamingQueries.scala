@@ -117,6 +117,37 @@ object StreamingQueries {
         "q123_stream_attribution_replay",
         OutputMode.Append, statePartitions = Some(8))
       joined.orderBy("purchase_id", "click_id")
+    }),
+
+    // The CUSTOM arbitrary-state hook (flatMapGroupsWithState with
+    // event-time timeout) under the gate: hand-rolled gap sessionization
+    // holds every still-open run per user and emits a run only when the
+    // watermark proves no event can extend it (end + gap <= watermark;
+    // closes fire on the AvailableNow timeout batch). Oracle = q33's
+    // islands derivation in exact epoch micros, restricted by the same
+    // close predicate. q122 gates the BUILT-IN session operator; this
+    // gates the user-defined state machine a feature-store pipeline
+    // writes when the built-in semantics don't fit.
+    "q124_stream_sessionize_custom" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val closed = EventsStreaming.runToMemory(s,
+        EventsStreaming.sessionize(s, stream), "q124_stream_sessionize_custom",
+        OutputMode.Append, statePartitions = Some(8))
+      closed.orderBy("user_id", "start_micros")
+    }),
+
+    // Stream-STATIC enrichment: micro-batches of the event stream join
+    // the bounded customer→region dim (no state store at all — the
+    // static side's file listing is snapshotted at query start and the
+    // join is planned per batch). Stateless, so the bounded replay must
+    // equal the batch join verbatim.
+    "q125_stream_enrich_replay" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val enriched = EventsStreaming.runToMemory(s,
+        EventsStreaming.enrichWithRegion(s, stream, d),
+        "q125_stream_enrich_replay",
+        OutputMode.Append, statePartitions = Some(8))
+      enriched.orderBy("event_id")
     })
   )
 
@@ -193,7 +224,46 @@ object StreamingQueries {
         |  ON c.user_id = p.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // q33's gap-split islands (split at gap > 30 min, full-precision
+    // micros) as (start, end, count) runs, restricted to runs the final
+    // watermark closes: end + gap <= floor_ms(max ts) - 1h — the exact
+    // close predicate of the state function (it compares micros built
+    // from a millis watermark, hence the same truncation).
+    "q124_stream_sessionize_custom" ->
+      """WITH wm AS (
+        |  SELECT ((epoch_us(MAX(ts)) // 1000) - 3600000) * 1000 AS w_us
+        |  FROM events
+        |), lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), ids AS (
+        |  SELECT user_id, ts,
+        |         SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagged
+        |), runs AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         epoch_us(MIN(ts)) AS start_micros,
+        |         epoch_us(MAX(ts)) AS end_micros
+        |  FROM ids GROUP BY user_id, sid
+        |)
+        |SELECT user_id, n_events, start_micros, end_micros
+        |FROM runs, wm
+        |WHERE end_micros + 1800000000 <= wm.w_us
+        |ORDER BY user_id, start_micros""".stripMargin,
+
+    // the batch dim join verbatim (stateless enrichment)
+    "q125_stream_enrich_replay" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value, r.r_name AS region_name
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |ORDER BY e.event_id""".stripMargin
   )
 
   val rowsOnly: Set[String] = Set.empty

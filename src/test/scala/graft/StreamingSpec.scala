@@ -94,6 +94,35 @@ class StreamingSpec extends AnyFunSuite {
       "bounded stream-stream replay must equal the batch interval join bit-for-bit")
   }
 
+  test("q124 custom-state sessionize equals the islands derivation on closed runs") {
+    val got = SparkEntry.queries("q124_stream_sessionize_custom")(
+      spark, "/root/testdata/sf0.001")
+    // engine-side mirror of the oracle: gap>30min islands in exact
+    // micros, closed iff end + gap <= floor_ms(max ts) - 1h
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wUs = (maxUs / 1000 - 3600000L) * 1000
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = ev
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_run",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_run")).over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_micros"),
+        max(unix_micros(col("ts"))).as("end_micros"))
+      .filter(col("end_micros") + 1800000000L <= wUs)
+      .select("user_id", "n_events", "start_micros", "end_micros")
+    assert(got.count() > 0 && got.count() < runs.count() + 10)
+    assert(got.exceptAll(runs).isEmpty && runs.exceptAll(got).isEmpty,
+      "custom-state closed runs must equal the islands derivation bit-for-bit")
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runToMemory(
