@@ -140,10 +140,17 @@ object Bench {
                  sfDir: String, runs: Int,
                  sharedBuildSec: Double = 0.0,
                  sharedBuildFailed: Boolean = false): String = {
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f",
-      java.lang.Double.valueOf(v))
-    val shortKeys = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    // Centiseconds below 100 s (every realistic per-query value);
+    // deciseconds above — the worst-case width model the line budget is
+    // sized against (126 keys × worst width must fit the capture window)
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT,
+      if (v >= 100) "%.1f" else "%.2f", java.lang.Double.valueOf(v))
+    // "q112_dedup_segments" -> "112": the q is constant information and
+    // 126 keys × 1 char is real budget (full names in QUERIES.md)
+    val shortKeys = results.map { case (k, _) =>
+      k -> k.takeWhile(_ != '_').stripPrefix("q")
+    }.toMap
     val short = if (shortKeys.values.toSet.size == shortKeys.size) shortKeys
                 else shortKeys.keys.map(k => k -> k).toMap // collision: keep full names
     // failures must not blow the window either: a failed query appears
@@ -156,7 +163,7 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val note = "noop-sink;median" + runs + ";keys=qNN(QUERIES.md)" +
+    val note = "noop-sink;median" + runs + ";keys=NN(QUERIES.md)" +
       (if (sharedBuildSec > 0) ";total incl shared_build (memoized edge lists)"
        else "") +
       (if (sharedBuildFailed) ";shared_build FAILED (memo unpopulated, consumers rebuild per run)"

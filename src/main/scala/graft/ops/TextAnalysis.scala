@@ -66,26 +66,50 @@ object TextAnalysis {
         xxhash64(col("text")).as("content_hash"))
         .orderBy("doc_id")),
 
-    // q24's ORACLE-CHECKED twin (the q118 twin design): the same
-    // rolling-window fingerprint shape — hash every 8-token gram, keep
-    // the lexical min/max as the doc signature — but every hash is md5,
-    // which DuckDB recomputes bit-for-bit. q24's xxhash64 forms stay as
-    // the production fast path (8-byte hashes, no hex strings); this
-    // pins the window/slice/tokenize plumbing both share. Narrow
-    // per-row transform, no shuffle except the presentation sort.
+    // q24's ORACLE-CHECKED twin (the q118 twin design): a true ROLLING
+    // fingerprint — one md5 per TOKEN (48-bit hex prefix as an integer,
+    // which DuckDB recomputes bit-for-bit via ('0x'||substr)::BIGINT),
+    // then every 8-token window is the SUM of its token hashes and the
+    // doc signature is the min/max window value. One digest per token
+    // instead of per window (an md5-per-gram draft benched 8.2 s at
+    // sf0.1; this shape is ~8× fewer digests over ~8× shorter inputs,
+    // the windows themselves are integer adds) — the rolling-window /
+    // tokenize plumbing q24's xxhash64 fast path shares, pinned with
+    // portable hashes. Narrow per-row transform, no shuffle except the
+    // presentation sort.
     "q120_fingerprint_md5" -> ((s, d) => {
-      val t = tokens(col("text"))
-      // 1-based gram starts; < 8 tokens degrades to one whole-doc gram
-      // (slice clamps at the end of the list, same as DuckDB t[i:i+7])
-      val grams = transform(
-        sequence(lit(1), greatest(size(t) - 7, lit(1))),
-        i => md5(concat_ws(" ", slice(t, i, lit(8)))))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        md5(col("text")).as("content_md5"),
-        size(t).as("n_tokens"),
-        array_min(grams).as("fp_min"),
-        array_max(grams).as("fp_max"))
+      import org.apache.spark.sql.expressions.Window
+      // The rolling sums run as posexplode + a ROWS-frame window, NOT
+      // as array lambdas: higher-order functions are CodegenFallback
+      // (interpreted per element), and a nested transform×aggregate
+      // draft ran 29 s at sf0.1 where this whole-stage-codegen'd shape
+      // runs ~2 s. Scale shape: the one shuffle carries (doc_id, n,
+      // pos, h) — 28 bytes/token, never the text; the sliding frame is
+      // O(1) per row; the final doc agg reuses the window's doc_id
+      // partitioning (no second shuffle); the doc-level md5 join is
+      // dim-sized.
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        size(tokens(col("text"))).as("n"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      // 48-bit md5 prefix: inside BIGINT in both engines even summed
+      // 8-wide (8 * 2^48 << 2^63); DuckDB recomputes it bit-for-bit
+      // via ('0x' || substr(md5, 1, 12))::BIGINT
+      val h = tok.withColumn("h",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 7)
+      // full 8-token windows only (start pos <= n-8, 0-based); < 8
+      // tokens degrades to one whole-doc window at pos 0 (frame clamps)
+      val wins = h.withColumn("wsum", sum(col("h")).over(w))
+        .filter(col("pos") <= greatest(col("n") - 8, lit(0)))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          min(col("wsum")).as("fp_min"), max(col("wsum")).as("fp_max"))
+      docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .join(wins, Seq("doc_id"))
+        .select(col("doc_id"), col("content_md5"), col("n_tokens"),
+          col("fp_min"), col("fp_max"))
         .orderBy("doc_id")
     }),
 
@@ -338,17 +362,31 @@ object TextAnalysis {
 
   val oracleSql: Map[String, String] = Map(
     "q120_fingerprint_md5" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS content_md5,
+        |         string_split_regex(trim(text), '\s+') AS l
         |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, content_md5, len(l) AS n,
+        |         unnest(l) AS tok, unnest(range(1, len(l)+1)) AS pos
+        |  FROM t
+        |), h AS (
+        |  SELECT doc_id, content_md5, n, pos,
+        |         ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+        |  FROM tok
+        |), wins AS (
+        |  SELECT doc_id, content_md5, n, pos,
+        |         SUM(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wsum
+        |  FROM h
         |)
-        |SELECT doc_id, md5(text) AS content_md5,
-        |       CAST(len(t) AS INTEGER) AS n_tokens,
-        |       list_min([md5(array_to_string(t[i:i+7], ' '))
-        |                 for i in range(1, greatest(len(t)-7, 1)+1)]) AS fp_min,
-        |       list_max([md5(array_to_string(t[i:i+7], ' '))
-        |                 for i in range(1, greatest(len(t)-7, 1)+1)]) AS fp_max
-        |FROM toks ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, content_md5, CAST(n AS INTEGER) AS n_tokens,
+        |       CAST(MIN(wsum) AS BIGINT) AS fp_min,
+        |       CAST(MAX(wsum) AS BIGINT) AS fp_max
+        |FROM wins
+        |WHERE pos <= greatest(n - 7, 1)
+        |GROUP BY doc_id, content_md5, n
+        |ORDER BY doc_id""".stripMargin,
 
     // expression SHAPE mirrors the Spark side exactly (same literals,
     // same association) so every double derives identically; the hash

@@ -141,6 +141,23 @@ object StreamingQueries {
     // static side's file listing is snapshotted at query start and the
     // join is planned per batch). Stateless, so the bounded replay must
     // equal the batch join verbatim.
+    // LEFT OUTER stream-stream join: the subtle half of the streaming
+    // join family. Matches emit eagerly (as in q123); an UNMATCHED
+    // purchase emits null-extended only when the click-side watermark
+    // passes its purchase time — the moment no future click can still
+    // match (click_ts <= purchase_ts) — i.e. on state EXPIRY in the
+    // final watermark batch. Oracle = batch left join where the null
+    // rows are restricted to purchases the final watermark expired;
+    // unmatched purchases in the last 2h stay withheld in state.
+    "q126_stream_attribution_outer" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val joined = EventsStreaming.runToMemory(s,
+        EventsStreaming.purchaseAttribution(stream, joinType = "left_outer"),
+        "q126_stream_attribution_outer",
+        OutputMode.Append, statePartitions = Some(8))
+      joined.orderBy("purchase_id", "click_id")
+    }),
+
     "q125_stream_enrich_replay" -> ((s, d) => {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val enriched = EventsStreaming.runToMemory(s,
@@ -255,6 +272,47 @@ object StreamingQueries {
         |FROM runs, wm
         |WHERE end_micros + 1800000000 <= wm.w_us
         |ORDER BY user_id, start_micros""".stripMargin,
+
+    // matched pairs emit unconditionally; null-extension only for
+    // purchases whose state the final watermark expired. The watermark
+    // here is NOT max(all events) - delay: each withWatermark node sits
+    // on a FILTERED side and tracks only ITS max event time, and the
+    // query-global watermark is the MIN across nodes (default
+    // multipleWatermarkPolicy=min) — so W = floor_ms(min(max click ts,
+    // max purchase ts)) - 2h, empirically pinned (a max-over-all-events
+    // oracle over-expires by exactly the purchases between the two
+    // watermarks). No click above W can satisfy click_ts <= purchase_ts
+    // for a purchase at or below W.
+    "q126_stream_attribution_outer" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+        |     FROM events WHERE event_type = 'click'),
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+        |     FROM events WHERE event_type = 'purchase')) - 7200000000 AS w_us
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts,
+        |         c.click_ts, p.value
+        |  FROM p JOIN c ON c.c_user = p.user_id
+        |   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |   AND c.click_ts <= p.purchase_ts
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM m
+        |  UNION ALL
+        |  SELECT p.purchase_id, NULL AS click_id, p.user_id, p.purchase_ts,
+        |         NULL AS click_ts, p.value
+        |  FROM p, wm
+        |  WHERE epoch_us(p.purchase_ts) <= wm.w_us
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+        |)
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // the batch dim join verbatim (stateless enrichment)
     "q125_stream_enrich_replay" ->

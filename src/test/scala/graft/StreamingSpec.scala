@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
       "custom-state closed runs must equal the islands derivation bit-for-bit")
   }
 
+  test("q126 outer replay: null-extension gated by the MIN of the two side watermarks") {
+    val got = SparkEntry.queries("q126_stream_attribution_outer")(
+      spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // per-side watermark nodes see only THEIR filtered input; the query
+    // watermark is the min across nodes (multipleWatermarkPolicy=min)
+    val maxOf = (t: String) => ev.filter(col("event_type") === t)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val wUs = math.min(maxOf("click"), maxOf("purchase")) / 1000 * 1000 - 7200000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val matched = purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+    val nulls = purchases
+      .join(matched.select("purchase_id"), Seq("purchase_id"), "left_anti")
+      .filter(unix_micros(col("purchase_ts")) <= wUs)
+      .select(col("purchase_id"), lit(null).cast("long").as("click_id"),
+        col("user_id"), col("purchase_ts"),
+        lit(null).cast("timestamp").as("click_ts"), col("value"))
+    val expected = matched.unionByName(nulls)
+    assert(got.filter(col("click_id").isNull).count() > 0,
+      "state expiry must produce null-extended rows")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "outer replay must equal matched + watermark-expired nulls bit-for-bit")
+  }
+
   test("streaming hourly counts match the batch aggregation") {
     val stream = EventsStreaming.readEvents(spark, dir)
     val got = EventsStreaming.runToMemory(
