@@ -28,6 +28,23 @@ class BenchHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("a failed shared build reports its marker, never the memoized label or its time") {
+    // on build failure the memo is unpopulated and consumers rebuild per
+    // run (billed in their own medians) — folding the partial build time
+    // into the total under the "memoized" note would double-bill and
+    // overclaim amortization
+    val results = Seq("q01_x" -> (Right(1.0): Either[String, Double]))
+    val line = Bench.renderLine(results, "/sf", runs = 3,
+      sharedBuildSec = 0.0, sharedBuildFailed = true)
+    assert(line.contains("\"shared_build_error\":true"))
+    assert(!line.contains("\"shared_build\":"), "no phantom build time")
+    assert(line.contains("\"value\":1.00"), "total must exclude the failed build")
+    assert(line.contains("shared_build FAILED"))
+    val ok = Bench.renderLine(results, "/sf", runs = 3, sharedBuildSec = 2.5)
+    assert(ok.contains("\"shared_build\":2.50") && ok.contains("\"value\":3.50"))
+    assert(!ok.contains("shared_build_error"))
+  }
+
   test("the JSON line for the FULL registered surface fits the capture window") {
     // The round harness keeps only the last ~2000 chars of stdout, and
     // sbt appends ~120 chars of "[success] Total time ..." after the

@@ -160,6 +160,14 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("layout tag fails loudly on a missing source table") {
+    // java.io.File stats silently fingerprinted an absent table as 0:0
+    // and cached a layout of nothing; the Hadoop-FS tag must refuse
+    val e = intercept[java.io.FileNotFoundException](
+      Layout.bucketedRoot("/tmp/graft_no_such_dir_xyz"))
+    assert(e.getMessage.contains("refusing to fingerprint"))
+  }
+
   test("q92 plans a dynamic partition pruning subquery on the fact scan") {
     val p = SparkEntry.queries("q92_dpp_weekend_totals")(spark, d)
       .queryExecution.executedPlan.toString

@@ -237,6 +237,42 @@ class MedallionSpec extends AnyFunSuite {
       "every fact region id must resolve to a stored dim row")
   }
 
+  test("warehouse tables carry the reference PK/UNIQUE constraints and reject collisions") {
+    // CREATE TABLE AS ... WITH NO DATA copies no constraints; loadStar
+    // must add them itself (SQL/01_create_schema.sql parity) so a
+    // concurrent loader or dirty staging can't silently insert
+    // colliding ids / duplicate natural keys that fan the fact rekey out
+    import graft.sources.{JdbcStage, JdbcWarehouse}
+    new scala.reflect.io.Directory(
+      new java.io.File("/tmp/graft_test_derby/warehouse_constraints")).deleteRecursively()
+    val url = JdbcStage.derbyUrl("/tmp/graft_test_derby/warehouse_constraints")
+    JdbcWarehouse.loadStar(url, EnergyStar.build(
+      Medallion.energyMonthly(energySilver),
+      Medallion.emissionsMonthly(emissionsSilver),
+      Medallion.carbonIntensity(energySilver, emissionsSilver)))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT \"region_name\" FROM dim_region FETCH FIRST 1 ROWS ONLY")
+      rs.next(); val existing = rs.getString(1); rs.close()
+      // duplicate NATURAL KEY under a fresh id: UNIQUE must reject (23505)
+      val dupNk = intercept[java.sql.SQLException](
+        conn.createStatement().executeUpdate(
+          s"""INSERT INTO dim_region ("region_id", "region_name") VALUES (999, '$existing')"""))
+      assert(dupNk.getSQLState == "23505", s"got ${dupNk.getSQLState}")
+      // duplicate SURROGATE ID under a fresh name: PK must reject
+      val dupId = intercept[java.sql.SQLException](
+        conn.createStatement().executeUpdate(
+          """INSERT INTO dim_region ("region_id", "region_name") VALUES (1, 'ZZZ_brand_new')"""))
+      assert(dupId.getSQLState == "23505", s"got ${dupId.getSQLState}")
+      // composite fact PK too
+      val factDup = intercept[java.sql.SQLException](
+        conn.createStatement().executeUpdate(
+          """INSERT INTO fact_carbon_intensity SELECT * FROM fact_carbon_intensity FETCH FIRST 1 ROWS ONLY"""))
+      assert(factDup.getSQLState == "23505", s"got ${factDup.getSQLState}")
+    } finally conn.close()
+  }
+
   test("assertNoNulls fails fast on null keys") {
     import spark.implicits._
     val bad = Seq((Some(1), Some(1.0)), (None, Some(2.0))).toDF("k", "v")

@@ -259,7 +259,13 @@ class PlanSpec extends AnyFunSuite {
       "q76_tfidf_terms",             // 1-row doc-count fold
       "q77_matryoshka_eval",         // broadcast 10-query side vs corpus
       "q78_source_mixing")           // 1-row temperature-normalizer fold
-    val skip = Set("q116_stream_hourly_replay") // executes a streaming job
+    // each of these executes a streaming job just to build its frame,
+    // and the plan the sweep would see is only the memory-sink scan —
+    // their real (streaming) plans are covered by StreamingSpec's pins
+    val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
+      "q122_stream_sessions_append", "q123_stream_attribution_replay",
+      "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
+      "q126_stream_attribution_outer")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
