@@ -77,41 +77,8 @@ object TextAnalysis {
     // tokenize plumbing q24's xxhash64 fast path shares, pinned with
     // portable hashes. Narrow per-row transform, no shuffle except the
     // presentation sort.
-    "q120_fingerprint_md5" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // The rolling sums run as posexplode + a ROWS-frame window, NOT
-      // as array lambdas: higher-order functions are CodegenFallback
-      // (interpreted per element), and a nested transform×aggregate
-      // draft ran 29 s at sf0.1 where this whole-stage-codegen'd shape
-      // runs ~2 s. Scale shape: the one shuffle carries (doc_id, n,
-      // pos, h) — 28 bytes/token, never the text; the sliding frame is
-      // O(1) per row; the final doc agg reuses the window's doc_id
-      // partitioning (no second shuffle); the doc-level md5 join is
-      // dim-sized.
-      val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"),
-        size(tokens(col("text"))).as("n"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      // 48-bit md5 prefix: inside BIGINT in both engines even summed
-      // 8-wide (8 * 2^48 << 2^63); DuckDB recomputes it bit-for-bit
-      // via ('0x' || substr(md5, 1, 12))::BIGINT
-      val h = tok.withColumn("h",
-        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, 7)
-      // full 8-token windows only (start pos <= n-8, 0-based); < 8
-      // tokens degrades to one whole-doc window at pos 0 (frame clamps)
-      val wins = h.withColumn("wsum", sum(col("h")).over(w))
-        .filter(col("pos") <= greatest(col("n") - 8, lit(0)))
-        .groupBy("doc_id")
-        .agg(max(col("n")).as("n_tokens"),
-          min(col("wsum")).as("fp_min"), max(col("wsum")).as("fp_max"))
-      docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
-        .join(wins, Seq("doc_id"))
-        .select(col("doc_id"), col("content_md5"), col("n_tokens"),
-          col("fp_min"), col("fp_max"))
-        .orderBy("doc_id")
-    }),
+    "q120_fingerprint_md5" -> ((s, d) =>
+      rollingFingerprintMd5(Tables.documents(s, d)).orderBy("doc_id")),
 
     // END-TO-END corpus curation — the pipeline this engine exists for:
     // quality gate + language agreement + exact dedup, reported per
@@ -359,6 +326,43 @@ object TextAnalysis {
       |            WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
       |            WHEN s_de >= s_zh THEN 'de'
       |            ELSE 'zh' END""".stripMargin
+
+  /** q120's body over any (doc_id, text) frame — separated so
+    * PropertiesSpec can brute-force-check the rolling logic on
+    * generated docs. The rolling sums run as posexplode + a ROWS-frame
+    * window, NOT as array lambdas: higher-order functions are
+    * CodegenFallback (interpreted per element), and a nested
+    * transform×aggregate draft ran 29 s at sf0.1 where this
+    * whole-stage-codegen'd shape runs ~3 s. Scale shape: the one
+    * shuffle carries (doc_id, n, pos, h) — ~28 bytes/token, never the
+    * text; the sliding frame is O(1) per row; the final doc agg reuses
+    * the window's doc_id partitioning (no second shuffle); the
+    * doc-level md5 join is dim-sized.
+    */
+  def rollingFingerprintMd5(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // 48-bit md5 prefix: inside BIGINT in both engines even summed
+    // 8-wide (8 * 2^48 << 2^63); DuckDB recomputes it bit-for-bit
+    // via ('0x' || substr(md5, 1, 12))::BIGINT
+    val h = tok.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 7)
+    // full 8-token windows only (start pos <= n-8, 0-based); < 8
+    // tokens degrades to one whole-doc window at pos 0 (frame clamps)
+    val wins = h.withColumn("wsum", sum(col("h")).over(w))
+      .filter(col("pos") <= greatest(col("n") - 8, lit(0)))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        min(col("wsum")).as("fp_min"), max(col("wsum")).as("fp_max"))
+    docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .join(wins, Seq("doc_id"))
+      .select(col("doc_id"), col("content_md5"), col("n_tokens"),
+        col("fp_min"), col("fp_max"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q120_fingerprint_md5" ->

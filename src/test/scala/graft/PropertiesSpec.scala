@@ -139,6 +139,40 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling md5 fingerprint equals a brute-force reference on random docs") {
+    // the q120 plan (posexplode + ROWS-frame window) vs a straight
+    // Scala computation of the same spec: h = first 12 hex chars of
+    // md5(token) as a long; windows = 8-token sums at starts
+    // 0..max(n-8, 0); signature = (min, max)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reference(toks: List[String]): (Long, Long, Int) = {
+      val h = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(12), 16))
+      val sums = (0 to math.max(h.size - 8, 0))
+        .map(i => h.slice(i, i + 8).sum)
+      (sums.min, sums.max, toks.size)
+    }
+    val tokGen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty),
+        Gen.oneOf("the", "a", "spark", "join", "x"))))
+    check("rollingFingerprintMd5")(
+      Prop.forAll(Gen.listOfN(5, tokGen)) { docs0 =>
+        val docs = docs0.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        val df = docs.toDF("doc_id", "text")
+        val got = graft.ops.TextAnalysis.rollingFingerprintMd5(df)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(3), r.getLong(4), r.getInt(2), r.getString(1))).toMap
+        docs0.zipWithIndex.forall { case (toks, i) =>
+          val (mn, mx, n) = reference(toks)
+          val (gmn, gmx, gn, gmd5) = got(i.toLong)
+          gmn == mn && gmx == mx && gn == n &&
+            gmd5 == md5hex(toks.mkString(" "))
+        }
+      })
+  }
+
   test("minhash band agreement is monotone in true jaccard") {
     // not a strict property of single draws - check on expectation with
     // fixed pairs: supersets agree at least as much as subsets
