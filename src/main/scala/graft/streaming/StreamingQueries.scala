@@ -19,6 +19,11 @@ object StreamingQueries {
     * of MB and Verify/Bench call this once per run), one staging dir per
     * source dir so SFs never collide.
     */
+  private def pathDigest(raw: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
   private def stageEventsDir(d: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$d/events.parquet")
@@ -26,9 +31,7 @@ object StreamingQueries {
     // distinct dirs (sf0.1 vs a hypothetical sf0_1) onto one name, and a
     // collision would silently replay the wrong table
     val raw = src.toAbsolutePath.toString
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map("%02x".format(_)).mkString
+    val digest = pathDigest(raw)
     val stage = Paths.get(
       s"/tmp/graft_stream_stage/${raw.replaceAll("[^A-Za-z0-9]", "_")}_$digest")
     Files.createDirectories(stage)
@@ -47,6 +50,21 @@ object StreamingQueries {
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     stage.toString
+  }
+
+  /** Fresh per-invocation scratch dir for the maintenance-sink queries:
+    * deleted up front so each run rebuilds from zero — the rebuild is
+    * the measured work, and a leftover ledger/fact from a previous
+    * invocation can never leak into the oracle compare.
+    */
+  private def scratchDir(kind: String, d: String): String = {
+    val root = s"/tmp/graft_stream_$kind/${pathDigest(new java.io.File(d).getAbsolutePath)}"
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    Seq("", ".tmp", ".old").foreach(sfx => del(new java.io.File(root + sfx)))
+    root
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -134,6 +152,66 @@ object StreamingQueries {
         EventsStreaming.sessionize(s, stream), "q124_stream_sessionize_custom",
         OutputMode.Append, statePartitions = Some(8))
       closed.orderBy("user_id", "start_micros")
+    }),
+
+    // foreachBatch STATELESS gold maintenance under the gate: the
+    // micro-batch sink aggregates each batch and ADDs it into the
+    // stored gold (decimal-exact additive merge, batch-id ledger for
+    // at-least-once idempotence, crash-safe tmp→live swap), then the
+    // query READS the produced table — so the oracle checks the whole
+    // maintenance pipeline end-to-end, not a transform. Fresh scratch
+    // dir per invocation: the rebuild IS the measured work.
+    "q127_stream_gold_additive" -> ((s, d) => {
+      val gold = scratchDir("gold", d)
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      EventsStreaming.incrementalDailyGold(s, stream, gold).awaitTermination()
+      s.read.parquet(gold)
+        .select(col("day"), col("event_type"),
+          col("revenue").cast("double").as("revenue"), col("n_events"))
+        .orderBy("day", "event_type")
+    }),
+
+    // foreachBatch STATEFUL fact maintenance: Update-mode streaming
+    // aggregation (state holds running totals) feeding the idempotent
+    // key-replacing MERGE (StarOps.upsertFact) with the same crash-safe
+    // swap — the streaming version of the reference's INSERT ... ON
+    // CONFLICT loader. Oracle = the hourly totals the final fact must
+    // converge to (q32's aggregation).
+    "q128_stream_fact_upsert" -> ((s, d) => {
+      val fact = scratchDir("fact", d)
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      EventsStreaming.upsertHourlyFact(s, stream, fact).awaitTermination()
+      s.read.parquet(fact)
+        .select(col("hour"), col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // mapGroupsWithState (the SECOND custom-state hook — q124 gates
+    // flatMapGroupsWithState): per-user running event counts in Update
+    // mode; on a bounded replay the final update per user IS the total.
+    "q129_stream_user_counts" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val counts = EventsStreaming.runToMemory(s,
+        EventsStreaming.runningUserCounts(s, stream),
+        "q129_stream_user_counts", OutputMode.Update, statePartitions = Some(8))
+      counts.orderBy("user_id")
+    }),
+
+    // Dedup-on-ingest (dropDuplicatesWithinWatermark): completes the
+    // streaming family under the gate. The driver table has unique
+    // event_ids, so the checked contract here is exact pass-through
+    // (every row survives, none duplicated, values untouched) through
+    // the watermark-bounded dedup state; the interesting cross-batch
+    // re-ingest case (a replayed file dropped by state, a re-ingest
+    // after the watermark window re-admitted) needs controlled
+    // micro-batch fixtures and is pinned in StreamingSpec.
+    "q130_stream_dedup_ingest" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val deduped = EventsStreaming.runToMemory(s,
+        EventsStreaming.dedupEvents(stream), "q130_stream_dedup_ingest",
+        OutputMode.Append, statePartitions = Some(8))
+      deduped.orderBy("event_id")
     }),
 
     // Stream-STATIC enrichment: micro-batches of the event stream join
@@ -313,6 +391,34 @@ object StreamingQueries {
         |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
         |)
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the totals the maintained gold must converge to
+    "q127_stream_gold_additive" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+
+    // the totals the upserted fact must converge to (q32's aggregation)
+    "q128_stream_fact_upsert" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q129_stream_user_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // unique event_ids -> dedup-on-ingest must be an exact pass-through
+    "q130_stream_dedup_ingest" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       value, props
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the batch dim join verbatim (stateless enrichment)
     "q125_stream_enrich_replay" ->
