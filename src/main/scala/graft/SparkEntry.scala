@@ -31,7 +31,8 @@ object SparkEntry {
       ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
       ops.GraphOps.queries ++ sources.Layout.queries ++
       sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
-      ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries
+      ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
+      ops.ProfileOps.queries ++ ops.ClusterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,7 +47,8 @@ object SparkEntry {
       ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
       sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
       ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
-      ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql
+      ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
+      ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -62,5 +64,6 @@ object SparkEntry {
       ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
       sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
       ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
-      streaming.StreamingQueries.rowsOnly
+      streaming.StreamingQueries.rowsOnly ++
+      ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly
 }

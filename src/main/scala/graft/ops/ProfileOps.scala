@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Data-observability operators: one-pass table profiling (the ANALYZE
+  * TABLE / DQ-monitoring primitive every lakehouse runs before and after
+  * a load) and per-source corpus drift reporting (the "did this crawl
+  * slice change under me" check a training-data pipeline runs on every
+  * ingest batch). Both are single-scan shapes designed to stay cheap at
+  * 100 TB: profiling is one aggregate pass whose only blow-up is the
+  * exact-NDV Expand (the registered scale twin replaces it with HLL —
+  * see [[approxProfile]]); divergence is one (source, token) count
+  * shuffle plus a 50-row broadcast.
+  */
+object ProfileOps {
+
+  /** The lineitem columns profiled by q131; all cast to double so one
+    * long-form schema carries min/max for int and float columns alike.
+    */
+  private[graft] val ProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One-pass per-column profile: row count, null count, min/max, exact
+    * distinct count — long form, one row per column. The whole report is
+    * ONE aggregate over ONE scan: Catalyst plans the 8 COUNT(DISTINCT)s
+    * as a single Expand (×8 row multiplier) feeding partial aggs, so the
+    * parquet data is read once; min/max/null counts ride the same pass.
+    * The wide 1-row result is exploded to long form driver-free (an
+    * array-of-structs literal shape, no collect). At 100 TB the Expand
+    * multiplier is the cost that matters — [[approxProfile]] is the
+    * registered-in-spec scale twin that swaps exact NDV for HLL
+    * (single pass, no Expand, mergeable across shards).
+    */
+  def profile(s: SparkSession, d: String): DataFrame =
+    profileOf(Tables.lineitem(s, d), ProfileCols)
+
+  private[graft] def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"),
+        col(s"nd_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** The 100 TB twin of [[profile]]: identical report shape with
+    * `approx_count_distinct` NDV — ONE pass, no Expand, and the HLL
+    * registers merge across shards/days the q61 way (profile each
+    * partition on write, fold profiles later, never rescan). Gated
+    * against the exact profile in ProfileSpec (NDV within the published
+    * HLL error at this register width; all non-estimated columns equal).
+    */
+  def approxProfile(s: SparkSession, d: String): DataFrame =
+    approxProfileOf(Tables.lineitem(s, d), ProfileCols)
+
+  private[graft] def approxProfileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"),
+        col(s"nd_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** Top-K global vocabulary size for q133 (small enough that the
+    * smoothed distribution broadcast is trivially a map-side join; big
+    * enough that the KL actually discriminates sources).
+    */
+  private[graft] val DivergenceVocab = 50
+
+  /** Per-source distribution drift vs the corpus: KL(p_src ‖ p_corpus)
+    * over the global top-[[DivergenceVocab]] tokens with add-one
+    * smoothing (so a token a source never emits contributes finitely).
+    * The ingest-monitoring primitive: a source whose KL jumps between
+    * batches changed its content mix.
+    *
+    * Scale shape: ONE (source, token) count shuffle (map-side combine
+    * collapses per-partition repeats); the global counts re-aggregate
+    * those partials (vocabulary-sized input, never the corpus); top-K is
+    * TakeOrdered; the K-row vocabulary broadcasts back onto the
+    * per-source counts, and the final report is |sources| rows. The
+    * (source × vocab) spine is built by cross-joining the distinct
+    * source list with the K-row vocab — both tiny — so zero-count cells
+    * exist before smoothing.
+    *
+    * Cross-engine floats: counts stay exact integers until the single
+    * smoothed-ratio expression per cell; per-source KL sums K ~O(0.01)
+    * terms and the report rounds to 6 decimals (the q115 discipline), so
+    * double summation order cannot show in the hash compare.
+    */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    divergenceOf(Tables.documents(s, d))
+
+  private[graft] def divergenceOf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both the global re-agg and the spine join read it
+    val global = counts.groupBy("token").agg(sum(col("n")).as("gn"))
+      .orderBy(col("gn").desc, col("token"))
+      .limit(DivergenceVocab)
+    // smoothing normalizer = the vocab size actually selected (equals
+    // DivergenceVocab on real corpora, smaller on tiny fixtures) — the
+    // add-one mass must match the cell count or p/q stop summing to 1
+    // and Gibbs' KL >= 0 breaks
+    val gTotal = global.agg(sum(col("gn")).as("g_total"),
+      count(lit(1)).as("v_n"))
+    val sources = counts.select("source").distinct()
+    val spine = sources.crossJoin(broadcast(global))
+    val cells = spine
+      .join(counts, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("n"))
+    val srcTotal = cells.groupBy("source").agg(sum(col("n")).as("s_total"))
+    cells
+      .join(broadcast(srcTotal), Seq("source"))
+      .crossJoin(broadcast(gTotal))
+      .withColumn("p", (col("n") + lit(1)).cast("double") / (col("s_total") + col("v_n")))
+      .withColumn("q", (col("gn") + lit(1)).cast("double") / (col("g_total") + col("v_n")))
+      .withColumn("term", col("p") * log(col("p") / col("q")))
+      .groupBy("source")
+      .agg(
+        sum(col("n")).as("top_tokens"),
+        round(sum(col("term")), 6).as("kl_divergence"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_profile_table" -> ((s, d) => profile(s, d)),
+    "q133_source_divergence" -> ((s, d) => sourceDivergence(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q131_profile_table" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       COUNT(*) AS n_rows,
+         |       COUNT(*) - COUNT($c) AS n_nulls,
+         |       CAST(MIN($c) AS DOUBLE) AS min_v,
+         |       CAST(MAX($c) AS DOUBLE) AS max_v,
+         |       COUNT(DISTINCT $c) AS n_distinct
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q133_source_divergence" ->
+      s"""WITH counts AS (
+         |  SELECT source, token, COUNT(*) AS n
+         |  FROM (SELECT source,
+         |               unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |        FROM documents)
+         |  GROUP BY source, token
+         |), global AS (
+         |  SELECT token, SUM(n) AS gn
+         |  FROM counts GROUP BY token
+         |  ORDER BY gn DESC, token LIMIT $DivergenceVocab
+         |), g_total AS (SELECT SUM(gn) AS g_total, COUNT(*) AS v_n FROM global),
+         |spine AS (
+         |  SELECT s.source, g.token, g.gn
+         |  FROM (SELECT DISTINCT source FROM counts) s CROSS JOIN global g
+         |), cells AS (
+         |  SELECT sp.source, sp.token, sp.gn, COALESCE(c.n, 0) AS n
+         |  FROM spine sp LEFT JOIN counts c
+         |    ON sp.source = c.source AND sp.token = c.token
+         |), s_total AS (
+         |  SELECT source, SUM(n) AS s_total FROM cells GROUP BY source
+         |)
+         |SELECT ce.source,
+         |       CAST(SUM(ce.n) AS BIGINT) AS top_tokens,
+         |       ROUND(SUM(
+         |         (CAST(ce.n + 1 AS DOUBLE) / (st.s_total + gt.v_n)) *
+         |         LN((CAST(ce.n + 1 AS DOUBLE) / (st.s_total + gt.v_n)) /
+         |            (CAST(ce.gn + 1 AS DOUBLE) / (gt.g_total + gt.v_n)))
+         |       ), 6) AS kl_divergence
+         |FROM cells ce
+         |JOIN s_total st USING (source)
+         |CROSS JOIN g_total gt
+         |GROUP BY ce.source
+         |ORDER BY ce.source""".stripMargin)
+
+  val rowsOnly: Set[String] = Set.empty
+}
