@@ -57,6 +57,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
 
+  test("q131 profile is the narrow pair shape: one scan, no multi-distinct Expand") {
+    val p = plan("q131_profile_table")
+    assert(!p.contains("Expand"),
+      s"q131 regressed to the multi-distinct Expand plan (measured 2.4x slower):\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profile must read the table exactly once:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 3,
+      s"expected partial+final dedup agg plus the per-column rollup:\n$p")
+  }
+
+  test("q131's approx twin needs no value dedup: single pass, no Expand") {
+    val p = graft.ops.ProfileOps.approxProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"HLL profile must not Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"approx profile must read the table exactly once:\n$p")
+  }
+
   test("q59 top-k is a TakeOrdered heap over partial counts, not a global sort") {
     val p = plan("q59_top_tokens")
     assert(p.contains("TakeOrderedAndProject"),
