@@ -32,7 +32,8 @@ object SparkEntry {
       ops.GraphOps.queries ++ sources.Layout.queries ++
       sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
       ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
-      ops.ProfileOps.queries ++ ops.ClusterOps.queries
+      ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
+      ops.LmTokenizer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,7 +49,8 @@ object SparkEntry {
       sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
       ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
       ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
-      ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql
+      ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
+      ops.LmTokenizer.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -65,5 +67,6 @@ object SparkEntry {
       sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
       ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
       streaming.StreamingQueries.rowsOnly ++
-      ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly
+      ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
+      ops.LmTokenizer.rowsOnly
 }

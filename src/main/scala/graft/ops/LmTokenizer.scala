@@ -1,0 +1,346 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Language-model-adjacent corpus operators: n-gram LM perplexity
+  * scoring (the CCNet/KenLM-style quality filter — score every document
+  * by how "in-distribution" its token sequence is) and BPE merge
+  * training (the tokenizer-building step every training-data pipeline
+  * runs before anything else). Both are exact, oracle-checked, and
+  * shaped for corpus scale:
+  *
+  *  - the LM is trained and applied in ONE pass family — bigram/unigram
+  *    counting is a map-side-combined shuffle, scoring is a join of the
+  *    doc's bigrams against the count tables (at real scale the model is
+  *    pruned to top-M bigrams and broadcast; here the full join is the
+  *    exact anchor);
+  *  - BPE trains on the word-TYPE dictionary, not the corpus: the only
+  *    corpus-sized action is the word-frequency extraction shuffle, and
+  *    every merge round then runs over the vocabulary table (millions of
+  *    rows at web scale, never billions) — exactly how production BPE
+  *    trainers are structured.
+  */
+object LmTokenizer {
+
+  // ---------------------------------------------------------------- q134
+
+  /** Bigram-LM negative log-likelihood per document, add-one smoothed:
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Self-scoring on the training
+    * corpus (the standard perplexity-filter setup scores against a
+    * reference-corpus LM; the +1 smoothing is what makes the SAME
+    * operator well-defined on unseen bigrams when the model table comes
+    * from a different corpus).
+    *
+    * Shapes: bigrams are built NARROWLY per document (slice+arrays_zip
+    * inside the row — codegen'd, zero exchanges, no per-doc window
+    * shuffle); the count tables aggregate with map-side combine; scoring
+    * joins on the bigram key. Cross-engine floats: counts stay exact
+    * integers until one smoothed-ratio ln per bigram, identical
+    * expression shape both sides, and the compare rounds avg-NLL to 6 /
+    * perplexity to 4 decimals (the q115 discipline: summing ~100 O(1)
+    * terms per doc leaves ~1e-13 of order noise against a 5e-7 grain).
+    */
+  def bigramPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = tokens(col("text"))
+    val bi = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("w1"),
+          slice(t, lit(2), size(t) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v_n"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v_n"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 6).as("avg_nll"),
+        round(exp(col("s") / col("n_bigrams")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q135
+
+  /** Merge rounds for q135. The synthetic vocabulary saturates well past
+    * 10 (the prototype run shows distinct best-pairs each round).
+    */
+  private[graft] val BpeRounds = 10
+
+  /** Classic BPE pair-merge training (Sennrich et al., the exact
+    * algorithm `learn_bpe` implements), expressed as fixed-round
+    * DataFrame iteration over the word-type table:
+    *
+    *  1. state = (word, freq, pos, sym) — each distinct word split into
+    *     single-character symbols, weighted by corpus frequency;
+    *  2. per round: count adjacent symbol pairs (weighted, overlapping
+    *     occurrences included — `get_stats` semantics), pick the argmax
+    *     with a DETERMINISTIC tie-break (count desc, then pair
+    *     lexicographic), and rewrite every sequence leftmost-greedily.
+    *
+    * Leftmost-greedy overlap handling without recursion: within a
+    * maximal run of consecutive match positions (only same-symbol pairs
+    * like (a,a) on "aaaa" produce runs > 1), exactly the even offsets
+    * from the run start merge. That is a pure window computation —
+    * run starts flag where a match follows a non-match, a running MAX
+    * carries the run-start position forward, and parity of
+    * (pos - run_start) decides; the row after a kept merge is consumed
+    * (lag). Every step is integer/string-exact, so the merge table is
+    * bit-reproducible under any partitioning and in any engine — the
+    * oracle unrolls the identical window algebra per round (q118's
+    * fixed-round MATERIALIZED-CTE twin design).
+    *
+    * Scale: the corpus-sized work is the word-frequency groupBy (one
+    * map-side-combined shuffle). Rounds touch only the type table: one
+    * per-word window pass (the table is re-shuffled by word each round —
+    * vocabulary-sized, not corpus-sized), an alphabet²-keyed pair count,
+    * TakeOrdered(1), and a 1-row broadcast back. localCheckpoint per
+    * round truncates the 10-deep lineage (the q118 PageRank rule).
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainOn(
+      Tables.documents(s, d).select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n")),
+      BpeRounds)
+
+  /** Core trainer over a (word, n) frequency table; exposed for the spec
+    * to run against hand-built vocabularies and the brute-force
+    * reference implementation.
+    */
+  private[graft] def bpeTrainOn(words: DataFrame, rounds: Int): DataFrame =
+    bpeIterate(words, rounds)._1
+
+  /** Final segmented symbol table (word, n, pos, sym) after `rounds`
+    * merges — the ENCODE side of the tokenizer (apply the learned vocab
+    * to text). Exposed for q136 and the spec.
+    */
+  private[graft] def bpeSegments(words: DataFrame, rounds: Int): DataFrame =
+    bpeIterate(words, rounds)._2
+
+  private def bpeIterate(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val s = words.sparkSession
+    val w = Window.partitionBy("word").orderBy("pos")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var state = words
+      .select(col("word"), col("n"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .filter(col("sym") =!= "")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val withNext = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+        .select(col("sym").as("p1"), col("nxt").as("p2"), col("cnt"))
+        .localCheckpoint()
+      if (best.isEmpty) {
+        // every word fully merged to one symbol — nothing left to count
+        exhausted = true
+      } else {
+        merges += best.select(lit(r).as("merge_round"),
+          col("p1"), col("p2"), concat(col("p1"), col("p2")).as("merged"),
+          col("cnt"))
+        state = withNext.crossJoin(broadcast(best))
+          .withColumn("ismatch",
+            coalesce(col("sym") === col("p1") && col("nxt") === col("p2"),
+              lit(false)))
+          .withColumn("startflag",
+            col("ismatch") && !coalesce(lag(col("ismatch"), 1).over(w), lit(false)))
+          .withColumn("run_start",
+            max(when(col("startflag"), col("pos"))).over(runW))
+          .withColumn("keep",
+            col("ismatch") && (col("pos") - col("run_start")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("keep"), 1).over(w), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("word"), col("n"),
+            (row_number().over(w) - 1).as("pos"),
+            when(col("keep"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    val mergeTable = merges.result() match {
+      case Seq() => s.emptyDataFrame
+        .withColumn("merge_round", lit(0))
+        .withColumn("p1", lit("")).withColumn("p2", lit(""))
+        .withColumn("merged", lit("")).withColumn("cnt", lit(0L))
+        .limit(0)
+      case ms => ms.reduce(_ union _).orderBy("merge_round")
+    }
+    (mergeTable, state)
+  }
+
+  // ---------------------------------------------------------------- q136
+
+  /** BPE ENCODE — the apply half of the tokenizer: segment every word
+    * with the trained merge vocabulary and report each document's true
+    * BPE token count next to its whitespace token count (the
+    * compression-ratio ledger a token-budget planner prices corpora
+    * with; q114 plans in whitespace tokens, this prices the same docs in
+    * tokenizer units).
+    *
+    * Scale: segmentation happens ONCE PER WORD TYPE (the q135 iteration
+    * already leaves the fully merged symbol table), and documents join
+    * the resulting (word → n_bpe_tokens) dictionary — corpus-sized work
+    * is one token explode + one dictionary join + one per-doc sum,
+    * which is exactly how production pipelines tokenize: encode the
+    * vocabulary, broadcast it, stream the corpus through. The oracle
+    * re-derives the merge chain (same unrolled CTEs as q135) and counts
+    * surviving symbols per word.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docTokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val words = docTokens.groupBy("word").agg(count(lit(1)).as("n"))
+    val dict = bpeSegments(words, BpeRounds)
+      .groupBy("word").agg(count(lit(1)).as("n_bpe"))
+    docTokens.join(broadcast(dict), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_bigram_perplexity" -> ((s, d) => bigramPerplexity(s, d)),
+    "q135_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q136_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
+
+  /** The q135 oracle replays the identical fixed-round window algebra as
+    * chained CTEs. MATERIALIZED is load-bearing (the q118 lesson): each
+    * round's state is referenced by the next round's lead-pass AND the
+    * pair count, and each best-pair by the merge AND the final union —
+    * plain CTEs would inline the whole chain exponentially.
+    */
+  private def bpeChainSql: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      val p = k - 1
+      s"""n$k AS MATERIALIZED (
+         |  SELECT word, n, pos, sym,
+         |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM s$p
+         |), b$k AS MATERIALIZED (
+         |  SELECT sym AS p1, nxt AS p2, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM n$k WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt
+         |  ORDER BY cnt DESC, sym, nxt LIMIT 1
+         |), m$k AS MATERIALIZED (
+         |  SELECT word, n, pos, sym, nxt,
+         |         COALESCE(sym = b.p1 AND nxt = b.p2, FALSE) AS ismatch
+         |  FROM n$k CROSS JOIN b$k b
+         |), f$k AS MATERIALIZED (
+         |  SELECT *,
+         |         ismatch AND NOT COALESCE(
+         |           LAG(ismatch) OVER (PARTITION BY word ORDER BY pos), FALSE)
+         |           AS startflag
+         |  FROM m$k
+         |), g$k AS MATERIALIZED (
+         |  SELECT *,
+         |         MAX(CASE WHEN startflag THEN pos END)
+         |           OVER (PARTITION BY word ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING) AS run_start,
+         |         ismatch AND (pos - MAX(CASE WHEN startflag THEN pos END)
+         |           OVER (PARTITION BY word ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING)) % 2 = 0 AS keep
+         |  FROM f$k
+         |), h$k AS MATERIALIZED (
+         |  SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos),
+         |                     FALSE) AS consumed
+         |  FROM g$k
+         |), s$k AS MATERIALIZED (
+         |  SELECT word, n,
+         |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+         |  FROM h$k WHERE NOT consumed
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT token AS word, COUNT(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |        FROM documents)
+       |  GROUP BY token
+       |), s0a AS (
+       |  SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM w0
+       |), s0 AS MATERIALIZED (
+       |  SELECT word, n, i - 1 AS pos, substr(word, CAST(i AS INT), 1) AS sym
+       |  FROM s0a
+       |),
+       |$rounds""".stripMargin
+  }
+
+  private def q135OracleSql: String = {
+    val unioned = (1 to BpeRounds).map { k =>
+      s"SELECT $k AS merge_round, p1, p2, p1 || p2 AS merged, cnt FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""$bpeChainSql
+       |SELECT * FROM ($unioned)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** q136: the q135 chain's final state counted per word, joined back to
+    * the per-doc token stream.
+    */
+  private def q136OracleSql: String =
+    s"""$bpeChainSql,
+       |wc AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS n_bpe FROM s$BpeRounds GROUP BY word
+       |), dt AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT dt.doc_id, COUNT(*) AS n_tokens,
+       |       CAST(SUM(wc.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM dt JOIN wc USING (word)
+       |GROUP BY dt.doc_id
+       |ORDER BY dt.doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q134_bigram_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+        |  FROM documents
+        |), ta AS (
+        |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM d
+        |), tok AS (
+        |  SELECT doc_id, pos, arr[CAST(pos AS INT)] AS w FROM ta
+        |), bi AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |), c12 AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+        |), uni AS (
+        |  SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY w
+        |), v AS (SELECT COUNT(*) AS v_n FROM uni),
+        |terms AS (
+        |  SELECT bi.doc_id,
+        |         -LN(CAST(c12.c12 + 1 AS DOUBLE) / (uni.c1 + v.v_n)) AS nll
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS s
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |       ROUND(s / n_bigrams, 6) AS avg_nll,
+        |       ROUND(EXP(s / n_bigrams), 4) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q135_bpe_train" -> q135OracleSql,
+    "q136_bpe_encode" -> q136OracleSql)
+
+  val rowsOnly: Set[String] = Set.empty
+}

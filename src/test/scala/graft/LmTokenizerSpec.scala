@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q134 bigram perplexity + q135 BPE training: both checked against
+  * independent brute-force scalar references (the window-algebra merge
+  * must equal the textbook while-loop merge on every word), plus
+  * adversarial overlap fixtures for the leftmost-greedy rule the window
+  * parity trick implements.
+  */
+class LmTokenizerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // textbook BPE reference: scalar while-loop merge, overlapping pair
+  // counts, (count desc, pair asc) tie-break
+  private def refBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var state: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- state; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + words(w)
+      if (counts.nonEmpty) {
+        val mx = counts.values.max
+        val (p1, p2) = counts.filter(_._2 == mx).keys.toSeq.sorted.head
+        out += ((r, p1, p2, mx))
+        state = state.map { case (w, syms) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+              b += syms(i) + syms(i + 1); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          w -> b.result()
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def runBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    val df = words.toSeq.toDF("word", "n")
+    ops.LmTokenizer.bpeTrainOn(df, rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+  }
+
+  test("q135 merge algebra equals the textbook loop on overlap fixtures") {
+    // aaaa: leftmost-greedy (a,a) merges positions 0 and 2, count 3
+    // (overlapping occurrences all counted); round 2 merges (aa,aa)
+    val fixtures = Seq(
+      Map("aaaa" -> 1L),
+      Map("aaa" -> 2L, "aab" -> 3L, "baa" -> 1L),
+      Map("abab" -> 5L, "bab" -> 2L),
+      Map("xyzzy" -> 7L, "zzz" -> 4L, "yy" -> 1L),
+      Map("ab" -> 1L) // exhausts after 1 merge; trainer must stop cleanly
+    )
+    fixtures.foreach { f =>
+      assert(runBpe(f, 4) == refBpe(f, 4), s"fixture $f")
+    }
+  }
+
+  test("q135 on the real corpus equals the brute-force reference") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q135_bpe_train")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(got == refBpe(words, ops.LmTokenizer.BpeRounds))
+    // merged column is always p1 || p2
+    SparkEntry.queries("q135_bpe_train")(spark, sf).collect().foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
+
+  test("q136 encode equals segmenting every word with the textbook loop") {
+    // replay the reference merges, then segment and count per doc
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val words = docs.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    var state: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    refBpe(words, ops.LmTokenizer.BpeRounds).foreach { case (_, p1, p2, _) =>
+      state = state.map { case (w, syms) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+            b += syms(i) + syms(i + 1); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        w -> b.result()
+      }
+    }
+    val got = SparkEntry.queries("q136_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val exp = (toks.length.toLong, toks.map(w => state(w).length.toLong).sum)
+      assert(got(id) == exp, s"doc $id: ${got(id)} vs $exp")
+    }
+    // BPE after 10 merges must strictly compress vs characters and never
+    // beat whitespace tokens
+    docs.foreach { case (id, toks) =>
+      val chars = toks.map(_.length.toLong).sum
+      assert(got(id)._2 < chars && got(id)._2 >= toks.length.toLong)
+    }
+  }
+
+  test("q134 equals a brute-force bigram LM on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val c1 = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = docs.values.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = c1.size
+    val got = SparkEntry.queries("q134_bigram_perplexity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val expected = docs.collect { case (id, t) if t.length >= 2 =>
+      val terms = t.zip(t.drop(1)).map { bg =>
+        -math.log((c12(bg) + 1).toDouble / (c1(bg._1) + v))
+      }
+      id -> ((t.length - 1L, terms.sum / terms.length))
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (nb, avg)) =>
+      val (gnb, gavg, gppl) = got(id)
+      assert(gnb == nb, s"doc $id n_bigrams")
+      assert(math.abs(gavg - avg) < 1e-5, s"doc $id avg_nll $gavg vs $avg")
+      assert(math.abs(gppl - math.exp(avg)) < 1e-3, s"doc $id ppl")
+    }
+  }
+
+  test("q134 scoring is a per-doc average of positive NLL terms") {
+    val df = SparkEntry.queries("q134_bigram_perplexity")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0) // -ln(p) with p<1 smoothed
+      assert(r.getDouble(3) > 1.0) // ppl = exp(avg_nll)
+    }
+  }
+}
