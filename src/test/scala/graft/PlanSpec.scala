@@ -278,7 +278,8 @@ class PlanSpec extends AnyFunSuite {
       "q76_tfidf_terms",             // 1-row doc-count fold
       "q77_matryoshka_eval",         // broadcast 10-query side vs corpus
       "q78_source_mixing",           // 1-row temperature-normalizer fold
-      "q133_source_divergence")      // 50-row vocab spine + 1-row totals fold
+      "q133_source_divergence",      // 50-row vocab spine + 1-row totals fold
+      "q134_bigram_perplexity")      // 1-row vocabulary-size fold
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
