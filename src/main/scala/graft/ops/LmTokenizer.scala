@@ -104,7 +104,8 @@ object LmTokenizer {
     * map-side-combined shuffle). Rounds touch only the type table: one
     * per-word window pass (the table is re-shuffled by word each round —
     * vocabulary-sized, not corpus-sized), an alphabet²-keyed pair count,
-    * TakeOrdered(1), and a 1-row broadcast back. localCheckpoint per
+    * TakeOrdered(1) collected as the 1-row model and folded back as
+    * literals (the IVF collected-model pattern). localCheckpoint per
     * round truncates the 10-deep lineage (the q118 PageRank rule).
     */
   def bpeTrain(s: SparkSession, d: String): DataFrame =
@@ -136,7 +137,13 @@ object LmTokenizer {
         posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
       .filter(col("sym") =!= "")
       .localCheckpoint()
-    val merges = Seq.newBuilder[DataFrame]
+    // (round, p1, p2, count). The per-round argmax is ONE row by
+    // construction — collecting it is the IVF collected-model pattern
+    // (the model RIDES the driver; every real BPE trainer holds the
+    // current best pair as a scalar), and the literals keep the whole
+    // merge rewrite inside codegen with no per-round join or extra
+    // materialization job.
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -144,18 +151,17 @@ object LmTokenizer {
       val best = withNext.filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
-        .select(col("sym").as("p1"), col("nxt").as("p2"), col("cnt"))
-        .localCheckpoint()
+        .collect()
       if (best.isEmpty) {
         // every word fully merged to one symbol — nothing left to count
         exhausted = true
       } else {
-        merges += best.select(lit(r).as("merge_round"),
-          col("p1"), col("p2"), concat(col("p1"), col("p2")).as("merged"),
-          col("cnt"))
-        state = withNext.crossJoin(broadcast(best))
+        val (p1, p2, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, p1, p2, cnt))
+        state = withNext
           .withColumn("ismatch",
-            coalesce(col("sym") === col("p1") && col("nxt") === col("p2"),
+            coalesce(col("sym") === lit(p1) && col("nxt") === lit(p2),
               lit(false)))
           .withColumn("startflag",
             col("ismatch") && !coalesce(lag(col("ismatch"), 1).over(w), lit(false)))
@@ -174,14 +180,11 @@ object LmTokenizer {
       }
       r += 1
     }
-    val mergeTable = merges.result() match {
-      case Seq() => s.emptyDataFrame
-        .withColumn("merge_round", lit(0))
-        .withColumn("p1", lit("")).withColumn("p2", lit(""))
-        .withColumn("merged", lit("")).withColumn("cnt", lit(0L))
-        .limit(0)
-      case ms => ms.reduce(_ union _).orderBy("merge_round")
-    }
+    import s.implicits._
+    val mergeTable = merges.result()
+      .map { case (rnd, p1, p2, cnt) => (rnd, p1, p2, p1 + p2, cnt) }
+      .toDF("merge_round", "p1", "p2", "merged", "cnt")
+      .orderBy("merge_round")
     (mergeTable, state)
   }
 

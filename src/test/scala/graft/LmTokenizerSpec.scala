@@ -69,6 +69,28 @@ class LmTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 merge algebra equals the textbook loop on RANDOM vocabularies") {
+    // raw ScalaCheck (the scalatestplus bridge isn't on the offline
+    // classpath): alphabet {a,b} maximizes same-symbol runs — the
+    // leftmost-greedy parity cases fixtures can miss. Few cases × few
+    // rounds: each case runs real Spark jobs.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocabGen = Gen.chooseNum(1, 5).flatMap { nw =>
+      Gen.listOfN(nw, for {
+        len <- Gen.chooseNum(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+        n <- Gen.chooseNum(1L, 9L)
+      } yield (cs.mkString, n))
+    }
+    val prop = Prop.forAll(vocabGen) { raw =>
+      val words = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      runBpe(words, 3) == refBpe(words, 3)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(r.passed, s"random-vocab property: $r")
+  }
+
   test("q135 on the real corpus equals the brute-force reference") {
     val words = Tables.documents(spark, sf)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
