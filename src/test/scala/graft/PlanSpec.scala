@@ -316,6 +316,38 @@ class PlanSpec extends AnyFunSuite {
     assert(ops.EmbeddingOps.guardBroadcastSide(big, max = 100L).count() == 100)
   }
 
+  test("q134 bigram scorer: no text in shuffles, narrow in-row bigram build") {
+    // the bigram build is slice+arrays_zip INSIDE the row — a regression
+    // to a per-doc window (shuffle by doc_id before any aggregate) or a
+    // text-carrying exchange would re-shuffle the corpus at 100 TB;
+    // only token/count columns may ride the wire
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = SparkEntry.queries("q134_bigram_perplexity")(spark, sf)
+      .queryExecution.executedPlan
+    val textShuffles = exec.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(textShuffles.isEmpty,
+      s"q134 shuffles the text column:\n${textShuffles.headOption.getOrElse("")}")
+    val p = exec.toString
+    assert(!p.contains("Window"),
+      s"bigram build regressed to a per-doc window shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"bigram build fell out of codegen:\n$p")
+  }
+
+  test("q136 encode joins the corpus against a BROADCAST dictionary") {
+    // segmentation is per word TYPE; the corpus side must meet the
+    // resulting (word -> n_bpe) dictionary as a broadcast hash join —
+    // a sort-merge join here would shuffle every corpus token by word
+    val exec = SparkEntry.queries("q136_bpe_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"dictionary join is not broadcast:\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"corpus tokens sort-merge-joined by word:\n$exec")
+  }
+
   test("q104 z-order cells: one scan, one shuffle, interleave stays codegen'd") {
     val p = plan("q104_zorder_cells")
     assert("Scan parquet".r.findAllIn(p).length == 1, s"one lineitem scan:\n$p")
