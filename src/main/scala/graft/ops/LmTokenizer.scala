@@ -244,9 +244,15 @@ object LmTokenizer {
          |  GROUP BY sym, nxt
          |  ORDER BY cnt DESC, sym, nxt LIMIT 1
          |), m$k AS MATERIALIZED (
+         |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when training exhausts
+         |  -- early b$k is EMPTY, and a cross join would annihilate the
+         |  -- state (s$k..s$BpeRounds all empty -> a correct engine
+         |  -- result would false-mismatch). With nulls ismatch is FALSE
+         |  -- and the round carries the fully-merged state forward,
+         |  -- mirroring the engine's early-stop.
          |  SELECT word, n, pos, sym, nxt,
          |         COALESCE(sym = b.p1 AND nxt = b.p2, FALSE) AS ismatch
-         |  FROM n$k CROSS JOIN b$k b
+         |  FROM n$k LEFT JOIN b$k b ON TRUE
          |), f$k AS MATERIALIZED (
          |  SELECT *,
          |         ismatch AND NOT COALESCE(
