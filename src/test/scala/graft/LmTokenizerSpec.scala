@@ -169,6 +169,18 @@ class LmTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("the BPE oracle chain survives early exhaustion (LEFT JOIN pin)") {
+    // a CROSS JOIN against an empty per-round best annihilates the state
+    // chain in DuckDB when training exhausts before BpeRounds (validated
+    // on an 'ab'-only corpus: cross join -> 0 oracle rows vs a correct
+    // engine result). The generated SQL must keep the carry-forward join.
+    Seq("q135_bpe_train", "q136_bpe_encode").foreach { q =>
+      val sql = SparkEntry.oracleSql(q)
+      assert(sql.contains("LEFT JOIN b"), s"$q oracle lost the carry-forward join")
+      assert(!sql.contains("CROSS JOIN b"), s"$q oracle regressed to CROSS JOIN")
+    }
+  }
+
   test("q134 scoring is a per-doc average of positive NLL terms") {
     val df = SparkEntry.queries("q134_bigram_perplexity")(spark, sf)
     val rows = df.collect()
