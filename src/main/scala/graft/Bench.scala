@@ -144,8 +144,11 @@ object Bench {
     // Centiseconds below 100 s (every realistic per-query value);
     // deciseconds above — the worst-case width model the line budget is
     // sized against (126 keys × worst width must fit the capture window)
+    // whole seconds past 100 s: a query that slow has no use for
+    // deciseconds, and the 136-key worst-case width model must keep the
+    // whole line inside the capture window
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
-      if (v >= 100) "%.1f" else "%.2f", java.lang.Double.valueOf(v))
+      if (v >= 100) "%.0f" else "%.2f", java.lang.Double.valueOf(v))
     // "q112_dedup_segments" -> "112": the q is constant information and
     // 126 keys × 1 char is real budget (full names in QUERIES.md)
     val shortKeys = results.map { case (k, _) =>
@@ -164,10 +167,8 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val note = "noop-sink;median" + runs + ";keys=NN(QUERIES.md)" +
-      (if (sharedBuildSec > 0) ";total incl shared_build (memoized edge lists)"
-       else "") +
-      (if (sharedBuildFailed) ";shared_build FAILED (memo unpopulated, consumers rebuild per run)"
-       else "")
+      (if (sharedBuildSec > 0) ";total incl shared_build" else "") +
+      (if (sharedBuildFailed) ";shared_build FAILED (unmemoized)" else "")
     // shared_build is INSIDE the total (steady-state medians + one
     // amortized build = what a full pass actually costs) and also broken
     // out so a build regression is visible on its own
