@@ -141,16 +141,14 @@ object Bench {
                  sharedBuildSec: Double = 0.0,
                  sharedBuildFailed: Boolean = false): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
-    // Centiseconds below 100 s (every realistic per-query value);
-    // deciseconds above — the worst-case width model the line budget is
-    // sized against (126 keys × worst width must fit the capture window)
-    // whole seconds past 100 s: a query that slow has no use for
-    // deciseconds, and the 136-key worst-case width model must keep the
-    // whole line inside the capture window
+    // Centiseconds below 100 s (every realistic per-query value); WHOLE
+    // seconds above — a query that slow has no use for deciseconds, and
+    // the worst-case width model (every registered key at max width)
+    // must keep the whole line inside the capture window
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
       if (v >= 100) "%.0f" else "%.2f", java.lang.Double.valueOf(v))
     // "q112_dedup_segments" -> "112": the q is constant information and
-    // 126 keys × 1 char is real budget (full names in QUERIES.md)
+    // one char per key is real budget (full names in QUERIES.md)
     val shortKeys = results.map { case (k, _) =>
       k -> k.takeWhile(_ != '_').stripPrefix("q")
     }.toMap

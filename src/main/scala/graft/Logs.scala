@@ -11,8 +11,13 @@ object Logs {
     * by dim cardinality, not data volume), where the single partition is
     * by design; partitioning by a constant does NOT help because the
     * optimizer folds the constant spec away before WindowExec sees it.
-    * So the warning is suppressed at the logger, scoped to the one class
-    * — any other WindowExec log (errors included) still surfaces.
+    * So the warning is suppressed at the logger. HONEST SCOPE: this
+    * silences the class-level WARN for EVERY unpartitioned window in the
+    * harness sessions, including a future accidental one over real data
+    * — which is why PlanSpec's global-window sweep pins the allowlist of
+    * queries whose plans may carry an empty partition spec at all; a new
+    * global window fails the build there instead of warning in a log
+    * nobody reads. ERROR-level WindowExec logs still surface.
     */
   def silenceTinyWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -63,15 +63,24 @@ object EmbeddingOps {
     * every call (the data may have changed under them). Only a PASSING
     * verdict is cached — a failing guard keeps failing loudly.
     */
+  // keyed by (applicationId, dir), not the SparkSession object: a JVM
+  // that cycles sessions (getOrCreate/stop loops, test harnesses) must
+  // not pin every dead session's object graph in a static map forever —
+  // and the verdict is a property of the DIR's immutable data, not of
+  // whichever session probed it
   private val guardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
   private[graft] def guardBroadcastSideMemo(s: SparkSession, dir: String,
                                             side: DataFrame,
                                             max: Long = MaxBroadcastRows): DataFrame =
     if (!FrameMemo.memoizable(dir)) guardBroadcastSide(side, max)
     else {
-      val k = (s, dir)
+      val k = (s.sparkContext.applicationId, dir)
+      // plain get-then-put, NOT computeIfAbsent: the probe runs a Spark
+      // job and must never execute inside the map's lock. A concurrent
+      // double-probe of the same passing key is benign (both pass, both
+      // cache TRUE); a failing probe throws before any put.
       if (guardMemo.get(k) == null) {
         guardBroadcastSide(side, max) // throws on violation; nothing cached
         guardMemo.put(k, java.lang.Boolean.TRUE)

@@ -53,11 +53,20 @@ object ProfileOps {
       min(col("v")).as("min_v"),
       max(col("v")).as("max_v"),
       count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
-    val names = array(cols.map(lit(_)): _*)
-    prof.select(
-      element_at(names, col("cidx") + 1).as("col_name"),
-      col("n_rows"), col("n_nulls"), col("min_v"), col("max_v"),
-      col("n_distinct"))
+    // left-join a literal column spine: an EMPTY table must still report
+    // one row per column (n_rows 0, null min/max) — the oracle's
+    // per-column UNION and [[approxProfileOf]]'s global agg both do, and
+    // a pre-load table is exactly the state a profiler gets pointed at.
+    // On any non-empty input every cidx exists and the join is a no-op.
+    import df.sparkSession.implicits._
+    val spine = cols.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cidx", "col_name")
+    spine.join(prof, Seq("cidx"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        col("min_v"), col("max_v"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
       .orderBy("col_name")
   }
 

@@ -102,12 +102,18 @@ object Layout {
     * files; deriving the tag twice is how a stale copy passes).
     */
   private[graft] def bucketedRoot(d: String): String =
-    s"$tmpRoot/graft_bucketed_${tag(d, "customer", "orders")}"
+    bucketedRootFor(tag(d, "customer", "orders"))
+
+  private def bucketedRootFor(t: String): String =
+    s"$tmpRoot/graft_bucketed_$t"
 
   def bucketedOrdersPerCustomer(s: SparkSession, d: String,
                                 buckets: Int = 16): DataFrame = {
+    // derive the tag ONCE and build the root from it: tag() is a
+    // recursive FS listing of both source tables, so computing it twice
+    // per call doubles that I/O for nothing
     val t = tag(d, "customer", "orders")
-    val root = bucketedRoot(d)
+    val root = bucketedRootFor(t)
     // bucketing's whole point is that the layout shuffle is paid ONCE at
     // load, then every query rides it for free — so the load is
     // idempotent: rebuild only when the catalog entry or the committed

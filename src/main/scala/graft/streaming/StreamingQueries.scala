@@ -59,11 +59,12 @@ object StreamingQueries {
     */
   private def scratchDir(kind: String, d: String): String = {
     val root = s"/tmp/graft_stream_$kind/${pathDigest(new java.io.File(d).getAbsolutePath)}"
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
-      f.delete(); ()
+    // same teardown idiom as EventsStreaming.commitSwap — one recursive-
+    // delete implementation to keep correct, not two
+    Seq("", ".tmp", ".old").foreach { sfx =>
+      val f = new java.io.File(root + sfx)
+      if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
     }
-    Seq("", ".tmp", ".old").foreach(sfx => del(new java.io.File(root + sfx)))
     root
   }
 

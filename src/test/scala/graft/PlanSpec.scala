@@ -138,7 +138,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     for (q <- Seq("q50_corpus_curation", "q52_corpus_curation_lsh",
         "q69_corpus_curation_guarded")) {
-      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val offending = exec.collect {
         case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
       }
@@ -153,7 +153,7 @@ class PlanSpec extends AnyFunSuite {
     // ride an exchange re-shuffles the corpus itself at 100 TB
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     for (q <- Seq("q64_doc_repetition", "q65_boilerplate_ngrams", "q66_decontaminate")) {
-      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val offending = exec.collect {
         case e: ShuffleExchangeLike
           if e.output.exists(a => a.name == "text" || a.name == "g" ||
@@ -180,7 +180,7 @@ class PlanSpec extends AnyFunSuite {
     // operation at 100 TB
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val exec = SparkEntry.queries("q70_pack_sequences")(spark, sf)
-      .queryExecution.executedPlan
+      .queryExecution.sparkPlan
     val p = exec.toString
     val schemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
@@ -205,7 +205,7 @@ class PlanSpec extends AnyFunSuite {
   test("q72 rarity joins tokens, never whole documents") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val exec = SparkEntry.queries("q72_token_rarity")(spark, sf)
-      .queryExecution.executedPlan
+      .queryExecution.sparkPlan
     val offending = exec.collect {
       case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
     }
@@ -300,6 +300,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL: unpartitioned windows only in the tiny dim builds") {
+    // Logs.silenceTinyWindowWarning suppresses WindowExec's single-
+    // partition WARN for the whole harness, so this sweep is the
+    // compensating control: a future accidental global window over real
+    // data must fail the build here, not warn into a silenced log. The
+    // allowlist is exactly the dim builds whose frames are bounded by
+    // dim cardinality (StarOps.tinyGlobalWindow, <= ~25 rows by
+    // construction).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWindowAllowed = Set(
+      "q16_dim_region", "q17_dim_time", "q18_upsert_dim",
+      "q20_fact_star_keyed")
+    val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
+      "q122_stream_sessions_append", "q123_stream_attribution_replay",
+      "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
+      "q126_stream_attribution_outer", "q127_stream_gold_additive",
+      "q128_stream_fact_upsert", "q129_stream_user_counts",
+      "q130_stream_dedup_ingest")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !skip(name) && !globalWindowAllowed(name)) {
+      // sparkPlan, NOT executedPlan: under AQE the executed plan is a
+      // leaf AdaptiveSparkPlanExec and node-collects see nothing
+      val globals = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty,
+        s"$name plans an UNPARTITIONED window — a total order over real " +
+          s"data at scale; partition it or justify it in the allowlist:\n" +
+          globals.headOption.getOrElse(""))
+    }
+  }
+
   test("q101's broadcast-side guard trips loudly on an oversized held-out set") {
     // the crossJoin(broadcast(test)) shape assumes a bounded held-out
     // set; an unbounded one must fail with the q74 routing message, not
@@ -323,7 +355,7 @@ class PlanSpec extends AnyFunSuite {
     // only token/count columns may ride the wire
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val exec = SparkEntry.queries("q134_bigram_perplexity")(spark, sf)
-      .queryExecution.executedPlan
+      .queryExecution.sparkPlan
     val textShuffles = exec.collect {
       case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
     }

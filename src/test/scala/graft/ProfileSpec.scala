@@ -38,6 +38,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(p("b").getLong(5) == 2)
   }
 
+  test("q131 profile: an EMPTY table still reports one row per column") {
+    // a pre-load table is exactly what a profiler gets pointed at; the
+    // exact profile, the approx twin, and the oracle's per-column UNION
+    // must all agree on the 8-rows-of-zeros shape (the exact side used
+    // to collapse to zero rows — fixed by the spine join)
+    import spark.implicits._
+    val empty = Seq.empty[(java.lang.Long, java.lang.Double)].toDF("a", "b")
+    for (p <- Seq(ProfileOps.profileOf(empty, Seq("a", "b")),
+        ProfileOps.approxProfileOf(empty, Seq("a", "b")))) {
+      val rows = p.collect()
+      assert(rows.length == 2, s"one row per column, got ${rows.length}")
+      rows.foreach { r =>
+        assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(5) == 0)
+        assert(r.isNullAt(3) && r.isNullAt(4), "min/max must be null on empty")
+      }
+    }
+  }
+
   test("q131 approx twin: min/max/nulls identical, NDV within the register error") {
     val exact = ProfileOps.profile(spark, d)
       .collect().map(r => r.getString(0) -> r).toMap
