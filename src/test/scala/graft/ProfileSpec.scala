@@ -74,6 +74,35 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 RI audit: orphans and coverage pinned on a constructed pair") {
+    import spark.implicits._
+    // children: key 1 (2 rows, parented), key 2 (3 rows, ORPHAN),
+    // null key (1 row, orphan by convention); parents: 1, 9 (unreferenced)
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 2L, 2L, null).toDF("fk")
+    val parent = Seq(1L, 9L).toDF("pk")
+    val r = ops.ProfileOps.riPair("t", child, "fk", parent, "pk").collect()(0)
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 6, "child_rows counts every child row incl. null FK")
+    assert(r.getLong(2) == 3, "child_keys: 1, 2, null")
+    assert(r.getLong(3) == 4, "orphan_rows: 3 rows of key 2 + 1 null-FK row")
+    assert(r.getLong(4) == 2, "orphan_keys: 2 and null")
+    assert(r.getLong(5) == 1, "unreferenced_parents: 9")
+  }
+
+  test("q137 RI audit on the driver tables: clean FKs, real coverage gaps") {
+    val rows = ops.ProfileOps.riAudit(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == ops.ProfileOps.RiPairs.map(_._1).toSet)
+    // the driver generator emits referentially clean FKs...
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == 0 && r.getLong(4) == 0, s"orphans in ${r.getString(0)}")
+    }
+    // ...but coverage gaps are real data (not every customer clicks)
+    assert(rows("embeddings_documents").getLong(2) ==
+      rows("embeddings_documents").getLong(1), "embeddings<->documents is 1:1")
+    assert(rows("nation_region").getLong(1) == 25)
+  }
+
   test("q133 divergence: non-negative KL, self-consistent totals, full source coverage") {
     val rows = ProfileOps.sourceDivergence(spark, d).collect()
     val sources = Tables.documents(spark, d)
