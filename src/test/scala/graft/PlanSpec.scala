@@ -348,6 +348,17 @@ class PlanSpec extends AnyFunSuite {
     assert(ops.EmbeddingOps.guardBroadcastSide(big, max = 100L).count() == 100)
   }
 
+  test("q137 RI audit: the whole 8-pair audit is TWO data shuffles") {
+    // the design claim: one tagged union into one (relationship, key)
+    // map-side-combined exchange + one 8-row rollup exchange — never a
+    // join (or worse, a join per pair). The third exchange is the
+    // presentation sort common to every registered query.
+    val p = plan("q137_ri_audit")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 3, s"expected 2 data shuffles + 1 sort, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"the audit must aggregate, not join:\n$p")
+  }
+
   test("q134 bigram scorer: no text in shuffles, narrow in-row bigram build") {
     // the bigram build is slice+arrays_zip INSIDE the row — a regression
     // to a per-doc window (shuffle by doc_id before any aggregate) or a
