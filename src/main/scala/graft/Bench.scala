@@ -38,6 +38,20 @@ object Bench {
   def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Cached-block residency snapshot: (cached RDD count, MiB held across
+    * memory+disk). Emitted before and after the timed loop: the r13
+    * driver bench read 193 s where the quiet-session protocol read 97 s,
+    * and without residency evidence a retention regression (q118's
+    * unreleased checkpoints) is indistinguishable from machine
+    * contention. With it: a fat `post` = the engine is hoarding blocks
+    * (fix the operator); a lean `post` on a slow round = the machine was
+    * busy (re-bench quiet).
+    */
+  def blockResidency(spark: SparkSession): (Int, Long) = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    (infos.length, infos.map(i => i.memSize + i.diskSize).sum >> 20)
+  }
+
   /** Median-of-`runs` timings per query, sorted by name. A throwing
     * query must NOT be billed as a (near-zero) time — that would make
     * the bench total IMPROVE when a regression breaks a query — so a
@@ -80,6 +94,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
+    Logs.silenceCheckpointReleaseWarning()
     // untimed warmup: JVM/codegen/session init should not be charged to
     // whichever query happens to run first
     try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
@@ -116,8 +131,11 @@ object Bench {
         val sec = (System.nanoTime() - tB) / 1e9
         if (ok) (sec, false) else (0.0, true)
       }
+    val residPre = blockResidency(spark)
     val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
-    println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed))
+    val residPost = blockResidency(spark)
+    println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed,
+      Some((residPre, residPost))))
     spark.stop()
     val failed = results.collect { case (k, Left(_)) => k }
     if (failed.nonEmpty) {
@@ -139,7 +157,8 @@ object Bench {
   def renderLine(results: Seq[(String, Either[String, Double])],
                  sfDir: String, runs: Int,
                  sharedBuildSec: Double = 0.0,
-                 sharedBuildFailed: Boolean = false): String = {
+                 sharedBuildFailed: Boolean = false,
+                 residency: Option[((Int, Long), (Int, Long))] = None): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     // Centiseconds below 100 s (every realistic per-query value); WHOLE
     // seconds above — a query that slow has no use for deciseconds, and
@@ -175,6 +194,11 @@ object Bench {
       if (sharedBuildFailed) ""","shared_build_error":true"""
       else if (sharedBuildSec > 0) s""","shared_build":${ms(sharedBuildSec)}"""
       else ""
-    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
+    // block-store residency [cachedRDDs, MiB] before/after the timed
+    // loop — ~36 chars, budgeted in BenchHarnessSpec's width model
+    val residJson = residency.map { case ((n0, m0), (n1, m1)) =>
+      s""","blocks":{"pre":[$n0,$m0],"post":[$n1,$m1]}"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson$residJson,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
   }
 }

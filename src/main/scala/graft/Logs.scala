@@ -23,4 +23,20 @@ object Logs {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+  /** RDD.unpersist on a locally-checkpointed RDD warns "lineage has been
+    * truncated and cannot be recomputed after unpersisting" — once per
+    * released iterate, so a 10-round PageRank emits 10 of them. Here the
+    * release is deliberate and safe by construction: ColumnBridge
+    * .releaseCheckpoint only ever frees SUPERSEDED iterates of a
+    * fixed-round loop, which no future plan references (GraphSpec pins
+    * the residency invariant). Both checkpoint entry points build the
+    * internal-row RDD via `.map(_.copy())`, so the logger category is
+    * always MapPartitionsRDD; that class logs nothing else at WARN in
+    * these code paths. ERROR-level logs still surface.
+    */
+  def silenceCheckpointReleaseWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -17,6 +17,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
+    Logs.silenceCheckpointReleaseWarning()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -398,6 +398,10 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
+    // the checkpointed frame backing `labels` — tracked separately
+    // because later rounds rebind `labels` to a Project over it, and
+    // releaseCheckpoint must see the raw LogicalRDD frame
+    var resident = labels
     val small = labels.count() <= broadcastCap
     def lab(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var changed = 1L
@@ -427,6 +431,10 @@ object Dedup {
       // Scaladoc). Same eager materialization, bounded stats.
       val materialized = org.apache.spark.sql.graft.ColumnBridge
         .localCheckpointFreshStats(if (small) next.coalesce(1) else next)
+      // eager-release the superseded round (the q118 retention rule): a
+      // log₂(diameter) loop must hold TWO label snapshots, not all of them
+      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(resident)
+      resident = materialized
       changed = materialized.filter(col("label") =!= col("old_label")).limit(1).count()
       labels = materialized.drop("old_label")
       rounds += 1
@@ -435,6 +443,8 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupComponents did not converge after $MaxComponentRounds rounds " +
           "— refusing to return unconverged labels")
+    // the returned frame is backed only by the final round's blocks
+    org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(edges)
     (labels, rounds)
   }
 

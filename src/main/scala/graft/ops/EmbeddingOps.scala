@@ -67,7 +67,14 @@ object EmbeddingOps {
   // that cycles sessions (getOrCreate/stop loops, test harnesses) must
   // not pin every dead session's object graph in a static map forever —
   // and the verdict is a property of the DIR's immutable data, not of
-  // whichever session probed it
+  // whichever session probed it. SOUNDNESS CONTRACT: a cached PASS
+  // survives session cycling within one application, so it is correct
+  // ONLY while FrameMemo.memoizable's ImmutableRoots contract holds (a
+  // memoizable dir's files are never rewritten in place — the same
+  // contract every FrameMemo'd edge list already leans on; if roots ever
+  // become mutable, clear this map wherever FrameMemo invalidates).
+  // Bounded in values (one Boolean per dir), unbounded only in distinct
+  // dirs probed — a handful per process in every harness.
   private val guardMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 

@@ -42,6 +42,7 @@ object GraphOps {
   private[graft] def pageRankWithStats(edges: DataFrame, nodes: DataFrame,
                                        iters: Int = Iters,
                                        eps: Double = 0.0): (DataFrame, Int) = {
+    import org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint
     val n = nodes.count()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // static per run, materialized once: edges with their source degree,
@@ -54,6 +55,9 @@ object GraphOps {
     // itself — no extra join against the previous iterate
     var ranks = nodeDeg.select(col("id"), col("deg"),
       lit(1.0 / n).as("rank"), lit(1.0 / n).as("prev")).localCheckpoint()
+    // nodeDeg fed the initial iterate, which is now materialized — its
+    // blocks are dead weight for the rest of the run
+    releaseCheckpoint(nodeDeg)
     // (dangling mass, max |Δ|) of a materialized iterate: one scan of
     // the checkpointed partitions, no shuffle, no lineage re-execution
     def scalars(r: DataFrame): (Double, Double) = {
@@ -76,6 +80,7 @@ object GraphOps {
       // list is needed. Shuffle joins throughout: broadcast-hinting the
       // O(|V|) rank/contrib frames measured SLOWER here (a driver
       // collect per round) and would cap the operator at driver memory.
+      val prevRanks = ranks // superseded once the new iterate materializes
       val r = ranks.select(col("id").as("rid"), col("rank"))
       val edgeRows = linked.join(r, col("rid") === col("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
@@ -98,11 +103,22 @@ object GraphOps {
         // the last checkpoint (quadratic re-work — measured 1.4x slower
         // on a 5-round cadence)
         .localCheckpoint()
+      // the new iterate is materialized and its scalars read below come
+      // off the NEW blocks — the previous round's snapshot is now
+      // unreachable by any future plan. Release it immediately instead
+      // of waiting for ContextCleaner: without this, a 10-round run
+      // holds 10 rank snapshots (plus linked/nodeDeg) in the block
+      // store simultaneously, and q118 measured 5.4× slower under a
+      // loaded session from exactly that residency (BENCH_r13).
+      releaseCheckpoint(prevRanks)
       val (dm, delta) = scalars(ranks)
       dangling = dm
       converged = eps > 0.0 && delta < eps
       it += 1
     }
+    // only the FINAL iterate backs the returned frame — the static edge
+    // frame is dead once iteration stops
+    releaseCheckpoint(linked)
     (ranks.select(col("id"), col("rank")), it)
   }
 

@@ -132,10 +132,18 @@ object LmTokenizer {
     val s = words.sparkSession
     val w = Window.partitionBy("word").orderBy("pos")
     val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // CODE-POINT split, not split(word, "") — the latter cuts at UTF-16
+    // code units, so a non-BMP character (emoji, musical symbols) would
+    // shatter into two lone surrogates while the DuckDB oracle's substr
+    // walks code points. Java regex '.' consumes exactly one code point,
+    // and the (cnt, sym, nxt) argmax tie-break then agrees cross-engine
+    // because Spark's UTF8_BINARY string comparison and DuckDB's binary
+    // collation are both UTF-8 byte order, which preserves code-point
+    // order. Pinned on non-BMP fixtures in LmTokenizerSpec.
     var state = words
       .select(col("word"), col("n"),
-        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-      .filter(col("sym") =!= "")
+        posexplode(regexp_extract_all(col("word"), lit("(?s)."), lit(0)))
+          .as(Seq("pos", "sym")))
       .localCheckpoint()
     // (round, p1, p2, count). The per-round argmax is ONE row by
     // construction — collecting it is the IVF collected-model pattern
@@ -159,6 +167,7 @@ object LmTokenizer {
         val (p1, p2, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, p1, p2, cnt))
+        val prevState = state // superseded once the rewrite materializes
         state = withNext
           .withColumn("ismatch",
             coalesce(col("sym") === lit(p1) && col("nxt") === lit(p2),
@@ -177,6 +186,9 @@ object LmTokenizer {
             when(col("keep"), concat(col("sym"), col("nxt")))
               .otherwise(col("sym")).as("sym"))
           .localCheckpoint()
+        // eager-release the superseded round (the q118 retention rule):
+        // the new state is materialized, nothing reads the old blocks
+        org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prevState)
       }
       r += 1
     }

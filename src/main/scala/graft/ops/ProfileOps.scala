@@ -214,8 +214,15 @@ object ProfileOps {
     val tagged = pairs.map { case (name, c, ck, p, pk) =>
       c.select(lit(name).as("rel"), col(ck).cast("long").as("k"),
           lit(1L).as("c1"), lit(0L).as("p1"))
-        .union(p.select(lit(name).as("rel"), col(pk).cast("long").as("k"),
-          lit(0L).as("c1"), lit(1L).as("p1")))
+        // drop null PARENT keys (parents are PKs by contract, so none
+        // exist in sane data — but groupBy is null-safe while the
+        // oracle's FULL OUTER JOIN never matches NULLs, so an unguarded
+        // null parent would absorb the null-child orphan group engine-
+        // side and silently diverge. The oracle mirrors the filter;
+        // ProfileSpec pins the convention on a fixture with both.)
+        .union(p.filter(col(pk).isNotNull)
+          .select(lit(name).as("rel"), col(pk).cast("long").as("k"),
+            lit(0L).as("c1"), lit(1L).as("p1")))
     }.reduce(_ union _)
     tagged
       .groupBy("rel", "k")
@@ -257,7 +264,7 @@ object ProfileOps {
          |FROM (SELECT CAST($ck AS BIGINT) AS k, COUNT(*) AS cnt
          |      FROM $c GROUP BY 1) c
          |FULL OUTER JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k, 1 AS p
-         |                 FROM $p) p USING (k)""".stripMargin
+         |                 FROM $p WHERE $pk IS NOT NULL) p USING (k)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
 
   val oracleSql: Map[String, String] = Map(

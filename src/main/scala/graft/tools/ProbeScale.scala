@@ -20,6 +20,7 @@ object ProbeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.silenceTinyWindowWarning()
+    graft.Logs.silenceCheckpointReleaseWarning()
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
       // per-SF shared builds (the bench's pre-pass), untimed here
       try {

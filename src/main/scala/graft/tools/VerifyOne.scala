@@ -22,6 +22,7 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
+    graft.Logs.silenceCheckpointReleaseWarning()
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()

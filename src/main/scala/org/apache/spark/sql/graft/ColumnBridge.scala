@@ -49,4 +49,27 @@ object ColumnBridge {
     rdd.count()
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
+
+  /** Eagerly release the block-store partitions behind a checkpointed
+    * frame (`localCheckpoint` / [[localCheckpointFreshStats]] — both
+    * leave a `LogicalRDD` over a persisted internal-row RDD). Without
+    * this, superseded iterates of a fixed-round loop stay resident until
+    * a DRIVER GC lets ContextCleaner find them — which on a 128 GiB heap
+    * may be never mid-benchmark, so one q118 measurement (3 runs × 10
+    * rounds) was holding ~30 rank snapshots simultaneously and reading
+    * 5.4× its quiet-session time under block-store pressure. Also the
+    * only scale-correct behavior: at 100 TB an iterative operator cannot
+    * hold every superseded copy of its state.
+    *
+    * The frame must NOT be read again after release: local checkpoints
+    * are unreliable by design — the persisted blocks ARE the data (the
+    * lineage was truncated), so this frees memory rather than demoting a
+    * cache. No-op on non-checkpoint plans.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    analyzedPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

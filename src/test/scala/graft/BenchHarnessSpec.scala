@@ -62,7 +62,9 @@ class BenchHarnessSpec extends AnyFunSuite {
     // shorter than the all-success one
     val allBad = keys.map(k => k -> (Left("boom"): Either[String, Double]))
     for (results <- Seq(allGood, allBad)) {
-      val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3)
+      // worst-case residency width: hundreds of RDDs, 6-digit MiB
+      val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3,
+        residency = Some(((999, 999999L), (999, 999999L))))
       assert(!line.contains("\n"), "must be a single line")
       assert(line.length <= 1800,
         s"bench JSON line is ${line.length} chars; the harness captures only the " +

@@ -80,6 +80,41 @@ class GraphSpec extends AnyFunSuite {
       s"rank mass $mass deviates from 1.0 beyond rounding slack")
   }
 
+  test("iteration releases superseded checkpoints — only the final iterate stays resident") {
+    import spark.implicits._
+    // BENCH_r13 regression: every round's localCheckpoint stayed in the
+    // block store until a driver GC (maybe never on a 128 GiB heap), so
+    // one q118 measurement held ~30 rank snapshots and read 5.4× its
+    // quiet time. Pin the fix: a run leaves AT MOST one new persistent
+    // RDD (the final iterate) — not iters+3.
+    val sc = spark.sparkContext
+    val edges = (1L to 200L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
+    val nodes = (1L to 200L).toDF("id")
+    val before = sc.getPersistentRDDs.size
+    val (ranks, _) = ops.GraphOps.pageRankWithStats(edges, nodes, iters = 10)
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"pageRank left ${after - before} resident RDDs (want ≤1: the final iterate)")
+    assert(ranks.count() == 200) // the surviving checkpoint still serves the result
+    // same rule for the BPE trainer's per-round state
+    val words = Seq(("abab", 5L), ("abc", 3L), ("bcd", 2L)).toDF("word", "n")
+    val b0 = sc.getPersistentRDDs.size
+    ops.LmTokenizer.bpeTrainOn(words, rounds = 5).collect()
+    val segs = ops.LmTokenizer.bpeSegments(words, rounds = 5)
+    val b1 = sc.getPersistentRDDs.size
+    assert(b1 - b0 <= 2,
+      s"bpe loops left ${b1 - b0} resident RDDs (want ≤2: one final state each)")
+    assert(segs.count() > 0)
+    // and for connected components' label propagation
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c0 = sc.getPersistentRDDs.size
+    val labels = ops.Dedup.dedupComponents(pairs, broadcastCap = 0)
+    val c1 = sc.getPersistentRDDs.size
+    assert(c1 - c0 <= 1,
+      s"components left ${c1 - c0} resident RDDs (want ≤1: the final labels)")
+    assert(labels.select("label").distinct().count() == 1) // one chain component
+  }
+
   test("pageRank is exact on a hand-computed 3-node fixture") {
     import spark.implicits._
     // A -> B, B -> A, C dangling. Symmetry of A/B + C's uniform leak

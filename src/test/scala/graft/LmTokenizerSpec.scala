@@ -14,11 +14,34 @@ class LmTokenizerSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // textbook BPE reference: scalar while-loop merge, overlapping pair
-  // counts, (count desc, pair asc) tie-break
+  // counts, (count desc, pair asc) tie-break. Splits by CODE POINT and
+  // tie-breaks in UTF-8 byte order — the engine's and oracle's shared
+  // conventions (Scala's default String ordering is UTF-16 code-unit
+  // order, which DISAGREES with both on non-BMP: U+1D11E sorts before
+  // U+FB00 in UTF-16 but after it in UTF-8/code-point order).
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private implicit val utf8PairOrd: Ordering[(String, String)] =
+    (p: (String, String), q: (String, String)) => {
+      val c = utf8Compare(p._1, q._1)
+      if (c != 0) c else utf8Compare(p._2, q._2)
+    }
+  private def codePoints(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   private def refBpe(words: Map[String, Long], rounds: Int)
       : Seq[(Int, String, String, Long)] = {
     var state: Map[String, Vector[String]] =
-      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      words.keys.map(w => w -> codePoints(w)).toMap
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val counts = collection.mutable.Map.empty[(String, String), Long]
@@ -27,7 +50,7 @@ class LmTokenizerSpec extends AnyFunSuite {
           counts.getOrElse((syms(i), syms(i + 1)), 0L) + words(w)
       if (counts.nonEmpty) {
         val mx = counts.values.max
-        val (p1, p2) = counts.filter(_._2 == mx).keys.toSeq.sorted.head
+        val (p1, p2) = counts.filter(_._2 == mx).keys.toSeq.sorted(utf8PairOrd).head
         out += ((r, p1, p2, mx))
         state = state.map { case (w, syms) =>
           val b = Vector.newBuilder[String]
@@ -67,6 +90,26 @@ class LmTokenizerSpec extends AnyFunSuite {
     fixtures.foreach { f =>
       assert(runBpe(f, 4) == refBpe(f, 4), s"fixture $f")
     }
+  }
+
+  test("q135 splits by code point and tie-breaks in UTF-8 order on non-ASCII words") {
+    // 𝄞 is U+1D11E (non-BMP): a UTF-16 code-unit split would shatter it
+    // into two lone surrogates, and UTF-16 ordering would sort it BEFORE
+    // ﬀ (U+FB00) while UTF-8/code-point order sorts it after. The equal-
+    // count pairs (a,ﬀ) and (a,𝄞) force the tie-break through exactly
+    // that divergence; 日本語 pins multi-byte BMP splitting.
+    val fixtures = Seq(
+      Map("aﬀ" -> 3L, "a𝄞" -> 3L), // tie: UTF-8 picks (a,ﬀ)
+      Map("𝄞𝄞a" -> 4L),       // non-BMP same-symbol run
+      Map("héhé" -> 3L, "日本語" -> 2L, "語語語" -> 5L)
+    )
+    fixtures.foreach { f =>
+      assert(runBpe(f, 4) == refBpe(f, 4), s"fixture $f")
+    }
+    // the tie really resolves to the UTF-8-smaller pair
+    val tie = runBpe(Map("aﬀ" -> 3L, "a𝄞" -> 3L), 1)
+    assert(tie.head._3 == "ﬀ",
+      s"tie-break picked ${tie.head._3}: want U+FB00 (UTF-8 order), not U+1D11E (UTF-16 order)")
   }
 
   test("q135 merge algebra equals the textbook loop on RANDOM vocabularies") {

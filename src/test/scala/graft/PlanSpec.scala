@@ -317,7 +317,15 @@ class PlanSpec extends AnyFunSuite {
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
       "q126_stream_attribution_outer", "q127_stream_gold_additive",
       "q128_stream_fact_upsert", "q129_stream_user_counts",
-      "q130_stream_dedup_ingest")
+      "q130_stream_dedup_ingest",
+      // driver-collected iterative queries: building their frame RUNS
+      // the full fixed-round iteration (collect + checkpoint per round)
+      // only to inspect what ends as a LocalTableScan/checkpoint leaf —
+      // a vacuous check at real suite-runtime cost. Their window shapes
+      // are pinned where they're visible: LmTokenizerSpec (the per-word
+      // merge windows), ClusterSpec, GraphSpec.
+      "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
+      "q118_pagerank_exact", "q93_pagerank")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip(name) && !globalWindowAllowed(name)) {
       // sparkPlan, NOT executedPlan: under AQE the executed plan is a
@@ -382,9 +390,11 @@ class PlanSpec extends AnyFunSuite {
   test("q136 encode joins the corpus against a BROADCAST dictionary") {
     // segmentation is per word TYPE; the corpus side must meet the
     // resulting (word -> n_bpe) dictionary as a broadcast hash join —
-    // a sort-merge join here would shuffle every corpus token by word
+    // a sort-merge join here would shuffle every corpus token by word.
+    // sparkPlan, NOT executedPlan: AQE wraps the latter in
+    // AdaptiveSparkPlanExec (the convention every other pin here follows)
     val exec = SparkEntry.queries("q136_bpe_encode")(spark, sf)
-      .queryExecution.executedPlan.toString
+      .queryExecution.sparkPlan.toString
     assert(exec.contains("BroadcastHashJoin"),
       s"dictionary join is not broadcast:\n$exec")
     assert(!exec.contains("SortMergeJoin"),

@@ -89,6 +89,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1, "unreferenced_parents: 9")
   }
 
+  test("q137 RI audit: a null PARENT key is ignored, never adopts null-FK children") {
+    import spark.implicits._
+    // groupBy is null-safe while the oracle's FULL OUTER JOIN never
+    // matches NULLs — without the parent-side isNotNull filter, a null
+    // parent key would merge with the null-child group engine-side and
+    // the null-FK rows would silently stop counting as orphans. Pin the
+    // shared convention: null parents are dropped on BOTH sides.
+    val child = Seq[java.lang.Long](1L, 2L, null, null).toDF("fk")
+    val parent = Seq[java.lang.Long](1L, null).toDF("pk")
+    val r = ops.ProfileOps.riPair("t", child, "fk", parent, "pk").collect()(0)
+    assert(r.getLong(1) == 4, "child_rows")
+    assert(r.getLong(2) == 3, "child_keys: 1, 2, null")
+    assert(r.getLong(3) == 3, "orphan_rows: key 2 + both null-FK rows")
+    assert(r.getLong(4) == 2, "orphan_keys: 2 and null — null parent must not adopt them")
+    assert(r.getLong(5) == 0, "unreferenced_parents: the null parent is not a parent")
+  }
+
   test("q137 RI audit on the driver tables: clean FKs, real coverage gaps") {
     val rows = ops.ProfileOps.riAudit(spark, d).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -19,6 +19,7 @@ object SparkTestSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
+    Logs.silenceCheckpointReleaseWarning()
     s
   }
 }
