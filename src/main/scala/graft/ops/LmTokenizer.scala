@@ -121,6 +121,16 @@ object LmTokenizer {
   private[graft] def bpeTrainOn(words: DataFrame, rounds: Int): DataFrame =
     bpeIterate(words, rounds)._1
 
+  /** Batched trainer (q140): up to `maxBatch` merges per Spark round,
+    * PROVABLY equal to `maxBatch` sequential rounds — the production-
+    * vocabulary shape (tens of thousands of merges can't pay one full
+    * pass per merge; batching non-interacting merges cuts rounds ~k×
+    * with zero semantic drift). See [[bpeIterate]] for the guard.
+    */
+  private[graft] def bpeTrainOnBatched(words: DataFrame, merges: Int,
+                                       maxBatch: Int): DataFrame =
+    bpeIterate(words, merges, maxBatch)._1
+
   /** Final segmented symbol table (word, n, pos, sym) after `rounds`
     * merges — the ENCODE side of the tokenizer (apply the learned vocab
     * to text). Exposed for q136 and the spec.
@@ -128,7 +138,80 @@ object LmTokenizer {
   private[graft] def bpeSegments(words: DataFrame, rounds: Int): DataFrame =
     bpeIterate(words, rounds)._2
 
-  private def bpeIterate(words: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+  /** How many sorted pair-count rows the batched selector collects per
+    * round — the window it can PROVE safe prefixes inside. If the table
+    * has more rows than this, everything past the window is treated as a
+    * potential tie/overlap (the conservative stop bound).
+    */
+  private[graft] val BpeBatchWindow = 64
+
+  /** Iterate `merges` total merges, applying up to `maxBatch` per Spark
+    * round. maxBatch = 1 is the exact classic loop (one argmax collected
+    * per round). maxBatch > 1 selects a batch that is PROVABLY equal to
+    * running the same merges sequentially:
+    *
+    *  - the batch is a PREFIX of the (cnt desc, p1, p2)-sorted pair list
+    *    that is pairwise symbol-disjoint — disjoint merges can't consume
+    *    each other's occurrences, never create adjacencies between
+    *    non-merged symbols, and leave each other's counts untouched, so
+    *    the single-pass leftmost-greedy window rewrite applies them all
+    *    at once (adjacent match positions always belong to the SAME
+    *    pair: different-pair adjacency would share the middle symbol);
+    *  - every kept pair's count is STRICTLY above the first rejected or
+    *    unscanned candidate's count (`cstop`). Any pair a batch merge
+    *    CREATES maps occurrence-wise onto a pre-merge pair that overlaps
+    *    the merged pair, so its count is ≤ cstop < every kept count —
+    *    sequential rounds would therefore pick exactly the kept pairs,
+    *    in order, with the same counts and the same lex tie-breaks;
+    *  - a same-symbol pair (x,x) ENDS its batch: merging it can create
+    *    (xx,x)-style pairs whose occurrences map onto (x,x) itself, so
+    *    they're bounded only by its own count, not by cstop.
+    *
+    * LmTokenizerSpec proves batched ≡ sequential on adversarial overlap
+    * fixtures, random vocabularies, and the real corpus (q140 ≡ q135
+    * under the same DuckDB oracle).
+    */
+  /** The sequential-equivalent batch from the sorted top-`window` pair
+    * rows (semantics in [[bpeIterate]]'s doc). Greedy scan in sort
+    * order: stop at the first candidate sharing a symbol with an earlier
+    * pick, after a same-symbol pick, or at `maxBatch`; then keep only
+    * the prefix whose counts are STRICTLY above the first non-picked
+    * candidate (`cstop` — hidden candidates past a full window are
+    * bounded by the window's last count). Never empty: the head is the
+    * plain argmax and needs no guard. Exposed for the spec's direct
+    * adversarial cases.
+    */
+  private[graft] def selectBatch(top: Seq[(String, String, Long)],
+                                 window: Int, maxBatch: Int)
+      : Seq[(String, String, Long)] = {
+    if (maxBatch <= 1 || top.length <= 1) return top.take(1)
+    val picked = collection.mutable.ListBuffer.empty[(String, String, Long)]
+    val used = collection.mutable.Set.empty[String]
+    var i = 0
+    var stopped = false
+    while (i < top.length && !stopped && picked.length < maxBatch) {
+      val (p1, p2, _) = top(i)
+      if (picked.nonEmpty && (used(p1) || used(p2))) stopped = true
+      else {
+        picked += top(i); used += p1; used += p2
+        i += 1
+        if (p1 == p2) stopped = true // its merges create pairs bounded by its own count
+      }
+    }
+    // first candidate NOT picked, or the conservative bound for rows
+    // beyond a full collected window (they may tie and overlap)
+    val cstop =
+      if (i < top.length) top(i)._3
+      else if (top.length == window) top.last._3
+      else Long.MinValue
+    val safe = picked.takeWhile(_._3 > cstop).toSeq
+    if (safe.isEmpty) top.take(1) else safe
+  }
+
+  private def bpeIterate(words: DataFrame, rounds: Int,
+                         maxBatch: Int = 1): (DataFrame, DataFrame) = {
+    require(maxBatch >= 1 && maxBatch < BpeBatchWindow,
+      s"maxBatch must be in [1, $BpeBatchWindow): $maxBatch")
     val s = words.sparkSession
     val w = Window.partitionBy("word").orderBy("pos")
     val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -152,26 +235,33 @@ object LmTokenizer {
     // merge rewrite inside codegen with no per-round join or extra
     // materialization job.
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var r = 1
+    var done = 0
     var exhausted = false
-    while (r <= rounds && !exhausted) {
+    while (done < rounds && !exhausted) {
       val withNext = state.withColumn("nxt", lead(col("sym"), 1).over(w))
-      val best = withNext.filter(col("nxt").isNotNull)
+      val counted = withNext.filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
-        .collect()
-      if (best.isEmpty) {
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+      val window = if (maxBatch == 1) 1 else BpeBatchWindow
+      val top = counted.limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) {
         // every word fully merged to one symbol — nothing left to count
         exhausted = true
       } else {
-        val (p1, p2, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, p1, p2, cnt))
+        val batch = selectBatch(top, window,
+          math.min(maxBatch, rounds - done))
+        batch.zipWithIndex.foreach { case ((p1, p2, cnt), i) =>
+          merges += ((done + i + 1, p1, p2, cnt))
+        }
         val prevState = state // superseded once the rewrite materializes
+        val isAnyMatch = batch
+          .map { case (p1, p2, _) =>
+            col("sym") === lit(p1) && col("nxt") === lit(p2)
+          }
+          .reduce(_ || _)
         state = withNext
-          .withColumn("ismatch",
-            coalesce(col("sym") === lit(p1) && col("nxt") === lit(p2),
-              lit(false)))
+          .withColumn("ismatch", coalesce(isAnyMatch, lit(false)))
           .withColumn("startflag",
             col("ismatch") && !coalesce(lag(col("ismatch"), 1).over(w), lit(false)))
           .withColumn("run_start",
@@ -189,8 +279,8 @@ object LmTokenizer {
         // eager-release the superseded round (the q118 retention rule):
         // the new state is materialized, nothing reads the old blocks
         org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prevState)
+        done += batch.length
       }
-      r += 1
     }
     import s.implicits._
     val mergeTable = merges.result()
@@ -232,10 +322,25 @@ object LmTokenizer {
 
   // ------------------------------------------------------------- queries
 
+  /** Batch cap for q140 — small enough that the 64-row selection window
+    * always sees past the batch, large enough to show multi-merge rounds
+    * on the real corpus.
+    */
+  private[graft] val BpeQ140Batch = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bigram_perplexity" -> ((s, d) => bigramPerplexity(s, d)),
     "q135_bpe_train" -> ((s, d) => bpeTrain(s, d)),
-    "q136_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
+    "q136_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    // the batched trainer, driver-checked against the SAME oracle as
+    // q135: the unrolled one-merge-per-round CTE chain — equality here
+    // IS the sequential-equivalence proof running under the hash gate
+    "q140_bpe_train_batched" -> ((s, d) =>
+      bpeTrainOnBatched(
+        graft.Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n")),
+        BpeRounds, BpeQ140Batch)))
 
   /** The q135 oracle replays the identical fixed-round window algebra as
     * chained CTEs. MATERIALIZED is load-bearing (the q118 lesson): each
@@ -361,7 +466,10 @@ object LmTokenizer {
         |       ROUND(EXP(s / n_bigrams), 4) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
     "q135_bpe_train" -> q135OracleSql,
-    "q136_bpe_encode" -> q136OracleSql)
+    "q136_bpe_encode" -> q136OracleSql,
+    // q140 shares q135's oracle verbatim: batched ≡ sequential is the
+    // operator's contract, and the driver's hash compare enforces it
+    "q140_bpe_train_batched" -> q135OracleSql)
 
   val rowsOnly: Set[String] = Set.empty
 }

@@ -98,7 +98,54 @@ object Multimodal {
       }
   }
 
+  /** Where the q138/q139 expected-digest fixtures live (generated once by
+    * [[graft.tools.GenMultimodalFixture]] from the sf0.01 engine output
+    * and committed; the DuckDB oracle reads them verbatim).
+    */
+  val FixtureDir = "/root/repo/tools/fixtures"
+
+  /** q138: the q35 decode pipeline collapsed to one digest per media row
+    * — doc_id, mime, container geometry, and an md5 over ALL 8 content
+    * features rounded to 3 decimals (q35's presentation shows only f0;
+    * the digest pins the whole vector). This is the oracle-checkable
+    * twin of q35: decode semantics aren't portable SQL, so the oracle
+    * compares against a PRE-COMPUTED expected-digest parquet (the q120
+    * twin design adapted to fixture form). The fixture regression-pins
+    * byte-stability of the decoders at sf0.01 (the driver's verify SF);
+    * semantic correctness of the parsers is pinned independently by
+    * MultimodalSpec's hand-computed container fixtures.
+    */
+  private[graft] def decodeDigest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    asMedia(s, d)
+      .mapPartitions(decodePartition)
+      .toDF()
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        col("width"), col("height"),
+        md5(concat_ws(",",
+          transform(col("feature"),
+            x => round(x.cast("double"), 3).cast("string"))).cast("binary"))
+          .as("feature_sig"))
+      .orderBy("doc_id")
+  }
+
+  /** q139: q53's 16-cell thumbnail digested the same way. */
+  private[graft] def thumbnailDigest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    asMedia(s, d)
+      .mapPartitions(thumbnailPartition(4))
+      .toDF()
+      .select(col("doc_id"), col("mime"),
+        md5(concat_ws(",",
+          transform(col("thumb"),
+            x => round(x.cast("double"), 3).cast("string"))).cast("binary"))
+          .as("thumb_sig"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_multimodal_decode_digest" -> ((s, d) => decodeDigest(s, d)),
+    "q139_multimodal_thumb_digest" -> ((s, d) => thumbnailDigest(s, d)),
     // binary-column metadata scan: byte length + digest (oracle-checkable)
     "q34_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -150,7 +197,20 @@ object Multimodal {
         |       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |       md5(text) AS checksum
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q138/q139: decode semantics aren't portable SQL — the oracle reads
+    // the committed expected-digest parquet verbatim (generated by
+    // GenMultimodalFixture from the sf0.01 engine output, the driver's
+    // verify SF; regenerate + recommit if the decoders legitimately
+    // change). A decoder regression shows up as a hash mismatch here.
+    "q138_multimodal_decode_digest" ->
+      s"""SELECT doc_id, mime, n_bytes, width, height, feature_sig
+         |FROM read_parquet('$FixtureDir/q138_expected.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "q139_multimodal_thumb_digest" ->
+      s"""SELECT doc_id, mime, thumb_sig
+         |FROM read_parquet('$FixtureDir/q139_expected.parquet')
+         |ORDER BY doc_id""".stripMargin
   )
 
   val rowsOnly: Set[String] =

@@ -92,6 +92,91 @@ class LmTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  private def runBpeBatched(words: Map[String, Long], rounds: Int,
+                            batch: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    val df = words.toSeq.toDF("word", "n")
+    ops.LmTokenizer.bpeTrainOnBatched(df, rounds, batch)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+  }
+
+  test("q140 batched merges equal sequential rounds on adversarial fixtures") {
+    val fixtures = Seq(
+      // fully disjoint pair space: the batch really fires (3 merges, 1 round)
+      Map("ab" -> 10L, "cd" -> 8L, "ef" -> 6L),
+      // chained overlap: (a,b) then (ab,c)-style cascades must serialize
+      Map("abc" -> 9L, "bcd" -> 7L, "cde" -> 5L),
+      // same-symbol runs: (a,a) creates (aa,a)/(aa,aa) pairs bounded by
+      // its own count — must end its batch
+      Map("aaaa" -> 6L, "bcbc" -> 5L, "dd" -> 4L),
+      // exact count ties across interacting pairs: the strict-cstop
+      // guard must fall back rather than guess
+      Map("ab" -> 5L, "ac" -> 5L, "bc" -> 5L),
+      // the real adversary for naive batching: a pair the batch's first
+      // merge CREATES ((w,xy) via (w,x)) outranks the would-be second pick
+      Map("wxy" -> 8L, "uv" -> 6L, "wx" -> 3L)
+    )
+    for (f <- fixtures; batch <- Seq(2, 3, 4, 8)) {
+      assert(runBpeBatched(f, 6, batch) == refBpe(f, 6),
+        s"fixture $f batch=$batch diverged from sequential")
+    }
+  }
+
+  test("q140 batched equals sequential on RANDOM vocabularies") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 3-letter alphabet: enough symbol diversity that batches of size >1
+    // actually form, while {a,b} collisions keep the overlap guard busy
+    val vocabGen = Gen.chooseNum(1, 6).flatMap { nw =>
+      Gen.listOfN(nw, for {
+        len <- Gen.chooseNum(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+        n <- Gen.chooseNum(1L, 9L)
+      } yield (cs.mkString, n))
+    }
+    val prop = Prop.forAll(vocabGen) { raw =>
+      val words = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      runBpeBatched(words, 4, 3) == refBpe(words, 4)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(r.passed, s"random-vocab batched property: $r")
+  }
+
+  test("selectBatch guards: overlap stop, tie fallback, same-symbol stop, window bound") {
+    import ops.LmTokenizer.selectBatch
+    val W = ops.LmTokenizer.BpeBatchWindow
+    // overlap stops the scan; the survivor is strictly above the stop count
+    assert(selectBatch(Seq(("a", "b", 10L), ("b", "c", 8L), ("d", "e", 7L)), W, 4)
+      == Seq(("a", "b", 10L)))
+    // a tie between a pick and the overlapping stop candidate must fall
+    // back to the bare argmax (a created pair could tie and win the lex break)
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 10L), ("d", "x", 10L)), W, 4)
+      == Seq(("a", "b", 10L)))
+    // same-symbol pair ends its batch even with disjoint pairs below
+    assert(selectBatch(Seq(("a", "a", 10L), ("c", "d", 8L), ("e", "f", 7L)), W, 4)
+      == Seq(("a", "a", 10L)))
+    // fully disjoint, table exhausted below the window: take them all
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)), W, 4)
+      == Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)))
+    // a FULL window means hidden rows may tie the last count: drop picks at it
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L)), 2, 4)
+      == Seq(("a", "b", 10L)))
+    // maxBatch truncation keeps the strict guard against the next candidate
+    assert(selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L)), W, 2)
+      == Seq(("a", "b", 10L)))
+  }
+
+  test("q140 on the real corpus equals q135 row for row") {
+    // multi-merge rounds firing is pinned by the disjoint fixture above
+    // (3 merges, 1 round); here the full corpus pipeline must agree
+    val seqTable = SparkEntry.queries("q135_bpe_train")(spark, sf).collect()
+    val batTable = SparkEntry.queries("q140_bpe_train_batched")(spark, sf).collect()
+    assert(seqTable.map(_.toSeq).toSeq == batTable.map(_.toSeq).toSeq,
+      "batched trainer diverged from the sequential trainer on the corpus")
+  }
+
   test("q135 splits by code point and tie-breaks in UTF-8 order on non-ASCII words") {
     // 𝄞 is U+1D11E (non-BMP): a UTF-16 code-unit split would shatter it
     // into two lone surrogates, and UTF-16 ordering would sort it BEFORE

@@ -231,4 +231,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mimes == Set(MediaCodec.BmpMime, MediaCodec.PpmMime, MediaCodec.WavMime))
     assert(out.filter(col("width") < 1 || col("height") < 1 || col("n_bytes") <= 0).isEmpty)
   }
+
+  test("q138/q139 digests match the committed expected-digest fixtures at sf0.01") {
+    // the same compare the driver's DuckDB oracle runs (it reads these
+    // files verbatim) — failing HERE means the decoders changed: either
+    // fix the regression or, if deliberate, re-run GenMultimodalFixture
+    // and recommit alongside the decoder change
+    val d = "/root/testdata/sf0.01"
+    for ((q, fixture) <- Seq(
+        "q138_multimodal_decode_digest" -> "q138_expected.parquet",
+        "q139_multimodal_thumb_digest" -> "q139_expected.parquet")) {
+      val got = Multimodal.queries(q)(spark, d).collect().map(_.toSeq)
+      val exp = spark.read.parquet(s"${Multimodal.FixtureDir}/$fixture")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(got.length == exp.length, s"$q row count vs fixture")
+      assert(got.toSeq == exp.toSeq, s"$q diverged from the committed fixture")
+    }
+  }
 }
