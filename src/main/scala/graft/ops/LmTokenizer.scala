@@ -133,10 +133,15 @@ object LmTokenizer {
 
   /** Final segmented symbol table (word, n, pos, sym) after `rounds`
     * merges — the ENCODE side of the tokenizer (apply the learned vocab
-    * to text). Exposed for q136 and the spec.
+    * to text). Exposed for q136 and the spec. `maxBatch` > 1 applies the
+    * q140 batching — the STATE after the same merge sequence is
+    * identical (batched ≡ sequential covers the rewrite, not just the
+    * merge table; LmTokenizerSpec pins segment equality directly), it
+    * just arrives in fewer Spark rounds.
     */
-  private[graft] def bpeSegments(words: DataFrame, rounds: Int): DataFrame =
-    bpeIterate(words, rounds)._2
+  private[graft] def bpeSegments(words: DataFrame, rounds: Int,
+                                 maxBatch: Int = 1): DataFrame =
+    bpeIterate(words, rounds, maxBatch)._2
 
   /** How many sorted pair-count rows the batched selector collects per
     * round — the window it can PROVE safe prefixes inside. If the table
@@ -312,7 +317,10 @@ object LmTokenizer {
     val docTokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val words = docTokens.groupBy("word").agg(count(lit(1)).as("n"))
-    val dict = bpeSegments(words, BpeRounds)
+    // batched segmentation (the q140 path): the post-merge state is
+    // identical to sequential — q136's oracle still unrolls one merge
+    // per CTE round — but the 10 merges land in ~3 Spark rounds
+    val dict = bpeSegments(words, BpeRounds, maxBatch = BpeQ140Batch)
       .groupBy("word").agg(count(lit(1)).as("n_bpe"))
     docTokens.join(broadcast(dict), Seq("word"))
       .groupBy("doc_id")

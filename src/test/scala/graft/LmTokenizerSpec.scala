@@ -124,6 +124,24 @@ class LmTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("batched segmentation STATE equals sequential (the q136 fast path)") {
+    import spark.implicits._
+    // q136 segments through the batched iterator — equality must hold
+    // for the full (word, pos, sym) state, not just the merge table
+    val fixtures = Seq(
+      Map("ab" -> 10L, "cd" -> 8L, "ef" -> 6L),
+      Map("aaaa" -> 6L, "bcbc" -> 5L, "dd" -> 4L),
+      Map("abc" -> 9L, "bcd" -> 7L, "cde" -> 5L))
+    for (f <- fixtures) {
+      val df = f.toSeq.toDF("word", "n")
+      def segs(batch: Int) =
+        ops.LmTokenizer.bpeSegments(df, 6, batch)
+          .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+          .sortBy(s => (s._1, s._2)).toSeq
+      assert(segs(4) == segs(1), s"fixture $f: batched state diverged")
+    }
+  }
+
   test("q140 batched equals sequential on RANDOM vocabularies") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // 3-letter alphabet: enough symbol diversity that batches of size >1
