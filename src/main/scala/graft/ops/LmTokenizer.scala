@@ -213,26 +213,59 @@ object LmTokenizer {
     if (safe.isEmpty) top.take(1) else safe
   }
 
+  private val wOrd = Window.partitionBy("word").orderBy("pos")
+  private val runWOrd = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Initial (word, n, pos, sym) state: CODE-POINT split, not
+    * split(word, "") — the latter cuts at UTF-16 code units, so a
+    * non-BMP character (emoji, musical symbols) would shatter into two
+    * lone surrogates while the DuckDB oracle's substr walks code
+    * points. Java regex '.' consumes exactly one code point, and the
+    * (cnt, sym, nxt) argmax tie-break then agrees cross-engine because
+    * Spark's UTF8_BINARY string comparison and DuckDB's binary
+    * collation are both UTF-8 byte order, which preserves code-point
+    * order. Pinned on non-BMP fixtures in LmTokenizerSpec.
+    */
+  private def symSplit(words: DataFrame): DataFrame =
+    words.select(col("word"), col("n"),
+      posexplode(regexp_extract_all(col("word"), lit("(?s)."), lit(0)))
+        .as(Seq("pos", "sym")))
+
+  /** One leftmost-greedy rewrite pass applying every pair in `pairs`
+    * simultaneously. Pairs must be mutually non-interacting (pairwise
+    * symbol-disjoint — see [[bpeIterate]]/[[applyGroups]]): adjacent
+    * match positions then always belong to the same pair, so the
+    * run-start + position-parity window algebra resolves overlapping
+    * same-symbol runs exactly as the textbook loop does.
+    */
+  private def applyPairs(state: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val isAnyMatch = pairs
+      .map { case (p1, p2) => col("sym") === lit(p1) && col("nxt") === lit(p2) }
+      .reduce(_ || _)
+    state.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      .withColumn("ismatch", coalesce(isAnyMatch, lit(false)))
+      .withColumn("startflag",
+        col("ismatch") && !coalesce(lag(col("ismatch"), 1).over(wOrd), lit(false)))
+      .withColumn("run_start",
+        max(when(col("startflag"), col("pos"))).over(runWOrd))
+      .withColumn("keep",
+        col("ismatch") && (col("pos") - col("run_start")) % 2 === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("keep"), 1).over(wOrd), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("word"), col("n"),
+        (row_number().over(wOrd) - 1).as("pos"),
+        when(col("keep"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
   private def bpeIterate(words: DataFrame, rounds: Int,
                          maxBatch: Int = 1): (DataFrame, DataFrame) = {
     require(maxBatch >= 1 && maxBatch < BpeBatchWindow,
       s"maxBatch must be in [1, $BpeBatchWindow): $maxBatch")
     val s = words.sparkSession
-    val w = Window.partitionBy("word").orderBy("pos")
-    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // CODE-POINT split, not split(word, "") — the latter cuts at UTF-16
-    // code units, so a non-BMP character (emoji, musical symbols) would
-    // shatter into two lone surrogates while the DuckDB oracle's substr
-    // walks code points. Java regex '.' consumes exactly one code point,
-    // and the (cnt, sym, nxt) argmax tie-break then agrees cross-engine
-    // because Spark's UTF8_BINARY string comparison and DuckDB's binary
-    // collation are both UTF-8 byte order, which preserves code-point
-    // order. Pinned on non-BMP fixtures in LmTokenizerSpec.
-    var state = words
-      .select(col("word"), col("n"),
-        posexplode(regexp_extract_all(col("word"), lit("(?s)."), lit(0)))
-          .as(Seq("pos", "sym")))
-      .localCheckpoint()
+    val w = wOrd
+    var state = symSplit(words).localCheckpoint()
     // (round, p1, p2, count). The per-round argmax is ONE row by
     // construction — collecting it is the IVF collected-model pattern
     // (the model RIDES the driver; every real BPE trainer holds the
@@ -260,27 +293,7 @@ object LmTokenizer {
           merges += ((done + i + 1, p1, p2, cnt))
         }
         val prevState = state // superseded once the rewrite materializes
-        val isAnyMatch = batch
-          .map { case (p1, p2, _) =>
-            col("sym") === lit(p1) && col("nxt") === lit(p2)
-          }
-          .reduce(_ || _)
-        state = withNext
-          .withColumn("ismatch", coalesce(isAnyMatch, lit(false)))
-          .withColumn("startflag",
-            col("ismatch") && !coalesce(lag(col("ismatch"), 1).over(w), lit(false)))
-          .withColumn("run_start",
-            max(when(col("startflag"), col("pos"))).over(runW))
-          .withColumn("keep",
-            col("ismatch") && (col("pos") - col("run_start")) % 2 === 0)
-          .withColumn("consumed",
-            coalesce(lag(col("keep"), 1).over(w), lit(false)))
-          .filter(!col("consumed"))
-          .select(col("word"), col("n"),
-            (row_number().over(w) - 1).as("pos"),
-            when(col("keep"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint()
+        state = applyPairs(state, batch.map(b => (b._1, b._2))).localCheckpoint()
         // eager-release the superseded round (the q118 retention rule):
         // the new state is materialized, nothing reads the old blocks
         org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prevState)
@@ -293,6 +306,82 @@ object LmTokenizer {
       .toDF("merge_round", "p1", "p2", "merged", "cnt")
       .orderBy("merge_round")
     (mergeTable, state)
+  }
+
+  // ---------------------------------------------------------------- q141
+
+  /** Group an ORDERED merge list into consecutive runs that can be
+    * applied in ONE rewrite pass each. A merge joins the current group
+    * only if its {p1, p2, p1+p2} is disjoint from every symbol the group
+    * already consumes OR produces — that excludes both rewrite
+    * interaction (shared match symbols) and produce/consume chains
+    * (merge k's input symbol being merge j<k's output, which does not
+    * exist until j runs). Within such a group application order is
+    * irrelevant, so simultaneous == sequential.
+    */
+  private[graft] def applyGroups(merges: Seq[(String, String)])
+      : Seq[Seq[(String, String)]] = {
+    val groups = collection.mutable.ListBuffer.empty[collection.mutable.ListBuffer[(String, String)]]
+    var touched = Set.empty[String]
+    for (m @ (p1, p2) <- merges) {
+      val syms = Set(p1, p2, p1 + p2)
+      if (groups.isEmpty || (touched & syms).nonEmpty) {
+        groups += collection.mutable.ListBuffer(m)
+        touched = syms
+      } else {
+        groups.last += m
+        touched ++= syms
+      }
+    }
+    groups.map(_.toSeq).toSeq
+  }
+
+  /** Segment a (word, n) table with an ALREADY-TRAINED ordered merge
+    * list — the apply-to-anything half every production tokenizer ships:
+    * train once, encode any corpus, including words the trainer never
+    * saw. No counting, no argmax: each group of non-interacting merges
+    * is one window rewrite pass with the pairs as literals (3–5 passes
+    * for a 10-merge vocab instead of 10), per-round checkpoints released
+    * eagerly (the q118 rule). Returns (word, n, n_bpe, segmentation).
+    */
+  private[graft] def bpeReplay(words: DataFrame,
+                               merges: Seq[(String, String)]): DataFrame = {
+    var state = symSplit(words).localCheckpoint()
+    applyGroups(merges).foreach { group =>
+      val prev = state
+      state = applyPairs(state, group).localCheckpoint()
+      org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prev)
+    }
+    state.groupBy("word")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_bpe"),
+        concat_ws("|",
+          transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym"))).as("segmentation"))
+      .orderBy("word")
+  }
+
+  /** q141: the trained tokenizer applied OUT OF DOMAIN. Trains on the
+    * documents corpus (the q135/q140 iteration, batched), collects the
+    * merge list as the driver-side model (10 rows — the IVF pattern),
+    * then segments the PART-NAME vocabulary — words the trainer never
+    * saw. This is the capability gap between "encode the training
+    * corpus" (q136) and a real tokenizer: OOV words must segment by
+    * merge-rule replay, not dictionary lookup. Scale: training state is
+    * the type table; apply is rule-replay over the NEW domain's type
+    * table; the unbounded corpus would only ever pay tokenize + join.
+    */
+  def bpeApplyOov(s: SparkSession, d: String): DataFrame = {
+    val trainWords = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val model = bpeIterate(trainWords, BpeRounds, BpeQ140Batch)._1
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val oov = Tables.part(s, d)
+      .select(explode(tokens(col("p_name"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    bpeReplay(oov, model)
   }
 
   // ---------------------------------------------------------------- q136
@@ -348,7 +437,8 @@ object LmTokenizer {
         graft.Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("n")),
-        BpeRounds, BpeQ140Batch)))
+        BpeRounds, BpeQ140Batch)),
+    "q141_bpe_apply_oov" -> ((s, d) => bpeApplyOov(s, d)))
 
   /** The q135 oracle replays the identical fixed-round window algebra as
     * chained CTEs. MATERIALIZED is load-bearing (the q118 lesson): each
@@ -430,6 +520,67 @@ object LmTokenizer {
   /** q136: the q135 chain's final state counted per word, joined back to
     * the per-doc token stream.
     */
+  /** q141 oracle: the full q135 training chain (b1..bN hold the trained
+    * pairs), then a REPLAY chain over the part-name vocabulary — the
+    * identical per-round window algebra minus counting/argmax, one merge
+    * per round (the engine's grouped simultaneous apply is provably
+    * equal — [[applyGroups]]). Empty b$k rounds (early training
+    * exhaustion) carry the state forward via the same LEFT JOIN pin.
+    */
+  private def q141OracleSql: String = {
+    val replay = (1 to BpeRounds).map { k =>
+      val p = k - 1
+      s"""on$k AS MATERIALIZED (
+         |  SELECT word, n, pos, sym,
+         |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM o$p
+         |), om$k AS MATERIALIZED (
+         |  SELECT word, n, pos, sym, nxt,
+         |         COALESCE(sym = b.p1 AND nxt = b.p2, FALSE) AS ismatch
+         |  FROM on$k LEFT JOIN b$k b ON TRUE
+         |), of$k AS MATERIALIZED (
+         |  SELECT *,
+         |         ismatch AND NOT COALESCE(
+         |           LAG(ismatch) OVER (PARTITION BY word ORDER BY pos), FALSE)
+         |           AS startflag
+         |  FROM om$k
+         |), og$k AS MATERIALIZED (
+         |  SELECT *,
+         |         ismatch AND (pos - MAX(CASE WHEN startflag THEN pos END)
+         |           OVER (PARTITION BY word ORDER BY pos
+         |                 ROWS UNBOUNDED PRECEDING)) % 2 = 0 AS keep
+         |  FROM of$k
+         |), oh$k AS MATERIALIZED (
+         |  SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos),
+         |                     FALSE) AS consumed
+         |  FROM og$k
+         |), o$k AS MATERIALIZED (
+         |  SELECT word, n,
+         |         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+         |  FROM oh$k WHERE NOT consumed
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$bpeChainSql,
+       |ow AS MATERIALIZED (
+       |  SELECT token AS word, COUNT(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(p_name), '\\s+')) AS token
+       |        FROM part)
+       |  GROUP BY token
+       |), o0a AS (
+       |  SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM ow
+       |), o0 AS MATERIALIZED (
+       |  SELECT word, n, i - 1 AS pos, substr(word, CAST(i AS INT), 1) AS sym
+       |  FROM o0a
+       |),
+       |$replay
+       |SELECT word, MAX(n) AS n, COUNT(*) AS n_bpe,
+       |       string_agg(sym, '|' ORDER BY pos) AS segmentation
+       |FROM o$BpeRounds
+       |GROUP BY word
+       |ORDER BY word""".stripMargin
+  }
+
   private def q136OracleSql: String =
     s"""$bpeChainSql,
        |wc AS MATERIALIZED (
@@ -477,7 +628,8 @@ object LmTokenizer {
     "q136_bpe_encode" -> q136OracleSql,
     // q140 shares q135's oracle verbatim: batched ≡ sequential is the
     // operator's contract, and the driver's hash compare enforces it
-    "q140_bpe_train_batched" -> q135OracleSql)
+    "q140_bpe_train_batched" -> q135OracleSql,
+    "q141_bpe_apply_oov" -> q141OracleSql)
 
   val rowsOnly: Set[String] = Set.empty
 }

@@ -195,6 +195,81 @@ class LmTokenizerSpec extends AnyFunSuite {
       "batched trainer diverged from the sequential trainer on the corpus")
   }
 
+  // textbook APPLY reference: replay an ordered merge list
+  // leftmost-greedily over a word's code points
+  private def refApply(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = codePoints(word)
+    merges.foreach { case (p1, p2) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+          b += syms(i) + syms(i + 1); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
+  test("applyGroups serializes produce/consume chains, batches disjoint merges") {
+    import ops.LmTokenizer.applyGroups
+    // (ab,c) consumes what (a,b) produces — must start a new pass;
+    // (d,e) interacts with neither and rides the second pass
+    assert(applyGroups(Seq(("a", "b"), ("ab", "c"), ("d", "e")))
+      == Seq(Seq(("a", "b")), Seq(("ab", "c"), ("d", "e"))))
+    // shared match symbol splits
+    assert(applyGroups(Seq(("a", "b"), ("b", "c")))
+      == Seq(Seq(("a", "b")), Seq(("b", "c"))))
+    // a merge PRODUCING a symbol a later merge produces-or-consumes splits
+    assert(applyGroups(Seq(("a", "b"), ("c", "ab")))
+      == Seq(Seq(("a", "b")), Seq(("c", "ab"))))
+    // fully disjoint: one pass
+    assert(applyGroups(Seq(("a", "b"), ("c", "d"), ("e", "f")))
+      == Seq(Seq(("a", "b"), ("c", "d"), ("e", "f"))))
+  }
+
+  test("q141 replay equals the textbook apply loop, including true OOV words") {
+    import spark.implicits._
+    // chained merges + a same-symbol merge + a pair that never fires
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "d"), ("x", "y"))
+    val words = Map("abcabc" -> 3L, "dddd" -> 2L, "abd" -> 1L,
+      "zzz" -> 4L, "cab" -> 1L)
+    val out = ops.LmTokenizer.bpeReplay(words.toSeq.toDF("word", "n"), merges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    words.keys.foreach { w =>
+      val exp = refApply(w, merges)
+      assert(out(w) == ((exp.length.toLong, exp.mkString("|"))),
+        s"word $w: ${out(w)} vs $exp")
+    }
+  }
+
+  test("q141 on the real tables matches scalar train+apply end to end") {
+    val trainWords = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = refBpe(trainWords, ops.LmTokenizer.BpeRounds)
+      .map { case (_, p1, p2, _) => (p1, p2) }
+    val partWords = Tables.part(spark, sf)
+      .select(explode(split(trim(col("p_name")), "\\s+")).as("w"))
+      .collect().map(_.getString(0))
+    val freq = partWords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q141_bpe_apply_oov")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == freq.keySet)
+    freq.foreach { case (w, n) =>
+      val exp = refApply(w, merges)
+      assert(got(w) == ((n, exp.length.toLong, exp.mkString("|"))),
+        s"word $w: ${got(w)} vs ($n, ${exp.length}, ${exp.mkString("|")})")
+    }
+    // the point of the query: the OOV domain really is OOV
+    assert(freq.keySet.exists(w => !trainWords.contains(w)),
+      "part vocabulary overlaps documents entirely — fixture lost its meaning")
+  }
+
   test("q135 splits by code point and tie-breaks in UTF-8 order on non-ASCII words") {
     // 𝄞 is U+1D11E (non-BMP): a UTF-16 code-unit split would shatter it
     // into two lone surrogates, and UTF-16 ordering would sort it BEFORE
