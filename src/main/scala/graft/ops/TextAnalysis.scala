@@ -18,6 +18,27 @@ object TextAnalysis {
   val BM25QueryTerms: Seq[String] = Seq("spark", "join", "window")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode canonicalization (the pre-dedup/hash pass): per-doc NFC
+    // verdict plus a per-row PROBE — text with a decomposed combining
+    // acute (e + U+0301) appended, which NFC must compose — so the
+    // native expression provably fires on every row even over an ASCII
+    // corpus and the md5/length compare crosses engines (JDK Normalizer
+    // vs DuckDB's utf8proc). The expression is codegen'd (no UDF bridge
+    // on the corpus-wide path); non-ASCII semantics pinned in
+    // ExpressionsSpec.
+    "q142_nfc_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      def nfc(c: Column): Column =
+        column(graft.expressions.NfcNormalize(expression(c)))
+      val probe = concat(col("text"), lit("e\u0301")) // DECOMPOSED: e + combining acute
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        (col("text") === nfc(col("text"))).as("already_nfc"),
+        (length(probe) - length(nfc(probe))).as("len_delta"),
+        md5(nfc(probe).cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // token counting: whitespace + BPE-ish lexical tokens + diversity
     "q21_text_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -365,6 +386,18 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the probe suffix is e + chr(769) = the decomposed combining acute
+    // the engine appends; both engines must compose it (len_delta = 1)
+    // and agree on the md5 of the NFC bytes
+    "q142_nfc_normalize" ->
+      """SELECT doc_id,
+        |       text = nfc_normalize(text) AS already_nfc,
+        |       CAST(length(text || 'e' || chr(769))
+        |            - length(nfc_normalize(text || 'e' || chr(769))) AS INTEGER)
+        |         AS len_delta,
+        |       md5(nfc_normalize(text || 'e' || chr(769))) AS nfc_md5
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q120_fingerprint_md5" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS content_md5,

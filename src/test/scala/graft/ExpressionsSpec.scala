@@ -130,7 +130,9 @@ class ExpressionsSpec extends AnyFunSuite {
           graft.ops.Dedup.simhash(col("w")).as("sh"),
           graft.ops.Dedup.minhashSignature(col("w")).as("mh"),
           graft.functions.TextFunctions.shingles(concat_ws(" ", col("w")), 3).as("sg"),
-          expr("zorder16(cast(doc_id % 65536 as int), cast(vec_id % 65536 as int))").as("z"))
+          expr("zorder16(cast(doc_id % 65536 as int), cast(vec_id % 65536 as int))").as("z"),
+          // decomposed suffix forces the non-trivial normalize branch
+          expr("nfc_normalize(concat(concat_ws(' ', w), 'e\\u0301'))").as("nfc"))
     }
     val defaultRows = sample().collect().map(_.toString).sorted
     val conf = spark.conf
@@ -146,6 +148,38 @@ class ExpressionsSpec extends AnyFunSuite {
       conf.set("spark.sql.codegen.factoryMode", prevFactory)
       conf.set("spark.sql.codegen.wholeStage", prevWhole)
     }
+  }
+
+  test("nfc_normalize: composes decomposed sequences, passes normalized text through") {
+    GraftExtensions.register(spark) // self-sufficient under test filtering
+    val cases = Seq(
+      ("e\u0301", "\u00e9"),             // e + combining acute -> composed
+      ("\u00e9", "\u00e9"),              // already composed: unchanged
+      ("plain ascii 42", "plain ascii 42"),
+      ("A\u030A", "\u00C5"),             // A + ring above -> Aring
+      // canonical ordering + composition: d + dot-above + dot-below
+      // reorders (below before above) then composes d+dot-below
+      ("d\u0307\u0323", "\u1E0D\u0307"),
+      ("\uD834\uDD1E", "\uD834\uDD1E")) // non-BMP passes through intact
+    val df = cases.map(_._1).toDF("s")
+      .select(col("s"), expr("nfc_normalize(s)").as("n"))
+    df.collect().zip(cases).foreach { case (r, (in, want)) =>
+      assert(r.getString(1) == want,
+        s"nfc('${in.map(c => "%04x".format(c.toInt)).mkString(" ")}') -> " +
+          s"'${r.getString(1).map(c => "%04x".format(c.toInt)).mkString(" ")}'")
+    }
+    // null propagates, non-string is a plan-time error
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(expr("nfc_normalize(s)")).collect()(0).isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("i").select(expr("nfc_normalize(i)")).collect()
+    }
+    // the DuckDB contract the q142 oracle leans on: md5 of the composed
+    // UTF-8 bytes (duckdb: md5(nfc_normalize('cafe' || chr(769))))
+    val m = Seq("cafe\u0301").toDF("s")
+      .select(md5(expr("nfc_normalize(s)").cast("binary"))).collect()(0).getString(0)
+    assert(m == org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "caf\u00e9".getBytes("UTF-8")))
   }
 
   test("minhash signature: similar sets share most minima, is deterministic") {
