@@ -194,11 +194,20 @@ object EventsStreaming {
       .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "2 hours")
-    purchases.join(clicks,
+    val joined = purchases.join(clicks,
       col("buyer_id") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("purchase_ts"), joinType)
-      .select(col("purchase_id"), col("click_id"),
+    // full_outer emits click-only rows whose purchase side is all null —
+    // user_id must fall back to the click's key. Inner/left keep the
+    // original projection (buyer_id is never null there) so their pinned
+    // plans/outputs are untouched.
+    if (joinType == "full_outer")
+      joined.select(col("purchase_id"), col("click_id"),
+        coalesce(col("buyer_id"), col("user_id")).as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+    else
+      joined.select(col("purchase_id"), col("click_id"),
         col("buyer_id").as("user_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
   }

@@ -244,6 +244,22 @@ object StreamingQueries {
         "q125_stream_enrich_replay",
         OutputMode.Append, statePartitions = Some(8))
       enriched.orderBy("event_id")
+    }),
+
+    // FULL OUTER stream-stream join — completes the streaming join-type
+    // family (inner q123, left-outer q126). Matches emit eagerly; an
+    // unmatched PURCHASE null-extends when its state expires (as q126);
+    // an unmatched CLICK null-extends when the watermark passes
+    // click_ts + 1h — the first moment no future purchase can satisfy
+    // purchase_ts ∈ [click_ts, click_ts + 1h]. Clicks in the last 3h
+    // (1h interval + 2h delay) stay withheld in state.
+    "q143_stream_attribution_full" -> ((s, d) => {
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val joined = EventsStreaming.runToMemory(s,
+        EventsStreaming.purchaseAttribution(stream, joinType = "full_outer"),
+        "q143_stream_attribution_full",
+        OutputMode.Append, statePartitions = Some(8))
+      joined.orderBy("purchase_id", "click_id", "user_id")
     })
   )
 
@@ -392,6 +408,48 @@ object StreamingQueries {
         |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
         |)
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // full outer = q126's matched + expired-unmatched-purchase rows PLUS
+    // null-extended clicks whose state the final watermark expired: a
+    // click can only match purchases in [click_ts, click_ts + 1h], so
+    // eviction (and the one-time null emit) happens when click_ts + 1h
+    // <= W, with the same min-across-nodes millis-truncated W as q126.
+    "q143_stream_attribution_full" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+        |     FROM events WHERE event_type = 'click'),
+        |    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+        |     FROM events WHERE event_type = 'purchase')) - 7200000000 AS w_us
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts,
+        |         c.click_ts, p.value
+        |  FROM p JOIN c ON c.c_user = p.user_id
+        |   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |   AND c.click_ts <= p.purchase_ts
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM m
+        |  UNION ALL
+        |  SELECT p.purchase_id, NULL AS click_id, p.user_id, p.purchase_ts,
+        |         NULL AS click_ts, p.value
+        |  FROM p, wm
+        |  WHERE epoch_us(p.purchase_ts) <= wm.w_us
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+        |  UNION ALL
+        |  SELECT NULL AS purchase_id, c.click_id, c.c_user AS user_id,
+        |         NULL AS purchase_ts, c.click_ts, NULL AS value
+        |  FROM c, wm
+        |  WHERE epoch_us(c.click_ts) + 3600000000 <= wm.w_us
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |)
+        |ORDER BY purchase_id, click_id, user_id""".stripMargin,
 
     // the totals the maintained gold must converge to
     "q127_stream_gold_additive" ->
