@@ -465,6 +465,28 @@ object Dedup {
         .orderBy("keep_doc_id")
     }),
 
+    // LEAKAGE-SAFE train/val/test split: q54 hashes each doc_id
+    // independently, so two near-duplicate documents can land in train
+    // AND test — the eval-contamination failure mode dedup exists to
+    // prevent. Here the split key is the near-dup GROUP (q47's
+    // connected-component label; singletons key by their own id), so an
+    // entire duplicate cluster moves as one unit and no near-dup pair
+    // can ever straddle splits. Same md5-prefix rule as q54 — the split
+    // RATE stays 12/2/2, only the unit of assignment changes. Scale:
+    // the pair graph + components are the q47 machinery (memoized,
+    // sub-quadratic via q49's LSH pairs in production); the split itself
+    // is one narrow hash + a left join of labels onto the corpus.
+    "q144_split_leakage_safe" -> ((s, d) => {
+      val labels = dedupComponents(jaccardPairs(s, d, threshold = 0.2))
+        .select(col("doc_id"), col("label"))
+      graft.Tables.documents(s, d)
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), col("group_key"),
+          Sampling.splitOf(col("group_key")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // the true 100 TB end-to-end dedup path: SUB-QUADRATIC pair
     // generation (MinHash+LSH, q27) feeding the same connected-components
     // grouping — where q47's exact shingle-join pair graph is the
@@ -563,6 +585,31 @@ object Dedup {
          |FROM labels
          |GROUP BY label
          |ORDER BY keep_doc_id""".stripMargin,
+
+    // the q47 component labels (same recursive closure) keyed onto the
+    // whole corpus, then q54's exact split rule over the GROUP key
+    "q144_split_leakage_safe" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.node
+         |), labels AS (
+         |  SELECT node AS doc_id, MIN(r) AS label FROM reach GROUP BY node
+         |), keyed AS (
+         |  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN labels l USING (doc_id)
+         |)
+         |SELECT doc_id, group_key,
+         |       CASE WHEN substr(md5(group_key::VARCHAR), 1, 1) IN ('c','d') THEN 'validation'
+         |            WHEN substr(md5(group_key::VARCHAR), 1, 1) IN ('e','f') THEN 'test'
+         |            ELSE 'train' END AS split
+         |FROM keyed
+         |ORDER BY doc_id""".stripMargin,
 
     "q29_dedup_embedding" ->
       s"""SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (

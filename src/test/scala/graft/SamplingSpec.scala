@@ -12,6 +12,32 @@ class SamplingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val d = "/root/testdata/sf0.01" // 500 docs: enough for rate bounds
 
+  test("q144 leakage-safe split: no near-dup pair straddles splits, singletons keep q54's rule") {
+    val out = SparkEntry.queries("q144_split_leakage_safe")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == Tables.documents(spark, d).count(), "every doc assigned")
+    // THE property q54 lacks: both ends of every near-dup pair share a split
+    val pairs = ops.Dedup.jaccardPairs(spark, d, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture needs real near-dup pairs to mean anything")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2,
+        s"near-dup pair ($a, $b) straddles splits ${out(a)._2}/${out(b)._2}")
+      assert(out(a)._1 == out(b)._1, s"pair ($a, $b) got different group keys")
+    }
+    // singletons: group_key = own id, so their split equals the q54 rule
+    val inGroups = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val q54 = Tables.documents(spark, d)
+      .select(col("doc_id"), Sampling.splitOf(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (gk, s)) =>
+      if (!inGroups(id)) {
+        assert(gk == id, s"singleton $id must key by itself")
+        assert(s == q54(id), s"singleton $id split drifted from the q54 rule")
+      }
+    }
+  }
+
   test("q54 split is exhaustive, deterministic, and near design fractions") {
     val run1 = Sampling.queries("q54_train_split")(spark, d).collect().toSeq
     val run2 = Sampling.queries("q54_train_split")(spark, d).collect().toSeq
