@@ -487,6 +487,29 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Cross-SOURCE duplication matrix — the corpus-governance report
+    // behind source weighting: which sources share near-duplicate
+    // content with which (mirrors/scrapes/re-posts), as (source-pair →
+    // pair count, jaccard range). Source pairs are canonicalized
+    // (least/greatest) so the matrix is one triangle; min/max jaccard
+    // instead of avg keeps the floats shuffle-order-independent. Scale:
+    // two broadcast-sized joins of the (doc_id, source) projection onto
+    // the memoized pair graph + a tiny |sources|² aggregate — the
+    // corpus text never moves.
+    "q145_crosssource_dup_matrix" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d, threshold = 0.2)
+        .join(docs.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"), col("jaccard"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("jaccard")), 4).as("min_jac"),
+          round(max(col("jaccard")), 4).as("max_jac"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // the true 100 TB end-to-end dedup path: SUB-QUADRATIC pair
     // generation (MinHash+LSH, q27) feeding the same connected-components
     // grouping — where q47's exact shingle-join pair graph is the
@@ -585,6 +608,20 @@ object Dedup {
          |FROM labels
          |GROUP BY label
          |ORDER BY keep_doc_id""".stripMargin,
+
+    // same pair graph, source-labeled twice, canonicalized triangle
+    "q145_crosssource_dup_matrix" ->
+      s"""WITH $PairCtes
+         |SELECT LEAST(da.source, db.source) AS src_lo,
+         |       GREATEST(da.source, db.source) AS src_hi,
+         |       COUNT(*) AS n_pairs,
+         |       ROUND(MIN(p.jaccard), 4) AS min_jac,
+         |       ROUND(MAX(p.jaccard), 4) AS max_jac
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY src_lo, src_hi""".stripMargin,
 
     // the q47 component labels (same recursive closure) keyed onto the
     // whole corpus, then q54's exact split rule over the GROUP key
