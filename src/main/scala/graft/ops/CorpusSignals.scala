@@ -221,6 +221,30 @@ object CorpusSignals {
     "q74_decontaminate_fuzzy" -> ((s, d) =>
       fuzzyContamination(s, d, FuzzyJaccardGate)),
 
+    // q66 with EVIDENCE — what makes a decontamination run reviewable:
+    // not just "doc 17 is contaminated" but WHICH test doc it leaks and
+    // the first shared 5-gram, per (train, test) pair with the distinct
+    // shared-gram count. Scale shape: per-doc gram sets dedup IN-ROW
+    // (array_distinct before explode — zero pre-join shuffle, unlike a
+    // posting-level distinct which would shuffle every train gram
+    // string); the test posting broadcasts (an eval suite is tiny by
+    // definition — same q66 assumption); so the only exchange carries
+    // the MATCHED evidence rows, i.e. contamination volume, not corpus
+    // volume. min(gram) is the deterministic evidence pick (binary
+    // string order agrees cross-engine).
+    "q146_contamination_evidence" -> ((s, d) => {
+      val docs = fiveGramDocs(s, d)
+      val testPost = docs.filter(col("is_test"))
+        .select(col("doc_id").as("test_doc_id"),
+          explode(array_distinct(col("sh"))).as("g"))
+      val trainPost = docs.filter(!col("is_test"))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+      trainPost.join(broadcast(testPost), Seq("g"))
+        .groupBy("doc_id", "test_doc_id")
+        .agg(count(lit(1)).as("n_shared"), min(col("g")).as("first_gram"))
+        .orderBy("doc_id", "test_doc_id")
+    }),
+
     // the GUARDED end-to-end curation cascade — q50 extended with the
     // hygiene signals: the held-out test split is excluded outright
     // (it is not training data), then every train doc gets exactly one
@@ -362,6 +386,22 @@ object CorpusSignals {
          |            ELSE CAST(COALESCE(pd.n_boiler, 0) AS DOUBLE) / s.n_grams END AS boiler_frac
          |FROM sized s LEFT JOIN perdoc pd ON s.doc_id = pd.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    // per-(train, test) distinct shared 5-grams + the lexicographically
+    // first one as evidence; list_distinct mirrors the in-row dedup
+    "q146_contamination_evidence" ->
+      s"""WITH $FiveGramCtes, test_post AS (
+         |  SELECT doc_id AS test_doc_id, UNNEST(list_distinct(sh)) AS g
+         |  FROM sized WHERE is_test
+         |), train_post AS (
+         |  SELECT doc_id, UNNEST(list_distinct(sh)) AS g
+         |  FROM sized WHERE NOT is_test
+         |)
+         |SELECT t.doc_id, p.test_doc_id, COUNT(*) AS n_shared,
+         |       MIN(t.g) AS first_gram
+         |FROM train_post t JOIN test_post p ON p.g = t.g
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, test_doc_id""".stripMargin,
 
     "q66_decontaminate" ->
       s"""WITH $FiveGramCtes, test_grams AS (

@@ -84,6 +84,30 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0)), s"got ${got(1L)}")
   }
 
+  test("q146: evidence names the leaking test doc and first shared gram; set equals q66's") {
+    val d = writeDocs("/tmp/graft_test_evidence", Seq(
+      3L -> "alpha beta gamma delta epsilon zeta",       // test split
+      5L -> "held out benchmark prompt tokens only",     // test split
+      0L -> "alpha beta gamma delta epsilon omega",      // leaks doc 3 (1 gram)
+      8L -> "extra held out benchmark prompt tokens only", // leaks doc 5 (2 grams)
+      1L -> "totally different training text with no shared windows"))
+    val rows = SparkEntry.queries("q146_contamination_evidence")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(rows.keySet == Set((0L, 3L), (8L, 5L)), s"evidence pairs: ${rows.keySet}")
+    assert(rows((0L, 3L)) == ((1L, "alpha beta gamma delta epsilon")))
+    // doc 8 shares the first two 5-gram windows of doc 5; min picks "held ..."
+    assert(rows((8L, 5L))._1 == 2L)
+    assert(rows((8L, 5L))._2 == "held out benchmark prompt tokens")
+    // on the real corpus: the evidence's train-doc set IS q66's contaminated set
+    val sf = "/root/testdata/sf0.001"
+    val flagged = SparkEntry.queries("q66_decontaminate")(spark, sf).collect()
+      .filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    val evidenced = SparkEntry.queries("q146_contamination_evidence")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(evidenced == flagged,
+      s"evidence docs ${evidenced.size} != q66 contaminated ${flagged.size}")
+  }
+
   test("q69: one prioritized verdict per train doc; test split excluded") {
     // md5 split: ids 3,5 are test; everything else train. One doc per
     // cascade rule, constructed so each later rule would ALSO fire if
