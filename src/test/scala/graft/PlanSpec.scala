@@ -356,6 +356,24 @@ class PlanSpec extends AnyFunSuite {
     assert(ops.EmbeddingOps.guardBroadcastSide(big, max = 100L).count() == 100)
   }
 
+  test("q146 evidence: broadcast join, no pre-join shuffle of gram strings") {
+    // the design claim: train grams dedup IN-ROW (array_distinct) and
+    // meet the broadcast test posting with no exchange underneath —
+    // the only shuffles are the post-join evidence aggregate (matched
+    // volume) and the presentation sort
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val exec = SparkEntry.queries("q146_contamination_evidence")(spark, sf)
+      .queryExecution.sparkPlan
+    val joins = exec.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"evidence join must broadcast the test posting:\n$exec")
+    val shufflesBelowJoin = joins.head.collect { case e: ShuffleExchangeLike => e }
+    assert(shufflesBelowJoin.isEmpty,
+      s"gram posting shuffled before the broadcast join:\n${joins.head}")
+    assert(exec.collect { case e: ShuffleExchangeLike => e }.length <= 2,
+      s"expected only the evidence aggregate + presentation sort exchanges:\n$exec")
+  }
+
   test("q137 RI audit: the whole 8-pair audit is TWO data shuffles") {
     // the design claim: one tagged union into one (relationship, key)
     // map-side-combined exchange + one 8-row rollup exchange — never a
