@@ -33,7 +33,7 @@ object SparkEntry {
       sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
       ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
       ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
-      ops.LmTokenizer.queries
+      ops.LmTokenizer.queries ++ ops.PqOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,7 +50,7 @@ object SparkEntry {
       ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
       ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
       ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
-      ops.LmTokenizer.oracleSql
+      ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in

@@ -325,6 +325,7 @@ class PlanSpec extends AnyFunSuite {
       // are pinned where they're visible: LmTokenizerSpec (the per-word
       // merge windows), ClusterSpec, GraphSpec.
       "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
+      "q140_bpe_train_batched", "q141_bpe_apply_oov", "q147_pq_codes",
       "q118_pagerank_exact", "q93_pagerank")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip(name) && !globalWindowAllowed(name)) {
