@@ -126,6 +126,8 @@ object Bench {
             ops.SimilaritySearch.knnGraphExact(spark, sfDir)
             ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
+            // PQ model + codes + IVF-PQ index (q147/q148/q117 consumers)
+            exec(ops.PqOps.pqCodes(spark, sfDir))
             true
           } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - tB) / 1e9

@@ -68,5 +68,5 @@ object SparkEntry {
       ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
       streaming.StreamingQueries.rowsOnly ++
       ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
-      ops.LmTokenizer.rowsOnly
+      ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly
 }

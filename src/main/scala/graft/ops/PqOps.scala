@@ -122,17 +122,40 @@ object PqOps {
     * per subspace, assigned in one narrow pass against the trained
     * codebooks.
     */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val pts = ClusterOps.quantized(Tables.embeddings(s, d)).localCheckpoint()
-    val books = trainCodebooks(pts)
-    // pts is NOT released here: the returned frame reads these blocks —
-    // the final iterate stays resident until the consumer drops it (the
-    // same one-resident-snapshot contract as pageRank/kmeans)
-    codesFor(pts, books)
-      .select(col("vec_id") +:
-        (0 until SubSpaces).map(sub => col(s"c$sub")): _*)
+  /** The quantized point table, FrameMemo'd — q147, q148, and q117's
+    * report all read it.
+    */
+  private[graft] def quantizedPts(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "pq_pts")(ClusterOps.quantized(Tables.embeddings(s, d)))
+
+  /** The trained codebooks as memoized DRIVER model state (the
+    * EmbeddingOps.guardMemo pattern: keyed (applicationId, dir) under
+    * FrameMemo's immutable-roots contract — training is deterministic,
+    * so a cached model is THE model; mutable dirs retrain per call).
+    */
+  private val bookMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[Seq[(Int, Seq[Long])]]]()
+
+  private[graft] def booksOf(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Long])]] =
+    if (!FrameMemo.memoizable(d)) trainCodebooks(quantizedPts(s, d))
+    else {
+      val k = (s.sparkContext.applicationId, d)
+      // get-then-put (not computeIfAbsent): training runs Spark jobs and
+      // must never execute inside the map's lock; a duplicate concurrent
+      // build is benign (deterministic — both produce the same model)
+      val hit = bookMemo.get(k)
+      if (hit != null) hit
+      else {
+        val built = trainCodebooks(quantizedPts(s, d))
+        bookMemo.put(k, built)
+        built
+      }
+    }
+
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "pq_codes")(
+      codesWith(quantizedPts(s, d), booksOf(s, d)))
       .orderBy("vec_id")
-  }
 
   /** ADC (asymmetric distance computation): estimate ||query - x||² for
     * every coded vector WITHOUT touching x — sum, over subspaces, of the
@@ -158,8 +181,88 @@ object PqOps {
     codes.select(col("vec_id"), est.as("adc_d2"))
   }
 
+  /** Codes against ALREADY-trained books (q148 composes; q147 trains). */
+  private[graft] def codesWith(pts: DataFrame,
+                               books: Seq[Seq[(Int, Seq[Long])]]): DataFrame =
+    codesFor(pts, books)
+      .select(col("vec_id") +: (0 until SubSpaces).map(s => col(s"c$s")): _*)
+
+  /** Per-candidate ADC estimate for a SET of queries: outer when-chain
+    * on query_id, inner chain on each code column against the query's
+    * precomputed 8×K lookup table — all literals, flat integer whens
+    * (cheap for Catalyst, unlike duplicated aggregate subtrees), so the
+    * whole multi-query estimate is one codegen-friendly expression over
+    * the code columns.
+    */
+  private[graft] def adcForQueries(qs: Seq[(Long, Seq[Long])],
+                                   books: Seq[Seq[(Int, Seq[Long])]]): Column =
+    qs.map { case (qid, qvec) =>
+      val est = (0 until SubSpaces).map { s =>
+        val qSub = qvec.slice(s * SubDim, (s + 1) * SubDim)
+        val lut = books(s).sortBy(_._1).map { case (c, cv) =>
+          (c, qSub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        lut.init.foldRight(lit(lut.last._2): Column) { case ((c, v), rest) =>
+          when(col(s"c$s") === c, lit(v)).otherwise(rest)
+        }
+      }.reduce(_ + _)
+      (qid, est)
+    }.foldRight(lit(Long.MaxValue): Column) { case ((qid, e), rest) =>
+      when(col("query_id") === qid, e).otherwise(rest)
+    }
+
+  /** How many ADC-ranked candidates survive to the exact rerank. */
+  private[graft] val Shortlist = 20
+
+  /** q148: the COMPOSED billion-scale search path — IVF picks WHICH
+    * cells to scan (q42's coarse quantizer, nprobe=2), PQ's ADC ranks
+    * the probed candidates from CODES ALONE (no vector reads), and only
+    * the [[Shortlist]] ADC survivors pay an exact cosine rerank. Same
+    * output contract as q42/q31 (top-5 per anchor query). This is the
+    * standard IVF-ADC layout (raw-vector codebooks; residual encoding is
+    * the production refinement, noted in SCALING.md). Rows-only —
+    * iterative float k-means + hash-free but code-ranked search isn't
+    * portable SQL; q117's report gains a q148 recall row and PqSpec
+    * gates the shortlist behavior.
+    */
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = FrameMemo.cached(s, d, "pq_coarse_centroids")(
+      SimilaritySearch.kmeansCentroids(e, k = 16, iters = 2))
+    val books = booksOf(s, d)
+    // the index: one IVF cell + one PQ code per vector (v kept only for
+    // the final shortlist rerank — ADC itself never touches it).
+    // FrameMemo'd: this IS the stored index a production system builds
+    // once per corpus snapshot and serves many queries from
+    val indexed = FrameMemo.cached(s, d, "pq_ivf_index")(
+      SimilaritySearch.assignClusters(e, centroids)
+        .join(codesWith(quantizedPts(s, d), books), Seq("vec_id")))
+    val anchor = e.filter(col("vec_id") < 10)
+    val qQuant = quantizedPts(s, d).filter(col("vec_id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq // 10 rows: model state
+    val q = SimilaritySearch.probeClusters(anchor, centroids, nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    val w5 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(indexed, Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adcForQueries(qQuant, books))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= Shortlist)
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w5).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_r"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q147_pq_codes" -> ((s, d) => pqCodes(s, d)))
+    "q147_pq_codes" -> ((s, d) => pqCodes(s, d)),
+    "q148_knn_ivf_pq" -> ((s, d) => ivfPqSearch(s, d)))
 
   /** The oracle replays the identical per-subspace Lloyd chains as
     * MATERIALIZED CTEs (the q132 design, once per subspace: seed from
@@ -219,5 +322,5 @@ object PqOps {
   }
 
   val oracleSql: Map[String, String] = Map("q147_pq_codes" -> q147OracleSql)
-  val rowsOnly: Set[String] = Set.empty
+  val rowsOnly: Set[String] = Set("q148_knn_ivf_pq")
 }

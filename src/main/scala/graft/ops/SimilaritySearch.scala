@@ -408,6 +408,11 @@ object SimilaritySearch {
       .unionByName(score("q90_knn_graph_lsh",
         knnGraphLsh(s, d).select("vec_id", "neighbor_id"),
         exactGraph, Seq("vec_id", "neighbor_id")))
+      // the composed IVF + PQ-ADC + exact-rerank path (q148) scored
+      // against the same exact top-5 ground truth as the other methods
+      .unionByName(score("q148_ivf_pq",
+        PqOps.queries("q148_knn_ivf_pq")(s, d).select("query_id", "neighbor_id"),
+        exactKnn, kk))
       .orderBy("method")
   }
 
