@@ -14,17 +14,17 @@ import graft.Tables
   * bit-reproducible across engines and shuffle orders); a vector's code
   * is its per-subspace nearest-centroid ids.
   *
-  * Scale shape: training touches only subspace-sliced columns of the
-  * (localCheckpoint'ed once) quantized table — per subspace, per round,
-  * one narrow assignment pass against the collected k-row model and one
-  * (k × SubDim)-key map-side-combined shuffle (the q132 shapes).
-  * Code ASSIGNMENT is a single narrow select computing all 8 codes as
-  * literal-centroid expressions — no join, no shuffle; at 100 TB the
-  * codebooks ride the closure (8 × 4 × 8 longs) and the corpus pays one
-  * pass. The ADC search path (estimate distance from codes alone) is
-  * spec-gated against exact brute force (PqSpec recall + the
-  * reconstruction-error bound); the code TABLE is the oracle-checked
-  * anchor (q147).
+  * Scale shape: training is FUSED across subspaces — per Lloyd round,
+  * one narrow pass assigns every subspace's code and one 512-key
+  * map-side-combined shuffle updates every codebook (see
+  * [[trainCodebooks]]). Code ASSIGNMENT is a single narrow select
+  * computing all 8 codes as literal-centroid expressions — no join, no
+  * shuffle; at 100 TB the codebooks ride the closure (8 × 8 × 8 longs)
+  * and the corpus pays one pass. The ADC search path (estimate distance
+  * from codes alone) is spec-gated against exact brute force (PqSpec
+  * recall + own-code quantization-error rank); the code TABLE is the
+  * oracle-checked anchor (q147), the composed IVF+ADC+rerank search is
+  * q148.
   */
 object PqOps {
 
@@ -109,7 +109,10 @@ object PqOps {
         .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
         .collect()
       books = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (sub, rows) =>
-        (sub, rows.groupBy(_.getInt(1)).toSeq.map { case (c, dims) =>
+        // clusters sorted so every consumer sees deterministic book order
+        // (a sub can never be empty — every vector feeds every dim — so
+        // the positional sub alignment below is safe)
+        (sub, rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (c, dims) =>
           // floor division of non-negative longs == `div`'s semantics
           (c, dims.sortBy(_.getInt(2)).map(r => r.getLong(3) / r.getLong(4)).toSeq)
         })
@@ -118,10 +121,6 @@ object PqOps {
     books
   }
 
-  /** q147: every vector's PQ code — vec_id plus one nearest-centroid id
-    * per subspace, assigned in one narrow pass against the trained
-    * codebooks.
-    */
   /** The quantized point table, FrameMemo'd — q147, q148, and q117's
     * report all read it.
     */
