@@ -124,6 +124,7 @@ object Bench {
           try {
             ops.SimilaritySearch.knnGraphLsh(spark, sfDir)   // + LSH pair frame
             ops.SimilaritySearch.knnGraphExact(spark, sfDir)
+            ops.SimilaritySearch.knnExactTop5(spark, sfDir)  // q30/q117 anchor
             ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
             // PQ model + codes + IVF-PQ index (q147/q148/q117 consumers)

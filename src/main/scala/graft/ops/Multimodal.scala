@@ -100,19 +100,26 @@ object Multimodal {
 
   /** Where the q138/q139 expected-digest fixtures live (generated once by
     * [[graft.tools.GenMultimodalFixture]] from the sf0.01 engine output
-    * and committed; the DuckDB oracle reads them verbatim).
+    * and committed; the DuckDB oracle reads them for the feature digests).
+    * Resolved relative to the working directory (sbt runs from the repo
+    * root) so a checkout elsewhere still finds them; override with
+    * -Dgraft.fixtures.dir for a non-root working directory.
     */
-  val FixtureDir = "/root/repo/tools/fixtures"
+  val FixtureDir: String = sys.props.get("graft.fixtures.dir").getOrElse(
+    new java.io.File(sys.props.getOrElse("user.dir", "."), "tools/fixtures")
+      .getAbsolutePath)
 
   /** q138: the q35 decode pipeline collapsed to one digest per media row
     * — doc_id, mime, container geometry, and an md5 over ALL 8 content
     * features rounded to 3 decimals (q35's presentation shows only f0;
     * the digest pins the whole vector). This is the oracle-checkable
-    * twin of q35: decode semantics aren't portable SQL, so the oracle
-    * compares against a PRE-COMPUTED expected-digest parquet (the q120
-    * twin design adapted to fixture form). The fixture regression-pins
-    * byte-stability of the decoders at sf0.01 (the driver's verify SF);
-    * semantic correctness of the parsers is pinned independently by
+    * twin of q35, HYBRID by column: mime and the container geometry
+    * (n_bytes, width, height) are derived independently in SQL from the
+    * encoder contracts — true cross-engine checks — while the content
+    * feature digest, which isn't portable SQL, is REGRESSION-PINNED
+    * against a pre-computed expected-digest parquet (generated once by
+    * GenMultimodalFixture at sf0.01, the driver's verify SF). Semantic
+    * correctness of the parsers is pinned independently by
     * MultimodalSpec's hand-computed container fixtures.
     */
   private[graft] def decodeDigest(s: SparkSession, d: String): DataFrame = {
@@ -198,19 +205,53 @@ object Multimodal {
         |       md5(text) AS checksum
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    // q138/q139: decode semantics aren't portable SQL — the oracle reads
-    // the committed expected-digest parquet verbatim (generated by
-    // GenMultimodalFixture from the sf0.01 engine output, the driver's
-    // verify SF; regenerate + recommit if the decoders legitimately
-    // change). A decoder regression shows up as a hash mismatch here.
+    // q138/q139: the pixel/sample FEATURE digests aren't portable SQL —
+    // those columns are REGRESSION-PINNED against the committed fixture
+    // parquet (generated by GenMultimodalFixture from the sf0.01 engine
+    // output; regenerate + recommit if the decoders legitimately
+    // change). Everything else — mime, container byte size, and the
+    // header geometry — is derived INDEPENDENTLY here from the encoder
+    // contracts (Multimodal.asMedia round-robin; MediaCodec.geometry's
+    // near-square w = ceil(sqrt(n/3)), h = ceil(n/3w); BMP = 54 + padded
+    // stride × h; PPM = 9 + digit widths + 3wh; WAV = 44 + 2n with one
+    // 16-bit mono sample per content byte), so a header/geometry bug is
+    // caught by true cross-engine math and only the content statistics
+    // lean on the fixture.
     "q138_multimodal_decode_digest" ->
-      s"""SELECT doc_id, mime, n_bytes, width, height, feature_sig
-         |FROM read_parquet('$FixtureDir/q138_expected.parquet')
-         |ORDER BY doc_id""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT doc_id, doc_id % 3 AS fmt,
+         |         octet_length(CAST(text AS BLOB)) AS n,
+         |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
+         |  FROM documents
+         |), geo AS (
+         |  SELECT doc_id, fmt, n, w,
+         |         GREATEST(1, CAST(CEIL(n / (3.0 * w)) AS BIGINT)) AS h
+         |  FROM g
+         |)
+         |SELECT g.doc_id,
+         |       CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                  WHEN 1 THEN '${MediaCodec.PpmMime}'
+         |                  ELSE '${MediaCodec.WavMime}' END AS mime,
+         |       CAST(CASE g.fmt
+         |         WHEN 0 THEN 54 + (((g.w * 3 + 3) // 4) * 4) * g.h
+         |         WHEN 1 THEN 9 + length(CAST(g.w AS VARCHAR))
+         |                      + length(CAST(g.h AS VARCHAR)) + 3 * g.w * g.h
+         |         ELSE 44 + 2 * g.n END AS INTEGER) AS n_bytes,
+         |       CAST(CASE g.fmt WHEN 2 THEN g.n ELSE g.w END AS INTEGER) AS width,
+         |       CAST(CASE g.fmt WHEN 2 THEN 1 ELSE g.h END AS INTEGER) AS height,
+         |       f.feature_sig
+         |FROM geo g
+         |JOIN read_parquet('$FixtureDir/q138_expected.parquet') f USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin,
     "q139_multimodal_thumb_digest" ->
-      s"""SELECT doc_id, mime, thumb_sig
-         |FROM read_parquet('$FixtureDir/q139_expected.parquet')
-         |ORDER BY doc_id""".stripMargin
+      s"""SELECT d.doc_id,
+         |       CASE d.doc_id % 3 WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                         WHEN 1 THEN '${MediaCodec.PpmMime}'
+         |                         ELSE '${MediaCodec.WavMime}' END AS mime,
+         |       f.thumb_sig
+         |FROM documents d
+         |JOIN read_parquet('$FixtureDir/q139_expected.parquet') f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 
   val rowsOnly: Set[String] =

@@ -59,21 +59,8 @@ object SimilaritySearch {
         .orderBy("label", "pos")),
 
     // exact brute-force cosine top-k for a query subset
-    "q30_knn_bruteforce" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val w5 = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id"))
-      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
-        .withColumn("cos", cosine(col("qv"), col("v")))
-        .withColumn("rank", row_number().over(w5).cast("int"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cos_r"))
-        .orderBy("query_id", "rank")
-    }),
+    "q30_knn_bruteforce" -> ((s, d) =>
+      knnExactTop5(s, d).orderBy("query_id", "rank")),
 
     // LSH-bucketed ANN with MULTI-PROBE: 3 tables × 4 hyperplanes, and
     // each query probes its own bucket PLUS the 4 Hamming-1 neighbor
@@ -346,6 +333,29 @@ object SimilaritySearch {
     "q90_knn_graph_lsh" -> ((s, d) => knnGraphLsh(s, d).orderBy("vec_id", "rank"))
   )
 
+  /** q30's exact brute-force top-5, memoized like [[knnGraphExact]]: it
+    * is GROUND TRUTH, not a method under test — q30 presents it and
+    * q117's report scores three approximate methods against it (each
+    * score() reads it twice: hit and total counts). The approximate
+    * methods themselves still run live (the report's contract,
+    * SCALING.md); only the anchor stops being rebuilt per consumer.
+    */
+  private[graft] def knnExactTop5(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "knnExactTop5") {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w5 = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(w5).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos_r"))
+    }
+
   /** The q90 graph, memoized like the pair frame underneath it: q93's
     * PageRank consumes exactly these edges, so the symmetric re-rank
     * (top-GraphK window over the pair stream) also runs once per
@@ -395,8 +405,7 @@ object SimilaritySearch {
         lit(method).as("method"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_r"))
     }
-    val exactKnn = queries("q30_knn_bruteforce")(s, d)
-      .select("query_id", "neighbor_id")
+    val exactKnn = knnExactTop5(s, d).select("query_id", "neighbor_id")
     val exactGraph = knnGraphExact(s, d).select("vec_id", "neighbor_id")
     val kk = Seq("query_id", "neighbor_id")
     score("q31_lsh_multiprobe",

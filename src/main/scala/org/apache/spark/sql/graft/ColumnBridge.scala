@@ -61,10 +61,20 @@ object ColumnBridge {
     * only scale-correct behavior: at 100 TB an iterative operator cannot
     * hold every superseded copy of its state.
     *
-    * The frame must NOT be read again after release: local checkpoints
-    * are unreliable by design — the persisted blocks ARE the data (the
-    * lineage was truncated), so this frees memory rather than demoting a
-    * cache. No-op on non-checkpoint plans.
+    * CONTRACT — the frame must NOT be read again after release: local
+    * checkpoints are unreliable by design — the persisted blocks ARE the
+    * data (the lineage was truncated), so this frees memory rather than
+    * demoting a cache. The contract is unenforceable here (an RDD can't
+    * veto future actions): a re-read fails at ACTION time with an opaque
+    * "checkpoint block ... not found" error, and the WARN Spark emits at
+    * release time is deliberately filtered in the harness sessions
+    * (Logs.silenceCheckpointReleaseWarning), so misuse surfaces ONLY as
+    * that runtime failure. Callers must be loop-internal: release
+    * exactly the superseded iterate of a fixed-round loop once its
+    * successor is materialized (every current call site — GraphOps,
+    * Dedup CC, LmTokenizer — follows this shape; it would be
+    * private[graft] if Scala allowed that across package roots). No-op
+    * on non-checkpoint plans.
     */
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     analyzedPlan(df) match {

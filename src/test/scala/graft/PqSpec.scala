@@ -81,6 +81,18 @@ class PqSpec extends AnyFunSuite {
       s"own quantization error should sit in the bottom decile, got rank $below")
   }
 
+  test("model memo: immutable-root dirs serve ONE model instance (FrameMemo contract)") {
+    // the driver-model memo (modelOf) leans on the same ImmutableRoots
+    // contract as FrameMemo.cached — pin that a memoizable dir returns
+    // the identical model object (not merely an equal retrain), so a
+    // future eviction/keying change that silently starts retraining per
+    // call (or serving per-session copies) fails here
+    val m1 = PqOps.modelOf(spark, d)
+    val m2 = PqOps.modelOf(spark, d)
+    assert(m1.asInstanceOf[AnyRef] eq m2.asInstanceOf[AnyRef],
+      "memoizable dir must serve the cached model instance")
+  }
+
   test("residuals: reconstruction error strictly below raw quantization energy") {
     // sanity pin on the residual derivation itself: ||residual||² summed
     // over the corpus must be well under ||vector − corpus grand
