@@ -33,7 +33,8 @@ object SparkEntry {
       sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
       ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
       ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
-      ops.LmTokenizer.queries ++ ops.PqOps.queries
+      ops.LmTokenizer.queries ++ ops.PqOps.queries ++
+      ops.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -50,7 +51,8 @@ object SparkEntry {
       ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
       ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
       ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
-      ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql
+      ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql ++
+      ops.Retrieval.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -68,5 +70,6 @@ object SparkEntry {
       ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
       streaming.StreamingQueries.rowsOnly ++
       ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
-      ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly
+      ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly ++
+      ops.Retrieval.rowsOnly
 }

@@ -510,6 +510,40 @@ object Dedup {
         .orderBy("src_lo", "src_hi")
     }),
 
+    // SEMANTIC dedup, cluster-bounded (the SemDeDup design, Abbas et al.
+    // 2023): instead of LSH buckets (q43) or a global cross join (q29),
+    // candidate pairs meet ONLY inside their coarse k-means cell — the
+    // integer-exact 16-cell quantizer q147/q148 already train (one model,
+    // three consumers) — and a vector is a duplicate iff an EARLIER
+    // (smaller-id) cell-mate sits at cosine ≥ 0.4; its keeper is the
+    // smallest such mate. Within-cell quadratic is the op's contract and
+    // its scale story: cost ∝ Σ|cell|², controlled by k (thousands of
+    // cells at corpus scale, ~n/k per cell), never |corpus|². Fully
+    // oracle-checked: the cell chain replays via PqOps.coarseChainCtes
+    // and the pair math is portable cosine — the only dedup-family
+    // member whose CLUSTERING is cross-engine exact too.
+    "q151_semantic_dedup_cells" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val withCell = e.join(
+        PqOps.residCodes(s, d).select(col("vec_id"), col("coarse").as("cell")),
+        Seq("vec_id"))
+      val a = withCell.select(col("vec_id").as("va"), col("v").as("av"), col("cell"))
+      val b = withCell.select(col("vec_id").as("vb"), col("v").as("bv"), col("cell"))
+      val pairs = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+        .withColumn("cos", cosine(col("av"), col("bv")))
+        .filter(col("cos") >= SemDedupTau)
+      val dups = pairs.groupBy(col("vb").as("vec_id"))
+        .agg(min(struct(col("va"), col("cos"))).as("m"))
+        .select(col("vec_id"), col("m.va").as("dup_of"), col("m.cos").as("dcos"))
+      withCell.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
+          round(col("dcos"), 4).as("dup_cos_r"))
+        .orderBy("vec_id")
+    }),
+
     // the true 100 TB end-to-end dedup path: SUB-QUADRATIC pair
     // generation (MinHash+LSH, q27) feeding the same connected-components
     // grouping — where q47's exact shingle-join pair graph is the
@@ -566,7 +600,37 @@ object Dedup {
       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= __T__
       |)""".stripMargin
 
+  /** q151 near-dup threshold — the q29/q43 embedding near-dup regime. */
+  private[graft] val SemDedupTau = 0.4
+
   val oracleSql: Map[String, String] = Map(
+    // q151: the coarse-cell chain is PqOps.coarseChainCtes VERBATIM (one
+    // source of truth with q147's oracle and the engine's trainCoarse);
+    // the within-cell pair math is portable cosine over the raw doubles
+    "q151_semantic_dedup_cells" ->
+      s"""WITH ${PqOps.coarseChainCtes},
+         |av AS MATERIALIZED (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |         caf.cluster AS cell
+         |  FROM embeddings e JOIN caf ON caf.vec_id = e.vec_id
+         |), prs AS MATERIALIZED (
+         |  SELECT va, vb, cos FROM (
+         |    SELECT a.vec_id AS va, b.vec_id AS vb,
+         |           list_cosine_similarity(a.v, b.v) AS cos
+         |    FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  ) WHERE cos >= $SemDedupTau
+         |), dups AS (
+         |  SELECT vb AS vec_id, MIN(va) AS dup_of FROM prs GROUP BY vb
+         |), dupc AS (
+         |  SELECT d.vec_id, d.dup_of, p.cos
+         |  FROM dups d JOIN prs p ON p.vb = d.vec_id AND p.va = d.dup_of
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       d.dup_of IS NOT NULL AS is_dup, d.dup_of,
+         |       ROUND(d.cos, 4) AS dup_cos_r
+         |FROM av a LEFT JOIN dupc d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
+
     "q25_dedup_exact" ->
       """SELECT md5(text) AS content_md5,
         |       MIN(doc_id) AS keep_doc_id,

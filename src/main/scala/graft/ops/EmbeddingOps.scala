@@ -95,7 +95,61 @@ object EmbeddingOps {
       side
     }
 
+  /** q150 target dimensionality (64 → 16, the 4× index-width cut). */
+  private[graft] val ProjDim = 16
+
+  /** Deterministic ±1 for matrix cell (inDim i, outDim j): PRODUCT seed
+    * (i+7)·(j+13), two MINSTD Lehmer steps (a = 48271 mod 2³¹−1), sign
+    * from bit 16. Pure 31-bit integer arithmetic — every intermediate
+    * fits DuckDB's non-wrapping BIGINT (a 64-bit LCG would wrap in Scala
+    * and ERROR in DuckDB), so the identical formula runs in both
+    * engines; the engine folds the matrix in as literals.
+    *
+    * The seed/bit choices are MEASURED, not aesthetic: a linear seed
+    * (i·16+j) keeps the LCG's lattice correlation across adjacent cells
+    * no matter how many Lehmer rounds follow (within-2× distance
+    * preservation 55-64% vs the iid-random 97% on the real embeddings —
+    * 5 variants tried), while the product seed + mid bit reads 96%.
+    * RandomProjectionSpec gates exactly this.
+    */
+  private[graft] def projSign(i: Int, j: Int): Long = {
+    val x0 = ((i + 7L) * (j + 13L)) % 2147483647L
+    val x1 = (48271L * x0) % 2147483647L
+    val x2 = (48271L * x1) % 2147483647L
+    2 * ((x2 / 65536) % 2) - 1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // signed random projection (Achlioptas ±1 / database-friendly JL):
+    // 64-dim vectors → ProjDim-dim sketches via a DETERMINISTIC ±1
+    // matrix derived arithmetically from the cell index — the
+    // dimensionality-reduction step index builds and streaming sketches
+    // run before storage, here exactly cross-engine checkable because
+    // it runs over q132's INTEGER-quantized components: each output
+    // coordinate is an exact-integer signed sum, bit-equal under any
+    // partitioning and in any engine (the float version of the same op
+    // is order-portable too — it's one fixed-order fold per output dim —
+    // but integers make the oracle hash unconditional). Plan shape: the
+    // ±1 matrix rides the closure as 16 literal vectors (model state,
+    // 1 KiB), each projection is a codegen'd zip_with fold, and the long
+    // (vec_id, dim, proj) form is one narrow posexplode — zero shuffles,
+    // zero joins at any corpus size. RandomProjectionSpec gates the JL
+    // property (distance-rank preservation) against exact distances.
+    "q150_random_projection" -> ((s, d) => {
+      val signCols = (0 until ProjDim).map { j =>
+        val signs = (0 until ClusterOps.Dims).map(i => projSign(i, j))
+        aggregate(
+          zip_with(col("q"), typedLit(signs), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as(s"p$j")
+      }
+      ClusterOps.quantized(Tables.embeddings(s, d))
+        .select(col("vec_id") +: signCols: _*)
+        .select(col("vec_id"),
+          posexplode(array((0 until ProjDim).map(j => col(s"p$j")): _*))
+            .as(Seq("dim", "proj")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // int8 quantization round-trip report. All narrow per-row math over
     // the vector column — no shuffle but the presentation sort. The
     // zero-vector guard keeps cosine's null-on-zero-norm out of the
@@ -200,6 +254,25 @@ object EmbeddingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q150: the identical quantization, sign formula, and signed sum in
+    // SQL — integer-exact end to end (see projSign for the 31-bit
+    // arithmetic bound that keeps DuckDB's non-wrapping BIGINT happy)
+    "q150_random_projection" ->
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+         |         CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1000.0) AS BIGINT) + ${ClusterOps.Offset} AS q
+         |  FROM embeddings, range(${ClusterOps.Dims}) t(i)
+         |), signs AS MATERIALIZED (
+         |  SELECT CAST(i.i AS INTEGER) AS dim, CAST(j.j AS INTEGER) AS odim,
+         |         2 * ((((48271 * ((48271 * (((i.i + 7) * (j.j + 13)) % 2147483647))
+         |               % 2147483647)) % 2147483647) // 65536) % 2) - 1 AS s
+         |  FROM range(${ClusterOps.Dims}) i(i), range($ProjDim) j(j)
+         |)
+         |SELECT p.vec_id, s.odim AS dim, CAST(SUM(s.s * p.q) AS BIGINT) AS proj
+         |FROM pts p JOIN signs s USING (dim)
+         |GROUP BY p.vec_id, s.odim
+         |ORDER BY p.vec_id, dim""".stripMargin,
+
     "q101_decontaminate_semantic" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -399,19 +399,28 @@ object PqOps {
     * bit-equal; negative residuals divide identically (`//` and Scala
     * `/` both truncate toward zero).
     */
-  private def q147OracleSql: String = {
-    def assignSql(pts: String, cent: String): String =
-      s"""  SELECT vec_id, cluster FROM (
-         |    SELECT p.vec_id, c.cluster,
-         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
-         |             ORDER BY SUM((p.q - c.cq) * (p.q - c.cq)), c.cluster) AS rn
-         |    FROM $pts p JOIN $cent c USING (dim)
-         |    GROUP BY p.vec_id, c.cluster
-         |  ) WHERE rn = 1""".stripMargin
-    def updateSql(pts: String, a: String): String =
-      s"""  SELECT a.cluster, p.dim, CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS cq
-         |  FROM $a a JOIN $pts p USING (vec_id)
-         |  GROUP BY a.cluster, p.dim""".stripMargin
+  private def assignSql(pts: String, cent: String): String =
+    s"""  SELECT vec_id, cluster FROM (
+       |    SELECT p.vec_id, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY SUM((p.q - c.cq) * (p.q - c.cq)), c.cluster) AS rn
+       |    FROM $pts p JOIN $cent c USING (dim)
+       |    GROUP BY p.vec_id, c.cluster
+       |  ) WHERE rn = 1""".stripMargin
+
+  private def updateSql(pts: String, a: String): String =
+    s"""  SELECT a.cluster, p.dim, CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS cq
+       |  FROM $a a JOIN $pts p USING (vec_id)
+       |  GROUP BY a.cluster, p.dim""".stripMargin
+
+  /** The coarse quantizer's full CTE list (quantized points → seed →
+    * [[CoarseIters]] Lloyd rounds → final assignment `caf(vec_id,
+    * cluster)`) — ONE source of truth for every oracle that replays the
+    * cells: q147 (residual codes) and Dedup's q151 (within-cell semantic
+    * dedup) both interpolate this, so the cell semantics can never
+    * drift between their oracles and the engine's [[trainCoarse]].
+    */
+  private[graft] def coarseChainCtes: String = {
     val coarseRounds = (1 to CoarseIters).map { i =>
       s"""ca$i AS MATERIALIZED (
          |${assignSql("pts", s"cc${i - 1}")}
@@ -419,6 +428,23 @@ object PqOps {
          |${updateSql("pts", s"ca$i")}
          |)""".stripMargin
     }.mkString(",\n")
+    s"""pts AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+       |         CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1000.0) AS BIGINT) + ${ClusterOps.Offset} AS q
+       |  FROM embeddings, range(${ClusterOps.Dims}) t(i)
+       |), cseed AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, vec_id
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $CoarseK)
+       |), cc0 AS MATERIALIZED (
+       |  SELECT sd.cluster, p.dim, p.q AS cq FROM cseed sd JOIN pts p USING (vec_id)
+       |),
+       |$coarseRounds,
+       |caf AS MATERIALIZED (
+       |${assignSql("pts", s"cc$CoarseIters")}
+       |)""".stripMargin
+  }
+
+  private def q147OracleSql: String = {
     val chains = (0 until SubSpaces).map { s =>
       val rounds = (1 to Iters).map { i =>
         s"""a${i}_$s AS MATERIALIZED (
@@ -442,20 +468,7 @@ object PqOps {
     val joins = (0 until SubSpaces)
       .map(s => s"JOIN code_$s ON code_$s.vec_id = e.vec_id").mkString("\n")
     val cols = (0 until SubSpaces).map(s => s"code_$s.cluster AS c$s").mkString(", ")
-    s"""WITH pts AS MATERIALIZED (
-       |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
-       |         CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1000.0) AS BIGINT) + ${ClusterOps.Offset} AS q
-       |  FROM embeddings, range(${ClusterOps.Dims}) t(i)
-       |), cseed AS MATERIALIZED (
-       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, vec_id
-       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $CoarseK)
-       |), cc0 AS MATERIALIZED (
-       |  SELECT sd.cluster, p.dim, p.q AS cq FROM cseed sd JOIN pts p USING (vec_id)
-       |),
-       |$coarseRounds,
-       |caf AS MATERIALIZED (
-       |${assignSql("pts", s"cc$CoarseIters")}
-       |), resid AS MATERIALIZED (
+    s"""WITH $coarseChainCtes, resid AS MATERIALIZED (
        |  SELECT p.vec_id, p.dim, p.q - c.cq AS q
        |  FROM pts p
        |  JOIN caf a ON a.vec_id = p.vec_id

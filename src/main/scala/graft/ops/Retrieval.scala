@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Lexical retrieval over the documents corpus — the BM25 ranking
+  * function every search/RAG pipeline starts from (Robertson-Spärck
+  * Jones probabilistic weighting; the exact formula Lucene/Elasticsearch
+  * ship as the default similarity). Query-by-document form ("more like
+  * this"): each anchor doc's most informative terms become its query,
+  * which keeps the query set deterministic and data-derived instead of
+  * hardcoding literal strings against synthetic text.
+  *
+  * Scale shape — term-at-a-time scoring over posting lists, the
+  * inverted-index plan: the corpus pays ONE tokenize pass and one
+  * (doc, term) map-side-combined shuffle to build postings; the query
+  * table (queries × terms, tens of rows) BROADCASTS onto the postings,
+  * so only documents containing a query term are ever scored (candidate
+  * volume ∝ posting lengths, not corpus size); doc-length joins ride the
+  * same candidate rows. N and avgdl are collected SCALARS (2 numbers —
+  * model state) folded in as literals.
+  *
+  * Cross-engine floats: every BM25 input (tf, df, dl, N) is an exact
+  * integer; avgdl is one double division; idf is one ln per term of an
+  * integer-derived rational (the q134 discipline). The per-doc score
+  * SUM is the one float-order hazard — Spark aggregates in arrival
+  * order — so contributions pivot onto their term rank (each query has
+  * ≤ [[TermsPerQuery]] terms) and add in WRITTEN order c1+c2+c3,
+  * bit-identically in both engines; the driver compare rounds to 4dp.
+  */
+object Retrieval {
+
+  /** Lucene-default BM25 shape parameters (written as the literal
+    * doubles "1.2"/"2.2"/"0.75"/"0.25" in BOTH engines' expressions so
+    * the parsed constants are bit-identical).
+    */
+  private[graft] val QueryDocs = 5
+  private[graft] val TermsPerQuery = 3
+  private[graft] val TopK = 10
+
+  def bm25MoreLikeThis(s: SparkSession, d: String): DataFrame = {
+    val docTokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // the posting lists — read 3× (df, query side, scoring): materialize
+    val postings = docTokens
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docTokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val statRow = dl.agg(sum(col("dl")), count(lit(1))).head()
+    val n = statRow.getLong(1)
+    val avgdl = statRow.getLong(0).toDouble / n
+    // query terms: each anchor doc's distinct terms, rarest first (df
+    // asc — the informative-term heuristic), top TermsPerQuery. Only
+    // terms present in EVERY doc are dropped (zero discrimination); a
+    // df > N/2 stopword cut would be the production choice but empties
+    // the query set on this corpus (31 distinct terms, median df 388 of
+    // 500) — the +1-form idf keeps even common terms positively
+    // weighted, so ranking still exercises the tf/dl machinery.
+    val wq = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
+    val qterms = postings.filter(col("doc_id") < QueryDocs)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(dfreq, Seq("term"))
+      .filter(col("df") < n)
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= TermsPerQuery)
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .select("query_id", "term", "trank", "idf")
+    val contrib = col("idf") * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))
+    val wr = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    broadcast(qterms).join(postings, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        // ≤1 non-null row per rank slot — each SUM is order-free, and
+        // the final add below runs in fixed written order
+        sum(when(col("trank") === 1, col("contrib"))).as("c1"),
+        sum(when(col("trank") === 2, col("contrib"))).as("c2"),
+        sum(when(col("trank") === 3, col("contrib"))).as("c3"))
+      .withColumn("score",
+        coalesce(col("c1"), lit(0.0)) + coalesce(col("c2"), lit(0.0))
+          + coalesce(col("c3"), lit(0.0)))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("rank"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_bm25_retrieval" -> ((s, d) => bm25MoreLikeThis(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q149_bm25_retrieval" ->
+      s"""WITH dt AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents
+         |), postings AS MATERIALIZED (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY doc_id, term
+         |), dfreq AS MATERIALIZED (
+         |  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+         |), dl AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS dl FROM dt GROUP BY doc_id
+         |), st AS (
+         |  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n
+         |  FROM dl
+         |), qt AS MATERIALIZED (
+         |  SELECT query_id, term, trank,
+         |         LN((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+         |  FROM (
+         |    SELECT p.doc_id AS query_id, p.term, d.df, st.n,
+         |           ROW_NUMBER() OVER (PARTITION BY p.doc_id
+         |                              ORDER BY d.df, p.term) AS trank
+         |    FROM postings p JOIN dfreq d USING (term) CROSS JOIN st
+         |    WHERE p.doc_id < $QueryDocs AND d.df < st.n
+         |  ) WHERE trank <= $TermsPerQuery
+         |), hits AS (
+         |  SELECT q.query_id, q.trank, p.doc_id,
+         |         q.idf * (p.tf * 2.2) /
+         |           (p.tf + 1.2 * (0.25 + 0.75 * (l.dl / st.avgdl))) AS contrib
+         |  FROM qt q
+         |  JOIN postings p USING (term)
+         |  JOIN dl l ON l.doc_id = p.doc_id
+         |  CROSS JOIN st
+         |  WHERE p.doc_id <> q.query_id
+         |), sc AS (
+         |  SELECT query_id, doc_id, COUNT(*) AS n_hit_terms,
+         |         COALESCE(SUM(CASE WHEN trank = 1 THEN contrib END), 0.0)
+         |           + COALESCE(SUM(CASE WHEN trank = 2 THEN contrib END), 0.0)
+         |           + COALESCE(SUM(CASE WHEN trank = 3 THEN contrib END), 0.0)
+         |           AS score
+         |  FROM hits GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, n_hit_terms, rank, ROUND(score, 4) AS score_r
+         |FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |              ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM sc
+         |) WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin)
+
+  val rowsOnly: Set[String] = Set.empty
+}

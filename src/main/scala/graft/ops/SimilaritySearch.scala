@@ -341,7 +341,11 @@ object SimilaritySearch {
     * SCALING.md); only the anchor stops being rebuilt per consumer.
     */
   private[graft] def knnExactTop5(s: SparkSession, d: String): DataFrame =
-    FrameMemo.cached(s, d, "knnExactTop5") {
+    FrameMemo.cached(s, d, "knnExactTop5")(buildKnnExactTop5(s, d))
+
+  /** Exposed unmemoized so PlanSpec can audit the build's expressions
+    * (the memoized frame is a checkpoint scan — its plan hides them). */
+  private[graft] def buildKnnExactTop5(s: SparkSession, d: String): DataFrame = {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = e.filter(col("vec_id") < 10)

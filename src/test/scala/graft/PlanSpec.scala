@@ -47,7 +47,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("native vector expressions appear in the plan (not HOF fallback)") {
-    val p = plan("q30_knn_bruteforce")
+    // the registered q30 serves the memoized checkpoint (a plan-opaque
+    // scan) — audit the BUILD, the same convention as the LSH pair frame
+    val p = ops.SimilaritySearch.buildKnnExactTop5(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("cosine_similarity"), s"native expression missing:\n$p")
     assert(!p.contains("aggregate(zip_with"), s"HOF fallback in hot path:\n$p")
   }
@@ -457,5 +460,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q108_dedup_jaccard_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join shape in prefix dedup:\n$p")
+  }
+
+  test("q149 BM25: the query-term side broadcasts onto the postings") {
+    // the inverted-index contract: the corpus-sized posting list must
+    // NEVER be the broadcast side, and scoring must be candidate-driven
+    // (a hash join on term), not a cross product of queries × docs
+    val p = plan("q149_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic scoring shape:\n$p")
+  }
+
+  test("q150 projection is narrow: the only exchange is the presentation sort") {
+    // the ±1 matrix rides in as literals and each output dim is a
+    // zip_with fold — a hashpartitioning exchange here would mean the
+    // projection grew a join or aggregation it doesn't need
+    val p = plan("q150_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"projection should be shuffle-free before the sort:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+  }
+
+  test("q151 semantic dedup: cell-equi-join, never a cross product") {
+    // the SemDeDup contract: candidates meet ONLY inside their coarse
+    // cell — an equi-join on the cell id; quadratic shapes mean the
+    // cell restriction fell out of the plan
+    val p = plan("q151_semantic_dedup_cells")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell restriction lost — quadratic pair shape:\n$p")
   }
 }
