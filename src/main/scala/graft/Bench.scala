@@ -127,8 +127,12 @@ object Bench {
             ops.SimilaritySearch.knnExactTop5(spark, sfDir)  // q30/q117 anchor
             ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
-            // PQ model + codes + IVF-PQ index (q147/q148/q117 consumers)
+            // PQ model + codes + IVF-PQ index (q147/q148/q117/q151
+            // consumers); the search run also materializes the
+            // pq_ivf_index memo so q148's medians measure SEARCH, not
+            // an amortized build hidden in a discarded first run
             exec(ops.PqOps.pqCodes(spark, sfDir))
+            exec(ops.PqOps.ivfPqSearch(spark, sfDir))
             true
           } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - tB) / 1e9
