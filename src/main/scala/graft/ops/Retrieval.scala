@@ -41,7 +41,17 @@ object Retrieval {
   private[graft] val TermsPerQuery = 3
   private[graft] val TopK = 10
 
-  def bm25MoreLikeThis(s: SparkSession, d: String): DataFrame = {
+  def bm25MoreLikeThis(s: SparkSession, d: String): DataFrame =
+    bm25Ranked(s, d)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("rank"),
+        round(col("score"), 4).as("score_r"))
+      .orderBy("query_id", "rank")
+
+  /** The ranked BM25 candidate list (query_id, doc_id, n_hit_terms,
+    * rank ≤ [[TopK]], raw score) — q149 presents it; q152 fuses it with
+    * the dense ranking.
+    */
+  private[graft] def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     val docTokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     // the posting lists — read 3× (df, query side, scoring): materialize
@@ -90,16 +100,57 @@ object Retrieval {
           + coalesce(col("c3"), lit(0.0)))
       .withColumn("rank", row_number().over(wr).cast("int"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("doc_id"), col("n_hit_terms"), col("rank"),
-        round(col("score"), 4).as("score_r"))
+  }
+
+  /** q152: HYBRID retrieval — reciprocal-rank fusion (Cormack et al.'s
+    * RRF, the standard hybrid-search merge every lexical+vector stack
+    * ships) of the BM25 ranking (q149) and the dense cosine ranking
+    * (q30's exact top-5, the FrameMemo'd ground-truth anchor). Score =
+    * Σ_systems 1/(60 + rank), absent system contributes 0 — rank-only
+    * fusion needs NO score calibration between systems, which is why
+    * production stacks prefer it to score interpolation. Cross-engine
+    * floats: two IEEE divisions added in fixed written order (lexical
+    * first), integer ranks underneath — the q149 discipline. Scale: a
+    * full-outer join of two (queries × k)-row ranked lists — fusion
+    * cost tracks the query load, never the corpus.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = bm25Ranked(s, d)
+      .filter(col("query_id") < HybridQueries)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = SimilaritySearch.knnExactTop5(s, d)
+      .filter(col("query_id") < HybridQueries)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val wr = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").isNotNull.as("in_lexical"),
+        col("dense_rank").isNotNull.as("in_dense"),
+        col("rank"), round(col("rrf"), 6).as("rrf_r"))
       .orderBy("query_id", "rank")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q149_bm25_retrieval" -> ((s, d) => bm25MoreLikeThis(s, d)))
+  /** q152 fuses the q30 dense anchor (queries = vec_id < 10) with the
+    * q149 lexical queries (doc_id < [[QueryDocs]]); the shared id space
+    * is the intersection.
+    */
+  private[graft] val HybridQueries = QueryDocs
 
-  val oracleSql: Map[String, String] = Map(
-    "q149_bm25_retrieval" ->
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_bm25_retrieval" -> ((s, d) => bm25MoreLikeThis(s, d)),
+    "q152_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)))
+
+  /** The q149 chain through the ranked list — shared verbatim by the
+    * q149 oracle and q152's fusion oracle (one source of truth for the
+    * BM25 semantics, the coarseChainCtes discipline).
+    */
+  private def bm25Ctes: String =
       s"""WITH dt AS MATERIALIZED (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
          |  FROM documents
@@ -138,12 +189,59 @@ object Retrieval {
          |           + COALESCE(SUM(CASE WHEN trank = 3 THEN contrib END), 0.0)
          |           AS score
          |  FROM hits GROUP BY query_id, doc_id
-         |)
+         |), ranked AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |    FROM sc
+         |  ) WHERE rank <= $TopK
+         |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q149_bm25_retrieval" ->
+      s"""$bm25Ctes
          |SELECT query_id, doc_id, n_hit_terms, rank, ROUND(score, 4) AS score_r
+         |FROM ranked
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q152: the BM25 chain verbatim + the q30-shape dense top-5 + RRF.
+    // 1.0 is CAST to DOUBLE (a bare 1.0 is DECIMAL in DuckDB — the
+    // division would run in decimal and drift from Spark's double)
+    "q152_hybrid_rrf" ->
+      s"""$bm25Ctes,
+         |dense AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |           CAST(ROW_NUMBER() OVER (
+         |             PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                             CAST(e.embedding AS DOUBLE[])) DESC,
+         |                      e.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings q JOIN embeddings e
+         |      ON q.vec_id < $HybridQueries AND e.vec_id <> q.vec_id
+         |  ) WHERE rank <= 5
+         |), lex AS (
+         |  SELECT query_id, doc_id, rank AS lex_rank FROM ranked
+         |  WHERE query_id < $HybridQueries
+         |), fused AS (
+         |  SELECT COALESCE(l.query_id, de.query_id) AS query_id,
+         |         COALESCE(l.doc_id, de.doc_id) AS doc_id,
+         |         l.lex_rank, de.dense_rank,
+         |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+         |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + de.dense_rank), 0.0)
+         |           AS rrf
+         |  FROM lex l
+         |  FULL OUTER JOIN dense de
+         |    ON de.query_id = l.query_id AND de.doc_id = l.doc_id
+         |)
+         |SELECT query_id, doc_id,
+         |       lex_rank IS NOT NULL AS in_lexical,
+         |       dense_rank IS NOT NULL AS in_dense,
+         |       rank, ROUND(rrf, 6) AS rrf_r
          |FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |              ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-         |  FROM sc
+         |              ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused
          |) WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin)
 
