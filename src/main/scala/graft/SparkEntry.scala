@@ -34,7 +34,8 @@ object SparkEntry {
       ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
       ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
       ops.LmTokenizer.queries ++ ops.PqOps.queries ++
-      ops.Retrieval.queries ++ ops.NaiveBayes.queries
+      ops.Retrieval.queries ++ ops.NaiveBayes.queries ++
+      ops.Winnowing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,7 +53,8 @@ object SparkEntry {
       ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
       ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
       ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql ++
-      ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql
+      ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql ++
+      ops.Winnowing.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -71,5 +73,6 @@ object SparkEntry {
       streaming.StreamingQueries.rowsOnly ++
       ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
       ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly ++
-      ops.Retrieval.rowsOnly ++ ops.NaiveBayes.rowsOnly
+      ops.Retrieval.rowsOnly ++ ops.NaiveBayes.rowsOnly ++
+      ops.Winnowing.rowsOnly
 }

@@ -142,9 +142,161 @@ object Retrieval {
     */
   private[graft] val HybridQueries = QueryDocs
 
+  // ---------------------------------------------------------------- q154
+
+  private[graft] val MmrCandidates = 20
+  private[graft] val MmrK = 5
+
+  /** One MMR pick: rank within the diversified list + the doubled MMR
+    * objective value (2·score stays integer at λ = 1/2).
+    */
+  private[graft] case class MmrPick(query_id: Long, pick_rank: Int,
+                                    cand_id: Long, mmr2: Long)
+
+  /** Exact cosine, replicating the engine's CosineSimilarity expression
+    * (sequential accumulation, dot/(√na·√nb)) so the group-task sims are
+    * the same doubles the column function would produce.
+    */
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** round(x·10⁶) HALF_UP away from zero — the Spark `round` / DuckDB
+    * `ROUND` convention, applied to the JVM-side sims so all three
+    * computations of a similarity agree.
+    */
+  private def quant(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** q154: MMR (maximal marginal relevance) diversification of a
+    * retrieval shortlist — the re-rank step a RAG stack runs so the k
+    * results aren't k near-duplicates: greedily pick argmax of
+    * λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s) at λ = 1/2, which doubled is
+    * the INTEGER objective rel − maxsim over micro-nat-quantized
+    * cosines — so the greedy chain is bit-deterministic and the DuckDB
+    * oracle can replay all [[MmrK]] rounds as unrolled CTEs (the q135
+    * fixed-round design).
+    *
+    * Shape: candidate generation is the q30 broadcast top-[[MmrCandidates]];
+    * the greedy itself runs per query INSIDE one task via
+    * `groupByKey.flatMapGroups` — the selection state is (k ≤ 20)-row
+    * group-local, which is exactly where per-group sequential logic
+    * belongs (NOT a driver collect loop: queries scale out across
+    * tasks, candidates per query are bounded by the shortlist
+    * contract).
+    */
+  def mmrDiversify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.cosine
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val cand = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= MmrCandidates)
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(col("cos") * 1000000, 0).cast("long").as("rel"), col("v"))
+    cand.as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Double])]) =>
+        val cs = it.toVector.sortBy(_._2)
+        val sim = collection.mutable.Map.empty[(Long, Long), Long]
+        for (a <- cs; b <- cs if a._2 != b._2)
+          sim((a._2, b._2)) = quant(cosSeq(a._4, b._4))
+        val selected = collection.mutable.ListBuffer.empty[Long]
+        val remaining = collection.mutable.ListBuffer(cs.map(c => (c._2, c._3)): _*)
+        (1 to math.min(MmrK, cs.length)).iterator.map { k =>
+          val scored = remaining.map { case (id, rel) =>
+            val maxSim = if (selected.isEmpty) 0L
+                         else selected.map(sid => sim((id, sid))).max
+            (id, rel - maxSim)
+          }
+          val (pickId, mmr2) = scored.minBy { case (id, m) => (-m, id) }
+          selected += pickId
+          remaining.filterInPlace(_._1 != pickId)
+          MmrPick(qid, k, pickId, mmr2)
+        }
+      }
+      .toDF()
+      .orderBy("query_id", "pick_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_bm25_retrieval" -> ((s, d) => bm25MoreLikeThis(s, d)),
-    "q152_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)))
+    "q152_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q154_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)))
+
+  /** q154 oracle: candidate top-[[MmrCandidates]] + quantized pairwise
+    * sims, then the [[MmrK]] greedy rounds UNROLLED — each round scores
+    * the remaining candidates against the selected set (anti-join +
+    * max-sim aggregate), picks the (mmr2 desc, cand_id) argmax, and
+    * appends it to the selected set. Integer arithmetic end to end
+    * after the ROUND(·10⁶) quantization, so the chain is
+    * bit-deterministic in both engines.
+    */
+  private def q154OracleSql: String = {
+    val rounds = (2 to MmrK).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand_id, c.rel - MAX(si.s) AS mmr2
+         |  FROM cand c
+         |  JOIN sim si ON si.query_id = c.query_id AND si.ca = c.cand_id
+         |  JOIN s${k - 1} sel ON sel.query_id = si.query_id AND sel.cand_id = si.cb
+         |  LEFT JOIN s${k - 1} me ON me.query_id = c.query_id AND me.cand_id = c.cand_id
+         |  WHERE me.cand_id IS NULL
+         |  GROUP BY c.query_id, c.cand_id, c.rel
+         |), p$k AS MATERIALIZED (
+         |  SELECT query_id, CAST($k AS INTEGER) AS pick_rank, cand_id, mmr2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                ORDER BY mmr2 DESC, cand_id) AS rn
+         |    FROM m$k
+         |  ) WHERE rn = 1
+         |), s$k AS MATERIALIZED (
+         |  SELECT query_id, cand_id FROM s${k - 1}
+         |  UNION ALL SELECT query_id, cand_id FROM p$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to MmrK)
+      .map(k => s"SELECT * FROM p$k").mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, cand_id,
+       |         CAST(ROUND(cos * 1000000) AS BIGINT) AS rel, v
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |           list_cosine_similarity(q.v, c.v) AS cos, c.v,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS r
+       |    FROM e q JOIN e c ON q.vec_id < $HybridQueries AND c.vec_id <> q.vec_id
+       |  ) WHERE r <= $MmrCandidates
+       |), sim AS MATERIALIZED (
+       |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |         CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT) AS s
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |), p1 AS MATERIALIZED (
+       |  SELECT query_id, CAST(1 AS INTEGER) AS pick_rank, cand_id, rel AS mmr2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY rel DESC, cand_id) AS rn
+       |    FROM cand
+       |  ) WHERE rn = 1
+       |), s1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM p1
+       |),
+       |$rounds
+       |SELECT query_id, pick_rank, cand_id, mmr2 FROM (
+       |$unioned
+       |)
+       |ORDER BY query_id, pick_rank""".stripMargin
+  }
 
   /** The q149 chain through the ranked list — shared verbatim by the
     * q149 oracle and q152's fusion oracle (one source of truth for the
@@ -198,6 +350,7 @@ object Retrieval {
          |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q154_mmr_diversify" -> q154OracleSql,
     "q149_bm25_retrieval" ->
       s"""$bm25Ctes
          |SELECT query_id, doc_id, n_hit_terms, rank, ROUND(score, 4) AS score_r

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm) + the cross-doc overlap report the
+  * fingerprints exist for. Complements the dedup family: MinHash/SimHash
+  * estimate WHOLE-document similarity; winnowing's guarantee is LOCAL —
+  * any shared substring of length ≥ w + k − 1 chars is caught by at
+  * least one shared fingerprint, which is what plagiarism/clone
+  * detection and contamination localization need.
+  *
+  * Rule (deterministic "rightmost-min" variant): over the k-gram hash
+  * sequence of the canonicalized text, every window of [[WinnowW]]
+  * consecutive hashes selects its minimum, ties broken by the RIGHTMOST
+  * position; the fingerprint set is the distinct (pos, hash) selections.
+  * The argmin is computed as a pure-integer packed key
+  * `hash·2^16 + (65535 − pos)` so a single integer `MIN` yields
+  * (min hash, max pos) in both engines — no reliance on struct-ordering
+  * or arg_min tie semantics. Positions are bounded by the documented
+  * [[MaxCanon]] prefix contract (longer docs chunk upstream, the q79
+  * path), which is what keeps the packing exact.
+  *
+  * Scale shape: canon → grams → per-doc sliding MIN is ONE shuffle on
+  * doc_id with a codegen'd integer window — linear in corpus bytes,
+  * embarrassingly parallel across docs. Matching is the inverted-index
+  * plan: fingerprints group by hash, and the df cap ([[MaxDf]], the
+  * MOSS "too common → boilerplate, drop it" rule) bounds every posting
+  * list, so the pair join's fanout is ≤ MaxDf² per hash — the same
+  * bucket-cap discipline as the LSH families. Everything is integer
+  * end-to-end: the oracle replays the chain exactly.
+  */
+object Winnowing {
+
+  /** k-gram length in canon chars; shared substrings of length
+    * ≥ [[WinnowW]] + [[WinnowK]] − 1 = 11 are guaranteed caught.
+    */
+  private[graft] val WinnowK = 8
+
+  /** Winnowing window: consecutive k-gram hashes per selection window. */
+  private[graft] val WinnowW = 4
+
+  /** Drop fingerprints appearing in more docs than this (boilerplate
+    * suppression + posting-list bound for the pair join).
+    */
+  private[graft] val MaxDf = 8
+
+  /** Report doc pairs sharing at least this many distinct fingerprints. */
+  private[graft] val MinShared = 10
+
+  /** Canon prefix bound (chars) that keeps `65535 − pos` exact in the
+    * packed argmin key. Docs longer than this chunk upstream.
+    */
+  private[graft] val MaxCanon = 65535 + WinnowK - 1
+
+  /** Distinct selected (doc_id, fp_pos, fp_hash) winnowing fingerprints.
+    * 40-bit md5-prefix hashes: k-gram identity is approximate by design
+    * (MOSS ships the same trade) and bit-identical cross-engine.
+    */
+  private[graft] def fingerprints(s: SparkSession, d: String): DataFrame = {
+    val canon = Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
+          1, MaxCanon).as("c"))
+      .filter(length(col("c")) >= WinnowK)
+    val grams = canon
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("c")) - (WinnowK - 1))).as("p"),
+        col("c"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(col("c").substr(col("p"), lit(WinnowK))
+          .cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val frame = byPos.rowsBetween(Window.currentRow, WinnowW - 1)
+    grams
+      .withColumn("mpk",
+        min(col("h") * 65536L + (lit(65535) - col("p"))).over(frame))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("p") <= col("n") - (WinnowW - 1))
+      .select(col("doc_id"),
+        (lit(65535) - pmod(col("mpk"), lit(65536L))).cast("long").as("fp_pos"),
+        shiftright(col("mpk"), 16).as("fp_hash"))
+      .distinct()
+  }
+
+  /** q155: winnowed overlap report — doc pairs sharing ≥ [[MinShared]]
+    * distinct kept fingerprints, with each side's kept-fingerprint count
+    * for a density read. At sf0.01 this surfaces exactly the planted
+    * near-dup pairs (shared_fp 59–85 vs a coincidental-overlap tail
+    * ≤ 7 from the small synthetic vocabulary).
+    */
+  def overlapReport(s: SparkSession, d: String): DataFrame = {
+    val dh = fingerprints(s, d).select("doc_id", "fp_hash").distinct()
+    val kept = dh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("df") <= MaxDf)
+      .select("doc_id", "fp_hash")
+    val nfp = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val a = kept.as("a"); val b = kept.as("b")
+    a.join(b, col("a.fp_hash") === col("b.fp_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= MinShared)
+      .join(nfp.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_fp", "fp_a"), "doc_a")
+      .join(nfp.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_fp", "fp_b"), "doc_b")
+      .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b")
+      .orderBy(col("shared_fp").desc, col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_winnowing_overlap" -> ((s, d) => overlapReport(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q155_winnowing_overlap" ->
+      s"""WITH canon AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+         |                1, $MaxCanon) AS c
+         |  FROM documents
+         |), grams AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |         CAST(CAST('0x' || substr(md5(substr(c, p, $WinnowK)), 1, 10)
+         |              AS UBIGINT) AS BIGINT) AS h
+         |  FROM (
+         |    SELECT doc_id, c, unnest(range(1, length(c) - $WinnowK + 2)) AS p
+         |    FROM canon WHERE length(c) >= $WinnowK
+         |  )
+         |), winmin AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |         MIN(h * 65536 + (65535 - p)) OVER (
+         |           PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mpk,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM grams
+         |), dh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, mpk // 65536 AS fp_hash
+         |  FROM winmin WHERE p <= n - ${WinnowW - 1}
+         |), kept AS MATERIALIZED (
+         |  SELECT doc_id, fp_hash FROM dh
+         |  QUALIFY COUNT(*) OVER (PARTITION BY fp_hash) <= $MaxDf
+         |), nfp AS (
+         |  SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS shared_fp,
+         |       CAST(MIN(na.n_fp) AS BIGINT) AS fp_a,
+         |       CAST(MIN(nb.n_fp) AS BIGINT) AS fp_b
+         |FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |JOIN nfp na ON na.doc_id = a.doc_id
+         |JOIN nfp nb ON nb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= $MinShared
+         |ORDER BY shared_fp DESC, doc_a, doc_b""".stripMargin)
+
+  val rowsOnly: Set[String] = Set.empty
+}
