@@ -156,7 +156,8 @@ object Bench {
     * lines), so an over-long line is unparseable forever — BENCH_r05–r07
     * all show "parsed": null from exactly this. Per-query keys are the
     * unique qNN prefix (full names in QUERIES.md), times rounded to
-    * centiseconds (run-to-run noise is ~30%, so ms digits are noise);
+    * deciseconds below 10 s / whole seconds above (run-to-run noise is
+    * ~30%, so finer digits are noise);
     * BenchHarnessSpec asserts the line for the FULL registered surface
     * stays under budget, so adding queries past the window fails the
     * build instead of silently zeroing the round's bench evidence.
@@ -167,12 +168,18 @@ object Bench {
                  sharedBuildFailed: Boolean = false,
                  residency: Option[((Int, Long), (Int, Long))] = None): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
-    // Centiseconds below 100 s (every realistic per-query value); WHOLE
-    // seconds above — a query that slow has no use for deciseconds, and
-    // the worst-case width model (every registered key at max width)
-    // must keep the whole line inside the capture window
+    // DECISECONDS below 10 s, WHOLE seconds above: run-to-run noise is
+    // ~30%, so finer digits were pure noise that cost line width × every
+    // registered key — and the worst-case width model (every key at max
+    // width) must keep the whole line inside the capture window. This
+    // caps any per-query time at 3 chars ("9.9" / "999"; a query beyond
+    // ~17 min can't happen, the whole run is ~5 min). The r15 line hit
+    // 1801 chars at 155 queries with 2dp; this buys ~150 chars of
+    // headroom for the registry to keep growing. The 9.95 split point
+    // keeps the rounding itself from widening ("9.96" must not print
+    // "10.0").
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
-      if (v >= 100) "%.0f" else "%.2f", java.lang.Double.valueOf(v))
+      if (v >= 9.95) "%.0f" else "%.1f", java.lang.Double.valueOf(v))
     // "q112_dedup_segments" -> "112": the q is constant information and
     // one char per key is real budget (full names in QUERIES.md)
     val shortKeys = results.map { case (k, _) =>
@@ -190,7 +197,7 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val note = "noop-sink;median" + runs + ";keys=NN(QUERIES.md)" +
+    val note = "noop-sink;med" + runs + ";keys=NN(QUERIES.md)" +
       (if (sharedBuildSec > 0) ";total incl shared_build" else "") +
       (if (sharedBuildFailed) ";shared_build FAILED (unmemoized)" else "")
     // shared_build is INSIDE the total (steady-state medians + one

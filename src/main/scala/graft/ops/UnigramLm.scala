@@ -113,13 +113,17 @@ object UnigramLm {
         explode(sequence(lit(1), length(col("word")) - col("l") + 1)).as("i"))
       .select(col("word").substr(col("i"), col("l")).as("piece"), col("n"))
       .groupBy("piece").agg(sum("n").as("f"))
-    val fr = subs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val chars = fr.keys.filter(_.length == 1).toSeq.sorted
-    val multi = fr.keys.filter(_.length > 1).toSeq
-      .sortBy(p => (-fr(p), p)).take(VocabMulti)
-    val vocab = (chars ++ multi).sorted
-    val vTot = vocab.map(fr).sum.toDouble
-    var model = vocab.map(p => p -> quant(math.log(fr(p) / vTot))).toMap
+    // top-k ENGINE-side (TakeOrderedAndProject: per-partition heads,
+    // one merge), so the driver sees only the kept alphabet+VocabMulti
+    // rows — collecting the full substring-frequency table first is the
+    // classic driver OOM on a real corpus (the 1..MaxPiece-gram space)
+    val kept = subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("f").desc, col("piece")).limit(VocabMulti))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = kept.keys.toSeq.sorted
+    val vTot = kept.values.sum.toDouble
+    var model = vocab.map(p => p -> quant(math.log(kept(p) / vTot))).toMap
 
     // hard-EM rounds: distributed Viterbi E-step, model-edge M-step
     for (_ <- 1 to EmRounds) {

@@ -60,8 +60,15 @@ object Winnowing {
     * 40-bit md5-prefix hashes: k-gram identity is approximate by design
     * (MOSS ships the same trade) and bit-identical cross-engine.
     */
-  private[graft] def fingerprints(s: SparkSession, d: String): DataFrame = {
-    val canon = Tables.documents(s, d)
+  private[graft] def fingerprints(s: SparkSession, d: String): DataFrame =
+    fingerprintsOf(Tables.documents(s, d))
+
+  /** Fingerprint core over any (doc_id, text) frame — exposed so the
+    * spec can run planted-substring fixtures through the exact
+    * production path (the classifierOn pattern).
+    */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    val canon = docs
       .select(col("doc_id"),
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
           1, MaxCanon).as("c"))
@@ -88,12 +95,17 @@ object Winnowing {
 
   /** q155: winnowed overlap report — doc pairs sharing ≥ [[MinShared]]
     * distinct kept fingerprints, with each side's kept-fingerprint count
-    * for a density read. At sf0.01 this surfaces exactly the planted
-    * near-dup pairs (shared_fp 59–85 vs a coincidental-overlap tail
-    * ≤ 7 from the small synthetic vocabulary).
+    * for a density read. [[MinShared]] sits in a measured gap of the
+    * corpus pair distribution at both SFs (sf0.01: reported pairs carry
+    * shared_fp 17–85, nothing lands in [10, 16], the coincidental-
+    * overlap tail tops out at 9; sf0.001: reported 13–95, tail ≤ 7).
+    * WinnowingSpec pins the guarantee + separation on planted fixtures.
     */
-  def overlapReport(s: SparkSession, d: String): DataFrame = {
-    val dh = fingerprints(s, d).select("doc_id", "fp_hash").distinct()
+  def overlapReport(s: SparkSession, d: String): DataFrame =
+    overlapReportOf(Tables.documents(s, d))
+
+  private[graft] def overlapReportOf(docs: DataFrame): DataFrame = {
+    val dh = fingerprintsOf(docs).select("doc_id", "fp_hash").distinct()
     val kept = dh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_hash")))
       .filter(col("df") <= MaxDf)

@@ -38,10 +38,10 @@ class BenchHarnessSpec extends AnyFunSuite {
       sharedBuildSec = 0.0, sharedBuildFailed = true)
     assert(line.contains("\"shared_build_error\":true"))
     assert(!line.contains("\"shared_build\":"), "no phantom build time")
-    assert(line.contains("\"value\":1.00"), "total must exclude the failed build")
+    assert(line.contains("\"value\":1.0"), "total must exclude the failed build")
     assert(line.contains("shared_build FAILED"))
     val ok = Bench.renderLine(results, "/sf", runs = 3, sharedBuildSec = 2.5)
-    assert(ok.contains("\"shared_build\":2.50") && ok.contains("\"value\":3.50"))
+    assert(ok.contains("\"shared_build\":2.5") && ok.contains("\"value\":3.5"))
     assert(!ok.contains("shared_build_error"))
   }
 
@@ -52,10 +52,11 @@ class BenchHarnessSpec extends AnyFunSuite {
     // outgrew that window as queries were added. Budget 1800 so the
     // build fails BEFORE a round's bench evidence silently vanishes.
     val keys = SparkEntry.queries.keys.toSeq.sorted
-    // 999.99s per query is the width model: a query beyond ~17 min
-    // can't happen (the whole bench run is ~5 min and sbt would be
-    // killed long before), so 6 chars is the honest per-time worst case
-    val allGood = keys.map(k => k -> (Right(999.99): Either[String, Double]))
+    // 999s per query is the width model: ms() renders at most 3 chars
+    // for any realistic value ("9.9" below 10 s, "%.0f" above — and a
+    // query beyond ~17 min can't happen: the whole bench run is ~5 min
+    // and sbt would be killed long before)
+    val allGood = keys.map(k => k -> (Right(999.0): Either[String, Double]))
     // a regression round is when the line matters most: a failed query
     // renders ONLY as its short key in errors (it leaves the queries
     // object entirely), so the all-fail line must also fit — and be

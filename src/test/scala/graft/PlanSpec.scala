@@ -282,7 +282,12 @@ class PlanSpec extends AnyFunSuite {
       "q77_matryoshka_eval",         // broadcast 10-query side vs corpus
       "q78_source_mixing",           // 1-row temperature-normalizer fold
       "q133_source_divergence",      // 50-row vocab spine + 1-row totals fold
-      "q134_bigram_perplexity")      // 1-row vocabulary-size fold
+      "q134_bigram_perplexity",      // 1-row vocabulary-size fold
+      "q153_nb_source_classifier",   // model grid: vocab × |classes| — classes
+                                     // bounded by construction, vocab top-M-
+                                     // pruned at web scale (NaiveBayes scaladoc)
+      "q154_mmr_diversify")          // broadcast 10-query side vs corpus (the
+                                     // q30/q77 candidate-generation shape)
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
@@ -329,7 +334,7 @@ class PlanSpec extends AnyFunSuite {
       // merge windows), ClusterSpec, GraphSpec.
       "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
       "q140_bpe_train_batched", "q141_bpe_apply_oov", "q147_pq_codes",
-      "q118_pagerank_exact", "q93_pagerank")
+      "q118_pagerank_exact", "q93_pagerank", "q156_unigram_lm_train")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip(name) && !globalWindowAllowed(name)) {
       // sparkPlan, NOT executedPlan: under AQE the executed plan is a
