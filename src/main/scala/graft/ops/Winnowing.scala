@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -56,9 +56,28 @@ object Winnowing {
     */
   private[graft] val MaxCanon = 65535 + WinnowK - 1
 
+  /** Base-127 polynomial coefficients 127^(k−1−o): canon chars are
+    * lowercase alnum (codepoints < 127), so Σ a(p+o)·127^(k−1−o) is
+    * INJECTIVE per 8-gram before the 2^40 fold (max sum ≈ 6.8·10^16,
+    * no int64 overflow), and 127 is odd so ·127 mod 2^40 is a
+    * bijection — the folded hash mixes every character.
+    */
+  private[graft] val PolyCoef: Seq[Long] = (0 until WinnowK).map(o =>
+    (1 until WinnowK - o).foldLeft(1L)((a, _) => a * 127L))
+
+  /** 2^40 hash fold — the same 40-bit space the md5-prefix variant
+    * used, sized so `h·2^16 + pos` packs exactly into int64.
+    */
+  private[graft] val HashMod = 1L << 40
+
   /** Distinct selected (doc_id, fp_pos, fp_hash) winnowing fingerprints.
-    * 40-bit md5-prefix hashes: k-gram identity is approximate by design
-    * (MOSS ships the same trade) and bit-identical cross-engine.
+    * 40-bit base-127-polynomial hashes ([[PolyCoef]]): injective per
+    * gram before the 2^40 fold, so k-gram identity is approximate only
+    * through the fold (MOSS ships the same trade at the same width)
+    * and bit-identical cross-engine — the fingerprint needs
+    * determinism, not cryptographic strength, and the polynomial is
+    * codegen integer arithmetic instead of an md5+hex+base-conversion
+    * chain per corpus position.
     */
   private[graft] def fingerprints(s: SparkSession, d: String): DataFrame =
     fingerprintsOf(Tables.documents(s, d))
@@ -73,13 +92,28 @@ object Winnowing {
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
           1, MaxCanon).as("c"))
       .filter(length(col("c")) >= WinnowK)
+    // one split per doc, then O(1) element_at per position: substr(c, p,
+    // k) per gram would re-walk the string from byte 0 every call
+    // (UTF8String offsets), i.e. quadratic per doc near the MaxCanon
+    // bound — and the r15 md5-per-gram profile showed the gram hash
+    // dominating the whole query. The whole hash SEQUENCE is computed
+    // row-locally (one nested transform per doc) BEFORE the explode, so
+    // exploded rows carry only (doc_id, p, h) — exploding alongside the
+    // codepoint array would copy the O(doc) array into every one of the
+    // O(doc) rows, a quadratic blowup that measured 8× WORSE than the
+    // md5 chain it was meant to replace.
+    def gramHash(a: Column, p: Column): Column =
+      PolyCoef.zipWithIndex.map { case (coef, o) =>
+        element_at(a, p + lit(o)).cast("long") * lit(coef)
+      }.reduce(_ + _) % lit(HashMod)
     val grams = canon
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("c")) - (WinnowK - 1))).as("p"),
-        col("c"))
-      .select(col("doc_id"), col("p"),
-        conv(substring(md5(col("c").substr(col("p"), lit(WinnowK))
-          .cast("binary")), 1, 10), 16, 10).cast("long").as("h"))
+        transform(split(col("c"), ""), ch => ascii(ch)).as("a"),
+        (length(col("c")) - (WinnowK - 1)).as("m"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("m")),
+          p => gramHash(col("a"), p))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val frame = byPos.rowsBetween(Window.currentRow, WinnowW - 1)
     grams
@@ -96,10 +130,13 @@ object Winnowing {
   /** q155: winnowed overlap report — doc pairs sharing ≥ [[MinShared]]
     * distinct kept fingerprints, with each side's kept-fingerprint count
     * for a density read. [[MinShared]] sits in a measured gap of the
-    * corpus pair distribution at both SFs (sf0.01: reported pairs carry
-    * shared_fp 17–85, nothing lands in [10, 16], the coincidental-
-    * overlap tail tops out at 9; sf0.001: reported 13–95, tail ≤ 7).
-    * WinnowingSpec pins the guarantee + separation on planted fixtures.
+    * corpus pair distribution at the oracle SFs (sf0.01: reported pairs
+    * carry shared_fp 17–91, nothing lands in [9, 16], the coincidental-
+    * overlap tail tops out at 8; sf0.001: reported 11–88, tail ≤ 6; at
+    * sf0.1's 5000 docs the synthetic vocabulary's coincidental overlaps
+    * form a continuum and the threshold is a plain cutoff, not a
+    * separator). WinnowingSpec pins the guarantee + separation on
+    * planted fixtures.
     */
   def overlapReport(s: SparkSession, d: String): DataFrame =
     overlapReportOf(Tables.documents(s, d))
@@ -137,8 +174,9 @@ object Winnowing {
          |  FROM documents
          |), grams AS MATERIALIZED (
          |  SELECT doc_id, p,
-         |         CAST(CAST('0x' || substr(md5(substr(c, p, $WinnowK)), 1, 10)
-         |              AS UBIGINT) AS BIGINT) AS h
+         |         (${PolyCoef.zipWithIndex.map { case (coef, o) =>
+                      s"CAST(ascii(substr(c, p + $o, 1)) AS BIGINT) * $coef"
+                    }.mkString(" + ")}) % $HashMod AS h
          |  FROM (
          |    SELECT doc_id, c, unnest(range(1, length(c) - $WinnowK + 2)) AS p
          |    FROM canon WHERE length(c) >= $WinnowK
