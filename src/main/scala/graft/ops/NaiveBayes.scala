@@ -37,6 +37,9 @@ import graft.functions.TextFunctions.tokens
 object NaiveBayes {
 
   /** Quantization grain: micro-nats per log-likelihood unit. */
+  // micro-nat quantization grain; shares Retrieval.quant's documented
+  // ULP-boundary hazard (a ln within libm drift of a .5·1e-6 boundary
+  // would flip the weight integer) — gated corpus-wide in RetrievalSpec
   private val Grain = 1000000L
 
   def sourceClassifier(s: SparkSession, d: String): DataFrame =

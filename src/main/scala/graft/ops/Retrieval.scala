@@ -157,7 +157,7 @@ object Retrieval {
     * (sequential accumulation, dot/(√na·√nb)) so the group-task sims are
     * the same doubles the column function would produce.
     */
-  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+  private[graft] def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -168,8 +168,18 @@ object Retrieval {
   /** round(x·10⁶) HALF_UP away from zero — the Spark `round` / DuckDB
     * `ROUND` convention, applied to the JVM-side sims so all three
     * computations of a similarity agree.
+    *
+    * KNOWN HAZARD (accepted, gated): the "bit-deterministic" claim
+    * rests on Spark's cosine / JVM `Math.log` and DuckDB's
+    * `list_cosine_similarity` / `LN` agreeing to the last bit BEFORE
+    * the round — true today, but a value within ~1 ULP of a
+    * `.5·10⁻⁶` rounding boundary would flip the integer on a
+    * DuckDB/libm upgrade and surface as a phantom engine bug. The
+    * corpus margin is measured and pinned in RetrievalSpec ("no
+    * quantized similarity sits near a rounding boundary"): if that
+    * gate ever fires, the diagnosis is THIS boundary, not the engine.
     */
-  private def quant(x: Double): Long =
+  private[graft] def quant(x: Double): Long =
     java.math.BigDecimal.valueOf(x * 1000000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 

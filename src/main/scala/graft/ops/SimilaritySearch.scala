@@ -389,43 +389,69 @@ object SimilaritySearch {
     */
   val MaxBucketPopulation = 100000
 
-  /** q117: the recall numbers RecallSpec gates, surfaced as a
-    * driver-visible report — one row per approximate method, scored
-    * in-engine against its exact ground-truth twin. recall@k =
-    * |approx ∩ exact| / |exact| over the anchor's query set; every side
-    * is deterministic (hash-derived planes, fixed seeds), so the report
-    * is stable run to run. Rows-only: DuckDB can't replay the
-    * hash-derived LSH/IVF side. All-DataFrame: the per-method hit/total
-    * counts are 1-row aggregates crossed back together — nothing is
-    * collected.
+  /** q117: the recall AND ranking-quality numbers RecallSpec gates,
+    * surfaced as a driver-visible report — one row per approximate
+    * method, scored in-engine against its exact ground-truth twin.
+    * recall@k = |approx ∩ exact| / |exact| over the anchor's query set;
+    * nDCG@k adds ORDER quality (recall can't see a method that finds
+    * all 5 neighbors upside down): gain of an exact-rank-r item is
+    * K+1−r, DCG discounts by log2(approx position + 1), and per-query
+    * IDCG is the exact list replayed in its own order, so ndcg_r = 1.0
+    * iff the method reproduces the exact ranking. Every side is
+    * deterministic (hash-derived planes, fixed seeds), so the report is
+    * stable run to run. Rows-only: DuckDB can't replay the hash-derived
+    * LSH/IVF side. All-DataFrame: per-method aggregates over
+    * queries×k-row frames crossed back together — nothing is collected.
     */
   private def recallReport(s: SparkSession, d: String): DataFrame = {
     def score(method: String, approx: DataFrame, exact: DataFrame,
               keys: Seq[String]): DataFrame = {
+      val q = keys.head
       val hits = exact.join(approx, keys, "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       val total = exact.agg(count(lit(1)).as("n_exact"))
-      hits.crossJoin(total).select(
+      val kq = exact.groupBy(q).agg(count(lit(1)).as("kq"))
+      def gain(rankE: Column, pos: Column): Column =
+        (col("kq") + 1 - rankE).cast("double") / log(2.0, pos + 1)
+      val idcg = exact.join(kq, q)
+        .groupBy(q).agg(sum(gain(col("rank"), col("rank"))).as("idcg"))
+      val dcg = approx.withColumnRenamed("rank", "rank_a")
+        .join(exact.withColumnRenamed("rank", "rank_e"), keys)
+        .join(kq, q)
+        .groupBy(q).agg(sum(gain(col("rank_e"), col("rank_a"))).as("dcg"))
+      // left join: a query where the method found NOTHING contributes
+      // ndcg 0, not a dropped row (that would inflate the mean)
+      val ndcg = idcg.join(dcg, Seq(q), "left").agg(
+        avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+      hits.crossJoin(total).crossJoin(ndcg).select(
         lit(method).as("method"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_r"))
+        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_r"),
+        round(col("ndcg"), 4).as("ndcg_r"))
     }
-    val exactKnn = knnExactTop5(s, d).select("query_id", "neighbor_id")
-    val exactGraph = knnGraphExact(s, d).select("vec_id", "neighbor_id")
+    val exactKnn = knnExactTop5(s, d).select("query_id", "neighbor_id", "rank")
+    val exactGraph = knnGraphExact(s, d).select("vec_id", "neighbor_id", "rank")
     val kk = Seq("query_id", "neighbor_id")
     score("q31_lsh_multiprobe",
-        allQueries("q31_knn_lsh")(s, d).select("query_id", "neighbor_id"),
+        allQueries("q31_knn_lsh")(s, d).select("query_id", "neighbor_id", "rank"),
         exactKnn, kk)
       .unionByName(score("q42_ivf",
-        allQueries("q42_knn_ivf")(s, d).select("query_id", "neighbor_id"),
+        allQueries("q42_knn_ivf")(s, d).select("query_id", "neighbor_id", "rank"),
         exactKnn, kk))
       .unionByName(score("q90_knn_graph_lsh",
-        knnGraphLsh(s, d).select("vec_id", "neighbor_id"),
+        knnGraphLsh(s, d).select("vec_id", "neighbor_id", "rank"),
         exactGraph, Seq("vec_id", "neighbor_id")))
       // the composed IVF + PQ-ADC + exact-rerank path (q148) scored
       // against the same exact top-5 ground truth as the other methods
       .unionByName(score("q148_ivf_pq",
-        PqOps.queries("q148_knn_ivf_pq")(s, d).select("query_id", "neighbor_id"),
+        PqOps.queries("q148_knn_ivf_pq")(s, d).select("query_id", "neighbor_id", "rank"),
         exactKnn, kk))
+      // the hybrid fusion (q152) scored against the DENSE exact ranking
+      // on its own query subset: how much the lexical leg perturbs the
+      // dense order (rank-10 list vs 5 relevant — nDCG@10, same gains)
+      .unionByName(score("q152_hybrid_rrf",
+        Retrieval.hybridRrf(s, d)
+          .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank")),
+        exactKnn.filter(col("query_id") < Retrieval.HybridQueries), kk))
       .orderBy("method")
   }
 

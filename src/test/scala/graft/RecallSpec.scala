@@ -79,6 +79,23 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.8, s"q42 recall $r vs exact top-k")
   }
 
+  test("q117 report: one row per method, recall and nDCG both in (0, 1]") {
+    val rows = SparkEntry.queries("q117_ann_recall_report")(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("q148_ivf_pq",
+      "q152_hybrid_rrf", "q31_lsh_multiprobe", "q42_ivf", "q90_knn_graph_lsh"))
+    rows.foreach { r =>
+      val (m, rec, ndcg) = (r.getString(0), r.getDouble(3), r.getDouble(4))
+      assert(rec > 0 && rec <= 1.0, s"$m recall_r $rec out of range")
+      assert(ndcg > 0 && ndcg <= 1.0, s"$m ndcg_r $ndcg out of range")
+      // a found-everything method can still rank badly, but order
+      // quality can never EXCEED what it found: with uniform per-list
+      // K, nDCG <= recall would be too strong (discounts differ), so
+      // pin the semantic floor instead — perfect recall forces ndcg
+      // well above the random-order floor for k=5 (~0.5)
+      if (rec == 1.0) assert(ndcg > 0.5, s"$m full recall but ndcg $ndcg")
+    }
+  }
+
   test("q27 MinHash+LSH: full recall of the high-confidence jaccard pairs (q26)") {
     val exactRows = SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

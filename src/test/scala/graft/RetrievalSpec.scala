@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Retrieval
 
 /** Retrieval family: the oracle hashes prove engine ≡ SQL replay; these
   * pins prove the operators do their JOBS — BM25 ranks by the formula's
@@ -56,5 +57,34 @@ class RetrievalSpec extends AnyFunSuite {
       assert(ids.length == Retrieval.MmrK)
       assert(ids.distinct.length == ids.length, s"duplicate picks for query $q")
     }
+  }
+
+  test("no quantized similarity sits near a rounding boundary (the quant() ULP hazard, measured)") {
+    // q153/q154's bit-determinism claim assumes Spark cosine / JVM ln
+    // and DuckDB list_cosine_similarity / LN agree to the last bit
+    // BEFORE round(x·1e6): a value within cross-libm drift (≈1e-10 in
+    // x·1e6 terms for |cos| ≤ 1) of a .5 boundary would flip the
+    // BIGINT on a DuckDB upgrade and read as an engine bug. Gate the
+    // ORACLE-SF corpus (sf0.01, where the driver hash-compares): every
+    // pairwise cosine — a superset of the q154 rel and candidate
+    // sims — must clear the boundary by ≥1e-8, two orders above the
+    // drift. Measured margin on the fixed corpus: 1.6e-6 (min over all
+    // 124,750 pairs — the order-statistic floor for 125k uniform
+    // fractional parts, i.e. nothing anomalous). If this fires after a
+    // corpus change, the diagnosis is the KNOWN hazard documented at
+    // Retrieval.quant, not the engine.
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+    var minMargin = Double.MaxValue
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      val x = Retrieval.cosSeq(vecs(i), vecs(j)) * 1e6
+      val margin = math.abs(math.abs(x - math.floor(x)) - 0.5)
+      if (margin < minMargin) minMargin = margin
+    }
+    info(f"min distance of any cos·1e6 to a .5 rounding boundary: $minMargin%.2e")
+    assert(minMargin > 1e-8,
+      f"a similarity sits $minMargin%.2e from a rounding boundary — within " +
+        "reach of cross-libm drift; see the hazard note at Retrieval.quant")
   }
 }
