@@ -35,7 +35,8 @@ object SparkEntry {
       ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
       ops.LmTokenizer.queries ++ ops.PqOps.queries ++
       ops.Retrieval.queries ++ ops.NaiveBayes.queries ++
-      ops.Winnowing.queries ++ ops.UnigramLm.queries
+      ops.Winnowing.queries ++ ops.UnigramLm.queries ++
+      ops.Dsir.queries ++ ops.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -54,7 +55,8 @@ object SparkEntry {
       ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
       ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql ++
       ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql ++
-      ops.Winnowing.oracleSql ++ ops.UnigramLm.oracleSql
+      ops.Winnowing.oracleSql ++ ops.UnigramLm.oracleSql ++
+      ops.Dsir.oracleSql ++ ops.Mining.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -74,5 +76,6 @@ object SparkEntry {
       ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
       ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly ++
       ops.Retrieval.rowsOnly ++ ops.NaiveBayes.rowsOnly ++
-      ops.Winnowing.rowsOnly ++ ops.UnigramLm.rowsOnly
+      ops.Winnowing.rowsOnly ++ ops.UnigramLm.rowsOnly ++
+      ops.Dsir.rowsOnly ++ ops.Mining.rowsOnly
 }

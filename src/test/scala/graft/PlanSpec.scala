@@ -286,8 +286,10 @@ class PlanSpec extends AnyFunSuite {
       "q153_nb_source_classifier",   // model grid: vocab × |classes| — classes
                                      // bounded by construction, vocab top-M-
                                      // pruned at web scale (NaiveBayes scaladoc)
-      "q154_mmr_diversify")          // broadcast 10-query side vs corpus (the
+      "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
+      "q158_hard_negatives")         // broadcast 10-anchor side vs corpus
+                                     // (same shape; ANN shortlist at scale)
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
