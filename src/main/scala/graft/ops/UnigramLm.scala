@@ -100,7 +100,42 @@ object UnigramLm {
   /** q156: train the unigram LM and emit the final per-type
     * segmentation (word, n, n_pieces, seg).
     */
-  def unigramTrain(s: SparkSession, d: String): DataFrame = {
+  def unigramTrain(s: SparkSession, d: String): DataFrame =
+    segmentedTypes(s, d).orderBy("word")
+
+  /** q159: tokenizer fertility/compression report per source under the
+    * q156-trained model — the signal tokenizer evaluations actually
+    * publish (how many pieces a word costs, how many chars a piece
+    * buys) and the number corpus teams compare tokenizers BY before
+    * committing one to a training run. One model, two consumers: the
+    * training chain is q156's verbatim (and the oracle shares the
+    * same CTE body); this query re-weights the per-TYPE segmentation
+    * by per-(source, word) occurrence counts, so the corpus pays one
+    * extra tokenize + groupBy and a word-keyed join against the
+    * vocabulary-sized type table — no per-doc Viterbi.
+    */
+  def fertilityReport(s: SparkSession, d: String): DataFrame = {
+    val seg = segmentedTypes(s, d).select("word", "n_pieces")
+    val wts = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, MaxWord))
+      .groupBy("source", "word").agg(count(lit(1)).as("n_s"))
+    wts.join(seg, Seq("word"))
+      .groupBy("source")
+      .agg(
+        sum(col("n_s")).as("n_words"),
+        sum(col("n_s") * col("n_pieces")).as("n_pieces_total"),
+        round(sum(col("n_s") * col("n_pieces")).cast("double")
+          / sum(col("n_s")), 6).as("pieces_per_word_r"),
+        round(sum(col("n_s") * length(col("word"))).cast("double")
+          / sum(col("n_s") * col("n_pieces")), 6).as("chars_per_piece_r"))
+      .orderBy("source")
+  }
+
+  /** The trained model's final per-type segmentation — q156 presents
+    * it, q159 re-weights it per source.
+    */
+  private def segmentedTypes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // the one corpus-sized stage; reused by seed + every EM pass
     val wtc = wordTypes(s, d).localCheckpoint().as[(String, Long)]
@@ -139,11 +174,10 @@ object UnigramLm {
     }
 
     val m = model
-    val out = wtc.map { case (w, n) =>
+    wtc.map { case (w, n) =>
       val seg = viterbi(w, m)
       (w, n, seg.length.toLong, seg.mkString(" "))
-    }.toDF("word", "n", "n_pieces", "seg").orderBy("word")
-    out
+    }.toDF("word", "n", "n_pieces", "seg")
   }
 
   // ------------------------------------------------------------ oracle
@@ -191,7 +225,10 @@ object UnigramLm {
        |)""".stripMargin
   }
 
-  private def q156OracleSql: String = {
+  /** The full training replay as a WITH body — q156 and q159 share it
+    * verbatim (one model, two oracle consumers).
+    */
+  private def trainingCtes: String = {
     val emRounds = (0 until EmRounds).map { r =>
       s"""${viterbiCtes(r, s"m$r")},
          |c$r AS MATERIALIZED (
@@ -228,19 +265,44 @@ object UnigramLm {
        |    f / (SELECT CAST(SUM(f) AS DOUBLE) FROM vocab))) AS BIGINT) AS lp
        |  FROM vocab),
        |$emRounds,
-       |${viterbiCtes(EmRounds, s"m$EmRounds")}
+       |${viterbiCtes(EmRounds, s"m$EmRounds")}""".stripMargin
+  }
+
+  private def q156OracleSql: String =
+    s"""$trainingCtes
        |SELECT w.word, CAST(MIN(w.n) AS BIGINT) AS n,
        |       CAST(COUNT(*) AS BIGINT) AS n_pieces,
        |       STRING_AGG(substr(e.word, e.i + 1, e.j - e.i), ' ' ORDER BY e.i) AS seg
        |FROM edges$EmRounds e JOIN wt w ON w.word = e.word
        |GROUP BY w.word ORDER BY w.word""".stripMargin
-  }
+
+  private def q159OracleSql: String =
+    s"""$trainingCtes,
+       |np AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+       |  FROM edges$EmRounds GROUP BY word),
+       |wts AS MATERIALIZED (
+       |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_s FROM (
+       |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND $MaxWord GROUP BY source, word)
+       |SELECT source,
+       |       CAST(SUM(n_s) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_s * n_pieces) AS BIGINT) AS n_pieces_total,
+       |       ROUND(SUM(n_s * n_pieces) / CAST(SUM(n_s) AS DOUBLE), 6)
+       |         AS pieces_per_word_r,
+       |       ROUND(SUM(n_s * length(word)) / CAST(SUM(n_s * n_pieces) AS DOUBLE), 6)
+       |         AS chars_per_piece_r
+       |FROM wts JOIN np USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q156_unigram_lm_train" -> ((s, d) => unigramTrain(s, d)))
+    "q156_unigram_lm_train" -> ((s, d) => unigramTrain(s, d)),
+    "q159_tokenizer_fertility" -> ((s, d) => fertilityReport(s, d)))
 
   val oracleSql: Map[String, String] = Map(
-    "q156_unigram_lm_train" -> q156OracleSql)
+    "q156_unigram_lm_train" -> q156OracleSql,
+    "q159_tokenizer_fertility" -> q159OracleSql)
 
   val rowsOnly: Set[String] = Set.empty
 }

@@ -336,7 +336,8 @@ class PlanSpec extends AnyFunSuite {
       // merge windows), ClusterSpec, GraphSpec.
       "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
       "q140_bpe_train_batched", "q141_bpe_apply_oov", "q147_pq_codes",
-      "q118_pagerank_exact", "q93_pagerank", "q156_unigram_lm_train")
+      "q118_pagerank_exact", "q93_pagerank", "q156_unigram_lm_train",
+      "q159_tokenizer_fertility")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip(name) && !globalWindowAllowed(name)) {
       // sparkPlan, NOT executedPlan: under AQE the executed plan is a

@@ -73,4 +73,25 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(3).split(" ").exists(_.length > 1)),
       "no multi-char piece in any segmentation — vocabulary unused")
   }
+
+  test("q159 fertility report is consistent with the q156 segmentation it consumes") {
+    val d = "/root/testdata/sf0.001"
+    val fert = SparkEntry.queries("q159_tokenizer_fertility")(spark, d).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (nw, np) = (r.getLong(1), r.getLong(2))
+      val (ppw, cpp) = (r.getDouble(3), r.getDouble(4))
+      assert(np >= nw, "every word costs at least one piece")
+      assert(ppw >= 1.0 && ppw <= UnigramLm.MaxWord)
+      assert(cpp >= 1.0 && cpp <= UnigramLm.MaxPiece)
+    }
+    // the two consumers share one model: total pieces from the
+    // per-source report must equal the q156 per-type segmentation
+    // re-weighted by its own corpus counts
+    val seg = SparkEntry.queries("q156_unigram_lm_train")(spark, d).collect()
+    val totalFromTypes = seg.map(r => r.getLong(1) * r.getLong(2)).sum
+    val totalFromReport = fert.map(_.getLong(2)).sum
+    assert(totalFromReport == totalFromTypes,
+      s"report total $totalFromReport != type-weighted total $totalFromTypes")
+  }
 }
