@@ -56,16 +56,48 @@ object Dsir {
   private val Grain = 1000000L
 
   /** q157: select the [[SelectK]] raw documents whose hashed-n-gram
-    * profile is most target-like.
+    * profile is most target-like (deterministic top-k).
     */
   def importanceSelect(s: SparkSession, d: String): DataFrame =
     importanceSelectOn(Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text")))
 
-  /** Core over any (doc_id, source, text) frame — exposed for the
+  private[graft] def importanceSelectOn(docs: DataFrame): DataFrame =
+    importanceScoresOn(docs)
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(SelectK)
+
+  /** q160: the paper's actual RESAMPLING — Gumbel-top-k over the same
+    * importance weights, so selection is ∝ w (a doc twice as
+    * target-like is twice as likely in) instead of a hard argmax that
+    * piles up near-duplicates of the single most target-like shard.
+    * The Gumbel noise is HASH-DERIVED (u from md5 of the doc id, the
+    * q54 split-derivation move), so the "randomness" is deterministic,
+    * retry-stable, and DuckDB-replayable: u = (h mod 2^20 + 0.5)/2^20,
+    * g = −ln(−ln u), key = score + round(10⁶·g) — the 10⁶ matches the
+    * score's micro-nat grain, so key-desc sampling is exp(score/10⁶)
+    * = w proportional, and the key is an exact integer SUM.
+    */
+  def gumbelResample(s: SparkSession, d: String): DataFrame =
+    gumbelResampleOn(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  private[graft] def gumbelResampleOn(docs: DataFrame): DataFrame = {
+    val u = (pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L << 20))
+      .cast("double") + 0.5) / (1L << 20).toDouble
+    importanceScoresOn(docs)
+      .withColumn("gkey",
+        col("dsir_score") + round(-log(-log(u)) * Grain, 0).cast("long"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(SelectK)
+  }
+
+  /** Importance scores for every raw-pool doc — the shared core of
+    * q157 (argmax) and q160 (Gumbel resampling); exposed for the
     * spec's hand-computed fixture (the classifierOn pattern).
     */
-  private[graft] def importanceSelectOn(docs: DataFrame): DataFrame = {
+  private[graft] def importanceScoresOn(docs: DataFrame): DataFrame = {
     // unigram + bigram features, hashed to buckets. 8 hex chars of md5
     // (< 2^32) so conv() stays exact in int64 in both engines.
     val feats = docs
@@ -95,15 +127,16 @@ object Dsir {
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(sum(col("c") * col("lam")).as("dsir_score"))
-      .orderBy(col("dsir_score").desc, col("doc_id"))
-      .limit(SelectK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q157_dsir_select" -> ((s, d) => importanceSelect(s, d)))
+    "q157_dsir_select" -> ((s, d) => importanceSelect(s, d)),
+    "q160_dsir_gumbel" -> ((s, d) => gumbelResample(s, d)))
 
-  val oracleSql: Map[String, String] = Map(
-    "q157_dsir_select" ->
+  /** Featurization + models + per-doc scores — the WITH body q157 and
+    * q160 share verbatim (ends with the `score` CTE).
+    */
+  private def scoreCtes: String =
       s"""WITH words AS MATERIALIZED (
          |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
          |  FROM documents
@@ -139,12 +172,31 @@ object Dsir {
          |  LEFT JOIN (SELECT b, SUM(c) AS cq FROM cnt
          |             WHERE source <> '$TargetSource' GROUP BY b) q USING (b)
          |  CROSS JOIN tot
-         |)
-         |SELECT doc_id, source, CAST(SUM(c * lam) AS BIGINT) AS dsir_score
-         |FROM cnt JOIN lam USING (b)
-         |WHERE source <> '$TargetSource'
-         |GROUP BY doc_id, source
+         |), score AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST(SUM(c * lam) AS BIGINT) AS dsir_score
+         |  FROM cnt JOIN lam USING (b)
+         |  WHERE source <> '$TargetSource'
+         |  GROUP BY doc_id, source
+         |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q157_dsir_select" ->
+      s"""$scoreCtes
+         |SELECT doc_id, source, dsir_score FROM score
          |ORDER BY dsir_score DESC, doc_id
+         |LIMIT $SelectK""".stripMargin,
+    // identical score chain + the hash-derived Gumbel key: u from the
+    // md5 of the STRINGIFIED doc id (both engines hash the same bytes),
+    // g = -ln(-ln u), key in the score's own micro-nat grain
+    "q160_dsir_gumbel" ->
+      s"""$scoreCtes
+         |SELECT doc_id, source, dsir_score,
+         |       dsir_score + CAST(ROUND($Grain * (-LN(-LN(
+         |         (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |               AS UBIGINT) % ${1L << 20} AS BIGINT) + 0.5)
+         |         / ${(1L << 20).toDouble})))) AS BIGINT) AS gkey
+         |FROM score
+         |ORDER BY gkey DESC, doc_id
          |LIMIT $SelectK""".stripMargin)
 
   val rowsOnly: Set[String] = Set.empty
