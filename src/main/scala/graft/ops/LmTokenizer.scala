@@ -213,7 +213,7 @@ object LmTokenizer {
     if (safe.isEmpty) top.take(1) else safe
   }
 
-  private val wOrd = Window.partitionBy("word").orderBy("pos")
+  private[graft] val wOrd = Window.partitionBy("word").orderBy("pos")
   private val runWOrd = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Initial (word, n, pos, sym) state: CODE-POINT split, not
@@ -226,7 +226,7 @@ object LmTokenizer {
     * collation are both UTF-8 byte order, which preserves code-point
     * order. Pinned on non-BMP fixtures in LmTokenizerSpec.
     */
-  private def symSplit(words: DataFrame): DataFrame =
+  private[graft] def symSplit(words: DataFrame): DataFrame =
     words.select(col("word"), col("n"),
       posexplode(regexp_extract_all(col("word"), lit("(?s)."), lit(0)))
         .as(Seq("pos", "sym")))
@@ -236,12 +236,24 @@ object LmTokenizer {
     * symbol-disjoint — see [[bpeIterate]]/[[applyGroups]]): adjacent
     * match positions then always belong to the same pair, so the
     * run-start + position-parity window algebra resolves overlapping
-    * same-symbol runs exactly as the textbook loop does.
+    * same-symbol runs exactly as the textbook loop does. Each pair
+    * carries its merged OUTPUT symbol explicitly (`(p1, p2, merged)`):
+    * BPE merges to plain concatenation `p1+p2`, WordPiece (q161) to
+    * `p1 + p2-without-the-## marker` — the window algebra is identical,
+    * only the produced literal differs.
     */
-  private def applyPairs(state: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+  private[graft] def applyPairs(state: DataFrame,
+                                pairs: Seq[(String, String, String)]): DataFrame = {
     val isAnyMatch = pairs
-      .map { case (p1, p2) => col("sym") === lit(p1) && col("nxt") === lit(p2) }
+      .map { case (p1, p2, _) => col("sym") === lit(p1) && col("nxt") === lit(p2) }
       .reduce(_ || _)
+    // keep-rows match exactly one pair (pairs are symbol-disjoint), so
+    // the chained CASE picks that pair's merged literal
+    val mergedExpr = pairs.tail.foldLeft(
+      when(col("sym") === lit(pairs.head._1) && col("nxt") === lit(pairs.head._2),
+        lit(pairs.head._3))) { case (acc, (p1, p2, m)) =>
+      acc.when(col("sym") === lit(p1) && col("nxt") === lit(p2), lit(m))
+    }
     state.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
       .withColumn("ismatch", coalesce(isAnyMatch, lit(false)))
       .withColumn("startflag",
@@ -255,8 +267,7 @@ object LmTokenizer {
       .filter(!col("consumed"))
       .select(col("word"), col("n"),
         (row_number().over(wOrd) - 1).as("pos"),
-        when(col("keep"), concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
+        when(col("keep"), mergedExpr).otherwise(col("sym")).as("sym"))
   }
 
   private def bpeIterate(words: DataFrame, rounds: Int,
@@ -293,7 +304,8 @@ object LmTokenizer {
           merges += ((done + i + 1, p1, p2, cnt))
         }
         val prevState = state // superseded once the rewrite materializes
-        state = applyPairs(state, batch.map(b => (b._1, b._2))).localCheckpoint()
+        state = applyPairs(state, batch.map(b => (b._1, b._2, b._1 + b._2)))
+          .localCheckpoint()
         // eager-release the superseded round (the q118 retention rule):
         // the new state is materialized, nothing reads the old blocks
         org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prevState)
@@ -349,7 +361,8 @@ object LmTokenizer {
     var state = symSplit(words).localCheckpoint()
     applyGroups(merges).foreach { group =>
       val prev = state
-      state = applyPairs(state, group).localCheckpoint()
+      state = applyPairs(state, group.map(p => (p._1, p._2, p._1 + p._2)))
+        .localCheckpoint()
       org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(prev)
     }
     state.groupBy("word")
