@@ -162,6 +162,99 @@ object CorpusSignals {
       .orderBy("train_id")
   }
 
+  /** q163 Bloom sizing: 2^17 bits (16 KiB as 2048 longs) at
+    * [[BloomHashes]]=3 probes holds ~12k test grams under 1% FP
+    * (ε ≈ (1−e^(−kn/m))^k); at a 10M-gram eval union the same math
+    * says m=2^27 (16 MiB) — still a scalar broadcast next to the
+    * 320 MB+ hash relation q66's plain semi-join would ship.
+    */
+  private[graft] val BloomBits = 1 << 17
+  private[graft] val BloomHashes = 3
+
+  /** The i-th Bloom probe position for a gram digest: xxhash64 over
+    * (digest, probe-index) folded into [0, bits). Engine-only — the
+    * oracle never sees these (the exact verify join restores q66's
+    * answer regardless of the bit pattern).
+    */
+  private def bloomPos(gd: Column, i: Int, bits: Int): Column =
+    pmod(xxhash64(gd, lit(i)), lit(bits.toLong))
+
+  /** Build the Bloom bit array from the distinct test-gram digests.
+    * The collect is bounded by the FILTER geometry (≤ bits/64 longs'
+    * worth of distinct positions — 2048 rows here), never by corpus
+    * volume: the collected-model pattern (IVF centroids, q161 merge
+    * rows). */
+  private[graft] def bloomBitmap(grams: DataFrame, bits: Int): Array[Long] = {
+    val pos = grams.select(explode(array((0 until BloomHashes).map(i =>
+        bloomPos(col("gd"), i, bits)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bm = new Array[Long](bits / 64)
+    pos.foreach(p => bm((p >> 6).toInt) |= (1L << (p & 63)))
+    bm
+  }
+
+  /** All-k-bits-set membership test as pure codegen arithmetic over a
+    * literal long array: word = shiftright(pos, 6), bit = pos & 63.
+    * The array literal is materialized once per generated class, not
+    * per row. */
+  private[graft] def bloomHit(gd: Column, bm: Array[Long]): Column = {
+    val bmLit = typedLit(bm.toSeq)
+    val bits = bm.length * 64
+    (0 until BloomHashes).map { i =>
+      val h = bloomPos(gd, i, bits)
+      val word = element_at(bmLit,
+        call_function("shiftright", h, lit(6)).cast("int") + 1)
+      // unsigned shift + bitwise AND: a set bit 63 makes the word
+      // negative; an arithmetic shift would smear the sign, and a
+      // `% 2` parity test follows the dividend's sign (a zero shift
+      // leaves the word negative → -1, not 1)
+      call_function("shiftrightunsigned", word, (h % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1
+    }.reduce(_ && _)
+  }
+
+  /** q163 body, parameterized on the bitmap size so the spec can force
+    * false positives with a deliberately tiny filter and pin that the
+    * answer never moves (verification independence of the Bloom
+    * geometry). */
+  private[graft] def decontaminateBloom(s: SparkSession, d: String,
+                                        bits: Int): DataFrame = {
+    val docs = fiveGramDocs(s, d)
+    val testGrams = gramPosting(docs.filter(col("is_test")))
+      .select("gd").distinct()
+    val bm = bloomBitmap(testGrams, bits)
+    val train = docs.filter(!col("is_test"))
+    val overlap = gramPosting(train)
+      .filter(bloomHit(col("gd"), bm))
+      .join(broadcast(testGrams), Seq("gd"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"), col("lang"), col("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom funnel over the distinct TRAIN grams (spec hook):
+    * (trials, candidates, true members) — false positives are
+    * candidates − members, out of trials − members non-member probes. */
+  private[graft] def bloomCandidates(s: SparkSession, d: String,
+                                     bits: Int): (Long, Long, Long) = {
+    val docs = fiveGramDocs(s, d)
+    val testGrams = gramPosting(docs.filter(col("is_test")))
+      .select("gd").distinct().localCheckpoint()
+    val bm = bloomBitmap(testGrams, bits)
+    val trainGrams = gramPosting(docs.filter(!col("is_test")))
+      .select("gd").distinct().localCheckpoint()
+    val cand = trainGrams.filter(bloomHit(col("gd"), bm))
+    val trials = trainGrams.count()
+    val hits = cand.count()
+    val real = cand.join(broadcast(testGrams), Seq("gd")).count()
+    org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(testGrams)
+    org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(trainGrams)
+    (trials, hits, real)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // within-doc repetition (Gopher-style quality gates): fraction of
     // bigram positions covered by the single most frequent bigram +
@@ -213,6 +306,20 @@ object CorpusSignals {
         .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
         .orderBy("doc_id")
     }),
+
+    // q66 through a BLOOM PREFILTER — the shape Spark's own runtime
+    // bloom-filter join injection uses, made explicit: the test-split
+    // gram set compresses to a BloomBits-bit array (16 KiB vs a
+    // broadcast hash relation whose probe-side entries are 32-byte
+    // digests — at web scale an eval union holds 10M+ grams and the
+    // hash relation stops being free), every train gram pays k
+    // xxhash64+bit-test probes (codegen arithmetic, no join), and only
+    // the ~FP-rate survivors reach the exact broadcast join that
+    // removes false positives. Result is therefore IDENTICAL to q66 —
+    // the oracle replays q66's SQL verbatim; the Bloom stage can only
+    // change the plan, never the answer (BloomSpec forces FPs with a
+    // deliberately small bitmap and pins result-invariance).
+    "q163_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d, BloomBits)),
 
     // paraphrase-level decontamination: MinHash-LSH candidates between
     // the train and test splits, exact-Jaccard-verified. Rows-only (the
@@ -364,6 +471,28 @@ object CorpusSignals {
       |  FROM sets
       |)""".stripMargin
 
+  /** Shared by q66 and q163 — the two are the SAME query under
+    * different physical plans (plain broadcast semi-join vs Bloom
+    * prefilter + verify), so one oracle text serves both.
+    */
+  private val Q66Sql =
+    s"""WITH $FiveGramCtes, test_grams AS (
+       |  SELECT DISTINCT md5(g) AS gd
+       |  FROM (SELECT UNNEST(sh) AS g FROM sized WHERE is_test)
+       |), overlap AS (
+       |  SELECT doc_id, COUNT(*) AS n_overlap
+       |  FROM (SELECT doc_id, md5(g) AS gd
+       |        FROM (SELECT doc_id, UNNEST(sh) AS g FROM sized WHERE NOT is_test))
+       |  WHERE gd IN (SELECT gd FROM test_grams)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.lang, t.n_grams,
+       |       COALESCE(o.n_overlap, 0) AS n_overlap,
+       |       CAST(COALESCE(o.n_overlap, 0) > 0 AS INTEGER) AS contaminated
+       |FROM sized t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+       |WHERE NOT t.is_test
+       |ORDER BY t.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q64_doc_repetition" ->
       s"""WITH $RepetitionCtes
@@ -403,23 +532,12 @@ object CorpusSignals {
          |GROUP BY 1, 2
          |ORDER BY doc_id, test_doc_id""".stripMargin,
 
-    "q66_decontaminate" ->
-      s"""WITH $FiveGramCtes, test_grams AS (
-         |  SELECT DISTINCT md5(g) AS gd
-         |  FROM (SELECT UNNEST(sh) AS g FROM sized WHERE is_test)
-         |), overlap AS (
-         |  SELECT doc_id, COUNT(*) AS n_overlap
-         |  FROM (SELECT doc_id, md5(g) AS gd
-         |        FROM (SELECT doc_id, UNNEST(sh) AS g FROM sized WHERE NOT is_test))
-         |  WHERE gd IN (SELECT gd FROM test_grams)
-         |  GROUP BY doc_id
-         |)
-         |SELECT t.doc_id, t.lang, t.n_grams,
-         |       COALESCE(o.n_overlap, 0) AS n_overlap,
-         |       CAST(COALESCE(o.n_overlap, 0) > 0 AS INTEGER) AS contaminated
-         |FROM sized t LEFT JOIN overlap o ON t.doc_id = o.doc_id
-         |WHERE NOT t.is_test
-         |ORDER BY t.doc_id""".stripMargin,
+    "q66_decontaminate" -> Q66Sql,
+
+    // q163 IS q66 through a different physical plan: the Bloom stage
+    // is an engine-side prefilter whose false positives the exact join
+    // removes, so the reference answer is the same SQL verbatim.
+    "q163_decontaminate_bloom" -> Q66Sql,
 
     "q69_corpus_curation_guarded" ->
       s"""WITH $RepetitionCtes, $FiveGramCtes, scored AS (

@@ -84,6 +84,41 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0)), s"got ${got(1L)}")
   }
 
+  test("q163: Bloom prefilter has no false negatives and q163 equals q66 row-for-row") {
+    // bit mechanics: every inserted digest must hit (Bloom's zero-FN
+    // guarantee is what makes the exact join a pure FP-remover)
+    val grams = (0 until 500).map(i => Tuple1(s"gram-$i")).toDF("gd")
+    val bm = ops.CorpusSignals.bloomBitmap(grams, 1 << 12)
+    val misses = grams.filter(!ops.CorpusSignals.bloomHit(col("gd"), bm)).count()
+    assert(misses == 0, s"$misses inserted grams missed the filter")
+
+    // engine-level equality on the real corpus: same rows, same order
+    val sf = "/root/testdata/sf0.001"
+    val q66 = SparkEntry.queries("q66_decontaminate")(spark, sf).collect().toSeq
+    val q163 = SparkEntry.queries("q163_decontaminate_bloom")(spark, sf).collect().toSeq
+    assert(q163 == q66, "Bloom path diverged from the plain broadcast path")
+    assert(q66.exists(_.getInt(4) == 1), "fixture must exercise contamination")
+  }
+
+  test("q163: a deliberately tiny bitmap forces false positives; the answer never moves") {
+    val sf = "/root/testdata/sf0.001"
+    // 256-bit filter vs thousands of grams: nearly every bit is set, so
+    // the prefilter passes false positives by construction
+    val (_, hits, real) = ops.CorpusSignals.bloomCandidates(spark, sf, 256)
+    assert(hits > real, s"expected forced FPs, got hits=$hits real=$real")
+    // ... and at the production size the prefilter actually prunes:
+    // FP rate over NON-member probes lands in the Bloom-math band
+    val (trials, hitsBig, realBig) =
+      ops.CorpusSignals.bloomCandidates(spark, sf, ops.CorpusSignals.BloomBits)
+    assert(realBig == real, "true membership is geometry-independent")
+    val fpr = (hitsBig - realBig).toDouble / math.max(1L, trials - realBig)
+    assert(fpr <= 0.01, s"production-size FP rate too high: $fpr")
+    // verification independence: the tiny-filter pipeline still equals q66
+    val q66 = SparkEntry.queries("q66_decontaminate")(spark, sf).collect().toSeq
+    val tiny = ops.CorpusSignals.decontaminateBloom(spark, sf, 256).collect().toSeq
+    assert(tiny == q66, "exact verify must erase the Bloom geometry from the answer")
+  }
+
   test("q146: evidence names the leaking test doc and first shared gram; set equals q66's") {
     val d = writeDocs("/tmp/graft_test_evidence", Seq(
       3L -> "alpha beta gamma delta epsilon zeta",       // test split
