@@ -36,7 +36,8 @@ object SparkEntry {
       ops.LmTokenizer.queries ++ ops.PqOps.queries ++
       ops.Retrieval.queries ++ ops.NaiveBayes.queries ++
       ops.Winnowing.queries ++ ops.UnigramLm.queries ++
-      ops.Dsir.queries ++ ops.Mining.queries ++ ops.WordPiece.queries
+      ops.Dsir.queries ++ ops.Mining.queries ++ ops.WordPiece.queries ++
+      ops.SymSpell.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -56,7 +57,8 @@ object SparkEntry {
       ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql ++
       ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql ++
       ops.Winnowing.oracleSql ++ ops.UnigramLm.oracleSql ++
-      ops.Dsir.oracleSql ++ ops.Mining.oracleSql ++ ops.WordPiece.oracleSql
+      ops.Dsir.oracleSql ++ ops.Mining.oracleSql ++ ops.WordPiece.oracleSql ++
+      ops.SymSpell.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
@@ -77,5 +79,6 @@ object SparkEntry {
       ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly ++
       ops.Retrieval.rowsOnly ++ ops.NaiveBayes.rowsOnly ++
       ops.Winnowing.rowsOnly ++ ops.UnigramLm.rowsOnly ++
-      ops.Dsir.rowsOnly ++ ops.Mining.rowsOnly ++ ops.WordPiece.rowsOnly
+      ops.Dsir.rowsOnly ++ ops.Mining.rowsOnly ++ ops.WordPiece.rowsOnly ++
+      ops.SymSpell.rowsOnly
 }
