@@ -407,23 +407,30 @@ object SimilaritySearch {
     def score(method: String, approx: DataFrame, exact: DataFrame,
               keys: Seq[String]): DataFrame = {
       val q = keys.head
-      val hits = exact.join(approx, keys, "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
       val total = exact.agg(count(lit(1)).as("n_exact"))
       val kq = exact.groupBy(q).agg(count(lit(1)).as("kq"))
       def gain(rankE: Column, pos: Column): Column =
         (col("kq") + 1 - rankE).cast("double") / log(2.0, pos + 1)
       val idcg = exact.join(kq, q)
         .groupBy(q).agg(sum(gain(col("rank"), col("rank"))).as("idcg"))
-      val dcg = approx.withColumnRenamed("rank", "rank_a")
+      // ONE reference to the live method pipeline: the rank join feeds
+      // BOTH the hit count (matched-pair cardinality — equal to the
+      // old semi-join count because a rank list holds each (query,
+      // neighbor) once) and the DCG sums. When the nDCG addition read
+      // `approx` a second time, every live approximate pipeline
+      // re-executed inside the same report and q117 doubled (8.4 s
+      // quiet); the exact side is FrameMemo'd so ITS fan-out is free.
+      val perQ = approx.withColumnRenamed("rank", "rank_a")
         .join(exact.withColumnRenamed("rank", "rank_e"), keys)
         .join(kq, q)
-        .groupBy(q).agg(sum(gain(col("rank_e"), col("rank_a"))).as("dcg"))
+        .groupBy(q).agg(count(lit(1)).as("hits_q"),
+          sum(gain(col("rank_e"), col("rank_a"))).as("dcg"))
       // left join: a query where the method found NOTHING contributes
-      // ndcg 0, not a dropped row (that would inflate the mean)
-      val ndcg = idcg.join(dcg, Seq(q), "left").agg(
+      // ndcg 0 and 0 hits, not a dropped row (that would inflate the mean)
+      val agg = idcg.join(perQ, Seq(q), "left").agg(
+        sum(coalesce(col("hits_q"), lit(0L))).as("n_hit"),
         avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
-      hits.crossJoin(total).crossJoin(ndcg).select(
+      agg.crossJoin(total).select(
         lit(method).as("method"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall_r"),
         round(col("ndcg"), 4).as("ndcg_r"))
