@@ -283,6 +283,8 @@ class PlanSpec extends AnyFunSuite {
       "q78_source_mixing",           // 1-row temperature-normalizer fold
       "q133_source_divergence",      // 50-row vocab spine + 1-row totals fold
       "q134_bigram_perplexity",      // 1-row vocabulary-size fold
+      "q167_ccnet_buckets",          // same 1-row vocabulary-size fold (q134's
+                                     // scorer under the tercile cut)
       "q153_nb_source_classifier",   // model grid: vocab × |classes| — classes
                                      // bounded by construction, vocab top-M-
                                      // pruned at web scale (NaiveBayes scaladoc)
