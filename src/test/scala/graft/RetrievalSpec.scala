@@ -12,6 +12,68 @@ class RetrievalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val d = "/root/testdata/sf0.001"
 
+  test("q170 QL: engine ranking equals the FULL Dirichlet formula (no decomposition)") {
+    // the engine scores via the matched-terms-only decomposition; the
+    // textbook formula sums ln p(t|θ_d) over ALL query terms including
+    // missing ones. The identity is exact in reals; this replays the
+    // full formula in doubles over the corpus and pins that rankings
+    // agree — a decomposition bug (wrong background mass, wrong dl
+    // normalizer) would reorder immediately.
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = docs.values.map(_.distinct).flatMap(identity)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val clen = cf.values.sum
+    val n = docs.size
+    val mu = graft.ops.QlRetrieval.Mu.toDouble
+    val got = SparkEntry.queries("q170_ql_retrieval")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val queries = docs.keys.filter(_ < Retrieval.QueryDocs)
+    queries.foreach { qid =>
+      val qterms = docs(qid).distinct
+        .filter(t => df(t) < n)
+        .sortBy(t => (df(t), t)).take(Retrieval.TermsPerQuery)
+      if (qterms.nonEmpty) {
+        val cands = docs.keys.filter(did => did != qid &&
+          qterms.exists(t => docs(did).contains(t)))
+        val scored = cands.map { did =>
+          val tf = docs(did).groupBy(identity).view.mapValues(_.size).toMap
+          val dl = docs(did).size.toDouble
+          did -> qterms.map { t =>
+            math.log((tf.getOrElse(t, 0) + mu * cf(t) / clen) / (dl + mu))
+          }.sum
+        }.toSeq.sortBy { case (did, s) => (-s, did) }
+        scored.take(Retrieval.TopK).zipWithIndex.foreach { case ((did, _), i) =>
+          assert(got.get((qid, i + 1)).contains(did),
+            s"query $qid rank ${i + 1}: engine ${got.get((qid, i + 1))} vs full-formula $did")
+        }
+      }
+    }
+  }
+
+  test("q170 QL: no quantized ln sits near a .5 boundary (q154-class gate, all three families)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val clen = cf.values.sum.toDouble
+    val mu = graft.ops.QlRetrieval.Mu.toDouble
+    def margin(x: Double) = math.abs(math.abs(x - math.floor(x)) - 0.5)
+    var m = Double.MaxValue
+    // family A: ln(μ·cf/|C|) per term; family B: ln(dl+μ) per doc;
+    // family C: ln(1 + tf·|C|/(μ·cf)) per (tf, cf) pair in use
+    cf.values.foreach(c => m = m.min(margin(1e6 * math.log(mu * c / clen))))
+    docs.values.foreach(t => m = m.min(margin(1e6 * math.log(t.size + mu))))
+    docs.values.foreach { toks =>
+      toks.groupBy(identity).foreach { case (t, occ) =>
+        m = m.min(margin(1e6 * math.log(1.0 + occ.size * clen / (mu * cf(t)))))
+      }
+    }
+    info(f"min distance of any QL ln·1e6 to a .5 boundary: $m%.2e")
+    assert(m > 1e-8, f"a QL quantized ln sits $m%.2e from a boundary — known hazard class")
+  }
+
   test("q149 BM25: contiguous ranks, positive scores, hits bounded by query terms") {
     val rows = SparkEntry.queries("q149_bm25_retrieval")(spark, d).collect()
     assert(rows.nonEmpty)
