@@ -197,9 +197,12 @@ object Bench {
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val note = "noop-sink;med" + runs + ";keys=NN(QUERIES.md)" +
-      (if (sharedBuildSec > 0) ";total incl shared_build" else "") +
-      (if (sharedBuildFailed) ";shared_build FAILED (unmemoized)" else "")
+    // every byte of the note is budgeted: the registry keeps growing
+    // (~10 chars/query) and this line must stay inside the harness's
+    // tail-capture window — semantics documented in QUERIES.md/README
+    // (noop-sink action, median-of-runs, qNN keys, total incl build)
+    val note = "m" + runs + ";qNN;see QUERIES.md" +
+      (if (sharedBuildFailed) ";shared_build FAILED" else "")
     // shared_build is INSIDE the total (steady-state medians + one
     // amortized build = what a full pass actually costs) and also broken
     // out so a build regression is visible on its own
@@ -213,6 +216,6 @@ object Bench {
     val residJson = residency.map { case ((n0, m0), (n1, m1)) =>
       s""","blocks":{"pre":[$n0,$m0],"post":[$n1,$m1]}"""
     }.getOrElse("")
-    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson$residJson,"errors":$errJson,"sf":"$sfDir","note":"$note"}"""
+    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson$residJson,"errors":$errJson,"sf":"${sfDir.split('/').last}","note":"$note"}"""
   }
 }

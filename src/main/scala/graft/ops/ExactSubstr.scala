@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact-SUBSTRING benchmark decontamination (the ExactSubstr
+  * construction of Lee et al. 2022, "Deduplicating Training Data Makes
+  * Language Models Better", at evidence grain): for every (train, test)
+  * doc pair, the LONGEST verbatim shared character run and where it
+  * sits — stronger localization than q66/q163's 5-word-gram overlap
+  * (which misses sub-gram verbatim runs and can't say HOW LONG the
+  * leak is) and the natural escalation after q146 names a leaking
+  * pair. Completes the decontamination family: exact-gram q66 / Bloom
+  * q163 / fuzzy q74 / semantic q101 / evidence q146 / substring-level
+  * (this).
+  *
+  * Mechanism: q155's canon + base-127 polynomial 8-gram hashes, but the
+  * FULL gram stream (winnowing selects a sample; run reconstruction
+  * needs every position). Matched (train, test) gram positions lie on
+  * DIAGONALS (p_train − p_test constant within one shared run); islands
+  * of consecutive p_train per diagonal (the p − ROW_NUMBER trick, q33's
+  * gaps-and-islands) are maximal shared runs, and a run of r matched
+  * 8-grams certifies a shared substring of r + 7 canon chars. Identity
+  * is hash-grade (the 2^40 fold — MOSS's trade at the same width;
+  * collisions ≈ pairs²/2^40, and a collision only ever EXTENDS a run by
+  * chance), bit-identical cross-engine, fully oracle-replayed.
+  *
+  * Scale shape: the gram stream is linear in corpus bytes and the hash
+  * join is df-capped ([[MaxDfSub]] — a ubiquitous 8-gram is
+  * boilerplate, the MOSS rule), so matched volume tracks contamination,
+  * not corpus size; the islands pass is one shuffle keyed by (pair,
+  * diagonal) with a codegen ROW_NUMBER window. The gram frame is read
+  * twice (df table + posting sides) — both reads are the same narrow
+  * codegen scan, cheaper than checkpointing a corpus-sized stream.
+  */
+object ExactSubstr {
+
+  /** Report runs of at least this many canon chars (≥ the winnowing
+    * guarantee bound 11, so q155's sampled fingerprints would also see
+    * every reported pair — this op adds the LENGTH and POSITION).
+    */
+  private[graft] val MinSubLen = 16
+
+  /** Drop 8-gram hashes present in more docs than this (boilerplate
+    * suppression + posting bound; looser than q155's fingerprint cap
+    * because raw grams are denser than winnowed selections).
+    */
+  private[graft] val MaxDfSub = 20
+
+  private[graft] def substringLeaks(docs: DataFrame): DataFrame = {
+    val grams = Winnowing.gramsOf(docs)
+      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
+    val kept = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxDfSub).select("h")
+    val g = grams.join(kept, Seq("h"))
+    val test = g.filter(col("is_test"))
+      .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
+    val train = g.filter(!col("is_test"))
+      .select(col("doc_id"), col("p").as("p_r"), col("h"))
+    val wrun = Window.partitionBy("doc_id", "test_doc_id", "diag").orderBy("p_r")
+    val islands = train.join(test, Seq("h"))
+      .withColumn("diag", col("p_r") - col("p_t"))
+      .withColumn("grp", col("p_r") - row_number().over(wrun))
+      .groupBy("doc_id", "test_doc_id", "diag", "grp")
+      .agg(count(lit(1)).as("run"),
+        min(col("p_r")).as("p_r"), min(col("p_t")).as("p_t"))
+      .withColumn("len", col("run") + lit(Winnowing.WinnowK - 1))
+      .filter(col("len") >= MinSubLen)
+    islands.groupBy("doc_id", "test_doc_id")
+      .agg(max(col("len")).as("longest_len"),
+        count(lit(1)).as("n_islands"),
+        min_by(struct(col("p_r"), col("p_t")),
+          struct((-col("len")).as("nl"), col("p_r"), col("p_t"))).as("at"))
+      .select(col("doc_id"), col("test_doc_id"), col("longest_len"),
+        col("at.p_r").cast("long").as("train_pos"),
+        col("at.p_t").cast("long").as("test_pos"),
+        col("n_islands"))
+      .orderBy("doc_id", "test_doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_decontaminate_substring" -> ((s, d) =>
+      substringLeaks(Tables.documents(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q171_decontaminate_substring" -> {
+      import Winnowing.{MaxCanon, WinnowK, PolyCoef, HashMod}
+      s"""WITH canon AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+         |                1, $MaxCanon) AS c,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') AS is_test
+         |  FROM documents
+         |), grams AS MATERIALIZED (
+         |  SELECT doc_id, is_test, p,
+         |         (${PolyCoef.zipWithIndex.map { case (coef, o) =>
+                      s"CAST(ascii(substr(c, p + $o, 1)) AS BIGINT) * $coef"
+                    }.mkString(" + ")}) % $HashMod AS h
+         |  FROM (
+         |    SELECT doc_id, is_test, c,
+         |           unnest(range(1, length(c) - $WinnowK + 2)) AS p
+         |    FROM canon WHERE length(c) >= $WinnowK
+         |  )
+         |), kept AS (
+         |  SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY h
+         |  ) WHERE df <= $MaxDfSub
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, is_test, p, h FROM grams WHERE h IN (SELECT h FROM kept)
+         |), m AS MATERIALIZED (
+         |  SELECT r.doc_id, t.doc_id AS test_doc_id, r.p AS p_r, t.p AS p_t,
+         |         r.p - t.p AS diag
+         |  FROM g r JOIN g t ON r.h = t.h
+         |  WHERE NOT r.is_test AND t.is_test
+         |), islands AS MATERIALIZED (
+         |  SELECT doc_id, test_doc_id,
+         |         CAST(COUNT(*) + ${WinnowK - 1} AS BIGINT) AS len,
+         |         MIN(p_r) AS p_r, MIN(p_t) AS p_t
+         |  FROM (
+         |    SELECT *, p_r - ROW_NUMBER() OVER (
+         |             PARTITION BY doc_id, test_doc_id, diag ORDER BY p_r) AS grp
+         |    FROM m
+         |  )
+         |  GROUP BY doc_id, test_doc_id, diag, grp
+         |  HAVING COUNT(*) + ${WinnowK - 1} >= $MinSubLen
+         |), best AS (
+         |  SELECT doc_id, test_doc_id, len, p_r, p_t,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id, test_doc_id
+         |                            ORDER BY len DESC, p_r, p_t) AS rk
+         |  FROM islands
+         |)
+         |SELECT i.doc_id AS doc_id, i.test_doc_id AS test_doc_id,
+         |       CAST(MAX(i.len) AS BIGINT) AS longest_len,
+         |       CAST(MIN(b.p_r) AS BIGINT) AS train_pos,
+         |       CAST(MIN(b.p_t) AS BIGINT) AS test_pos,
+         |       COUNT(*) AS n_islands
+         |FROM islands i
+         |JOIN best b ON b.doc_id = i.doc_id AND b.test_doc_id = i.test_doc_id
+         |           AND b.rk = 1
+         |GROUP BY i.doc_id, i.test_doc_id
+         |ORDER BY i.doc_id, i.test_doc_id""".stripMargin
+    })
+
+  val rowsOnly: Set[String] = Set.empty
+}

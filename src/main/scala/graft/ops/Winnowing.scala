@@ -86,27 +86,33 @@ object Winnowing {
     * spec can run planted-substring fixtures through the exact
     * production path (the classifierOn pattern).
     */
-  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+  /** The canon + k-gram-hash stage as its own frame (doc_id, p, h) —
+    * q155 winnows it; q171's exact-substring decontamination reads the
+    * FULL gram stream (no winnowing — it needs every position for the
+    * diagonal-run reconstruction).
+    *
+    * One split per doc, then O(1) element_at per position: substr(c, p,
+    * k) per gram would re-walk the string from byte 0 every call
+    * (UTF8String offsets), i.e. quadratic per doc near the MaxCanon
+    * bound — and the r15 md5-per-gram profile showed the gram hash
+    * dominating the whole query. The whole hash SEQUENCE is computed
+    * row-locally (one nested transform per doc) BEFORE the explode, so
+    * exploded rows carry only (doc_id, p, h) — exploding alongside the
+    * codepoint array would copy the O(doc) array into every one of the
+    * O(doc) rows, a quadratic blowup that measured 8× WORSE than the
+    * md5 chain it was meant to replace.
+    */
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = {
     val canon = docs
       .select(col("doc_id"),
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
           1, MaxCanon).as("c"))
       .filter(length(col("c")) >= WinnowK)
-    // one split per doc, then O(1) element_at per position: substr(c, p,
-    // k) per gram would re-walk the string from byte 0 every call
-    // (UTF8String offsets), i.e. quadratic per doc near the MaxCanon
-    // bound — and the r15 md5-per-gram profile showed the gram hash
-    // dominating the whole query. The whole hash SEQUENCE is computed
-    // row-locally (one nested transform per doc) BEFORE the explode, so
-    // exploded rows carry only (doc_id, p, h) — exploding alongside the
-    // codepoint array would copy the O(doc) array into every one of the
-    // O(doc) rows, a quadratic blowup that measured 8× WORSE than the
-    // md5 chain it was meant to replace.
     def gramHash(a: Column, p: Column): Column =
       PolyCoef.zipWithIndex.map { case (coef, o) =>
         element_at(a, p + lit(o)).cast("long") * lit(coef)
       }.reduce(_ + _) % lit(HashMod)
-    val grams = canon
+    canon
       .select(col("doc_id"),
         transform(split(col("c"), ""), ch => ascii(ch)).as("a"),
         (length(col("c")) - (WinnowK - 1)).as("m"))
@@ -114,6 +120,10 @@ object Winnowing {
         posexplode(transform(sequence(lit(1), col("m")),
           p => gramHash(col("a"), p))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+  }
+
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    val grams = gramsOf(docs)
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val frame = byPos.rowsBetween(Window.currentRow, WinnowW - 1)
     grams
