@@ -55,10 +55,14 @@ object ExactSubstr {
     val kept = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= MaxDfSub).select("h")
-    val g = grams.join(kept, Seq("h"))
-    val test = g.filter(col("is_test"))
+    // the df cap gates only the TEST side: a match needs both sides on
+    // the same h, so excluding a capped hash from one side excludes the
+    // pair — and the test stream is the split's small fraction, while
+    // filtering the full train stream through `kept` was a third
+    // corpus-sized shuffle for nothing (measured 6.4 s → 4.1 s at sf0.1)
+    val test = grams.filter(col("is_test")).join(kept, Seq("h"))
       .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
-    val train = g.filter(!col("is_test"))
+    val train = grams.filter(!col("is_test"))
       .select(col("doc_id"), col("p").as("p_r"), col("h"))
     val wrun = Window.partitionBy("doc_id", "test_doc_id", "diag").orderBy("p_r")
     val islands = train.join(test, Seq("h"))
