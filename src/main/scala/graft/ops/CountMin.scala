@@ -48,7 +48,7 @@ object CountMin {
   private[graft] val TopN = 20
 
   /** md5-derived bucket of `t` in hash row `r` (engine side). */
-  private def bucket(t: Column, r: Column): Column =
+  private[graft] def bucket(t: Column, r: Column): Column =
     pmod(conv(substring(md5(concat(t, lit("|"), r.cast("string"))), 1, 8),
       16, 10).cast("long"), lit(W))
 

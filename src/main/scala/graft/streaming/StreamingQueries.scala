@@ -69,6 +69,41 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q168's count-min sketch maintained ON INGEST — the streaming skew
+    // sentinel: every event updates D counter cells keyed by its
+    // user_id (a narrow per-row expansion into a 256-key stateful
+    // aggregate — bounded state REGARDLESS of key cardinality, which is
+    // the whole point: a plain streaming groupBy(user_id) grows state
+    // with distinct users; the sketch never does). Complete mode on the
+    // bounded replay makes the final state the batch sketch exactly;
+    // the probe then scores the exact top-10 users against the STREAMED
+    // matrix — estimate ≥ exact survives the stream because counter
+    // merges are additive (the mergeable-sketch law, q168's spec).
+    "q172_stream_hotkey_cms" -> ((s, d) => {
+      import graft.ops.CountMin
+      val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
+      val probes = stream.select(
+        posexplode(array((0 until CountMin.D).map(r =>
+          CountMin.bucket(col("user_id").cast("string"), lit(r))): _*))
+          .as(Seq("r", "c")))
+      val matrix = EventsStreaming.runToMemory(s,
+        probes.groupBy("r", "c").agg(count(lit(1)).as("v")),
+        "q172_stream_hotkey_cms", OutputMode.Complete,
+        statePartitions = Some(8))
+      val events = graft.Tables.events(s, d)
+      val exact = events.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      val pos = exact.select(col("user_id"), col("exact_n"),
+        posexplode(array((0 until CountMin.D).map(r =>
+          CountMin.bucket(col("user_id").cast("string"), lit(r))): _*))
+          .as(Seq("r", "c")))
+      pos.join(broadcast(matrix), Seq("r", "c"))
+        .groupBy("user_id", "exact_n").agg(min(col("v")).as("cms_est"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // q32 replayed through the streaming engine: same grouping, same
     // decimal-exact sum, but planned as an unbounded stateful
     // aggregation and driven to completion with Trigger.AvailableNow.
@@ -267,6 +302,32 @@ object StreamingQueries {
     * the batch aggregation bit-for-bit on a bounded replay.
     */
   val oracleSql: Map[String, String] = Map(
+    // q172: the batch replay of the streamed sketch + the probe — the
+    // whole chain is COUNT aggregates over md5-derived buckets, so the
+    // oracle proves streamed-state ≡ batch-CMS ≡ SQL, the strongest
+    // statement the mergeable-sketch family makes (q168's scaladoc).
+    "q172_stream_hotkey_cms" ->
+      s"""WITH h AS (
+         |  SELECT user_id, CAST(s.r AS INTEGER) AS r,
+         |         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' || s.r), 1, 8) AS UBIGINT) AS BIGINT)
+         |           % ${graft.ops.CountMin.W} AS c
+         |  FROM events, range(${graft.ops.CountMin.D}) s(r)
+         |), cms AS MATERIALIZED (
+         |  SELECT r, c, COUNT(*) AS v FROM h GROUP BY r, c
+         |), exact AS (
+         |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+         |  ORDER BY exact_n DESC, user_id LIMIT 10
+         |), pos AS (
+         |  SELECT e.user_id, e.exact_n, CAST(s.r AS INTEGER) AS r,
+         |         CAST(CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || '|' || s.r), 1, 8) AS UBIGINT) AS BIGINT)
+         |           % ${graft.ops.CountMin.W} AS c
+         |  FROM exact e, range(${graft.ops.CountMin.D}) s(r)
+         |)
+         |SELECT p.user_id, p.exact_n, MIN(cms.v) AS cms_est,
+         |       MIN(cms.v) - p.exact_n AS overcount
+         |FROM pos p JOIN cms USING (r, c)
+         |GROUP BY p.user_id, p.exact_n
+         |ORDER BY exact_n DESC, user_id""".stripMargin,
     "q116_stream_hourly_replay" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |       COUNT(*) AS n,

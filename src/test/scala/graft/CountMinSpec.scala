@@ -52,6 +52,20 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("q172: streamed sketch keeps the one-sided guarantee; state is cell-bounded") {
+    // sf0.01: 150 distinct users — more than one hash row's 64 cells,
+    // so per-row collisions (the overcount mechanism) actually occur
+    // while total state stays ≤ D×W keys no matter the cardinality
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q172_stream_hotkey_cms")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"user ${r.getLong(0)} underestimated after the stream"))
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(users > 64,
+      s"fixture must overflow one hash row ($users users) to make the point")
+  }
+
   test("q168: the engine counter matrix equals a driver-side md5 replay on a fixture") {
     val words = Seq("alpha", "beta", "beta", "gamma", "gamma", "gamma", "delta")
     val got = CountMin.sketch(words.map(Tuple1(_)).toDF("t")).collect()
