@@ -290,8 +290,10 @@ class PlanSpec extends AnyFunSuite {
                                      // pruned at web scale (NaiveBayes scaladoc)
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
-      "q158_hard_negatives")         // broadcast 10-anchor side vs corpus
+      "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
                                      // (same shape; ANN shortlist at scale)
+      "q173_epoch_allocation")       // 1-row budget/weight-total folds over
+                                     // the |sources|-bounded allocation frame
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
@@ -323,7 +325,10 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     val globalWindowAllowed = Set(
       "q16_dim_region", "q17_dim_time", "q18_upsert_dim",
-      "q20_fact_star_keyed")
+      "q20_fact_star_keyed",
+      // the water-filling prefix pass: a window over the per-SOURCE
+      // allocation frame, bounded by the source catalog like a dim
+      "q173_epoch_allocation")
     val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
       "q122_stream_sessions_append", "q123_stream_attribution_replay",
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
