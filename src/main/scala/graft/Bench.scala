@@ -196,12 +196,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }
     val total = results.collect { case (_, Right(v)) => v }.sum
-    val errJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    val errJson =
+      if (failed.isEmpty) ""   // the empty array was 12 budgeted bytes
+      else failed.map("\"" + short(_) + "\"").mkString(""","errors":[""", ",", "]")
     // every byte of the note is budgeted: the registry keeps growing
     // (~10 chars/query) and this line must stay inside the harness's
     // tail-capture window — semantics documented in QUERIES.md/README
     // (noop-sink action, median-of-runs, qNN keys, total incl build)
-    val note = "m" + runs + ";qNN;see QUERIES.md" +
+    val note = "m" + runs + ";qNN" +
       (if (sharedBuildFailed) ";shared_build FAILED" else "")
     // shared_build is INSIDE the total (steady-state medians + one
     // amortized build = what a full pass actually costs) and also broken
@@ -214,8 +216,8 @@ object Bench {
     // block-store residency [cachedRDDs, MiB] before/after the timed
     // loop — ~36 chars, budgeted in BenchHarnessSpec's width model
     val residJson = residency.map { case ((n0, m0), (n1, m1)) =>
-      s""","blocks":{"pre":[$n0,$m0],"post":[$n1,$m1]}"""
+      s""","blk":[[$n0,$m0],[$n1,$m1]]"""
     }.getOrElse("")
-    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson$residJson,"errors":$errJson,"sf":"${sfDir.split('/').last}","note":"$note"}"""
+    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","queries":$qs$buildJson$residJson$errJson,"sf":"${sfDir.split('/').last}","note":"$note"}"""
   }
 }

@@ -49,23 +49,13 @@ object ExactSubstr {
     */
   private[graft] val MaxDfSub = 20
 
-  private[graft] def substringLeaks(docs: DataFrame): DataFrame = {
-    val grams = Winnowing.gramsOf(docs)
-      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
-    val kept = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= MaxDfSub).select("h")
-    // the df cap gates only the TEST side: a match needs both sides on
-    // the same h, so excluding a capped hash from one side excludes the
-    // pair — and the test stream is the split's small fraction, while
-    // filtering the full train stream through `kept` was a third
-    // corpus-sized shuffle for nothing (measured 6.4 s → 4.1 s at sf0.1)
-    val test = grams.filter(col("is_test")).join(kept, Seq("h"))
-      .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
-    val train = grams.filter(!col("is_test"))
-      .select(col("doc_id"), col("p").as("p_r"), col("h"))
+  /** Diagonal-run core over a matched (doc_id, test_doc_id, p_r, p_t)
+    * gram-position frame: islands per diagonal → per-pair longest run,
+    * its positions, and the island count. Shared by q171 (train × test)
+    * and q174 (corpus × corpus, a < b). */
+  private def diagonalReport(matched: DataFrame): DataFrame = {
     val wrun = Window.partitionBy("doc_id", "test_doc_id", "diag").orderBy("p_r")
-    val islands = train.join(test, Seq("h"))
+    val islands = matched
       .withColumn("diag", col("p_r") - col("p_t"))
       .withColumn("grp", col("p_r") - row_number().over(wrun))
       .groupBy("doc_id", "test_doc_id", "diag", "grp")
@@ -85,9 +75,58 @@ object ExactSubstr {
       .orderBy("doc_id", "test_doc_id")
   }
 
+  private[graft] def substringLeaks(docs: DataFrame): DataFrame = {
+    val grams = Winnowing.gramsOf(docs)
+      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
+    val kept = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxDfSub).select("h")
+    // the df cap gates only the TEST side: a match needs both sides on
+    // the same h, so excluding a capped hash from one side excludes the
+    // pair — and the test stream is the split's small fraction, while
+    // filtering the full train stream through `kept` was a third
+    // corpus-sized shuffle for nothing (measured 6.4 s → 4.1 s at sf0.1)
+    val test = grams.filter(col("is_test")).join(kept, Seq("h"))
+      .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
+    val train = grams.filter(!col("is_test"))
+      .select(col("doc_id"), col("p").as("p_r"), col("h"))
+    diagonalReport(train.join(test, Seq("h"))
+      .select("doc_id", "test_doc_id", "p_r", "p_t"))
+  }
+
+  /** q174: the SAME machinery pointed at the corpus itself — repeated
+    * verbatim passages ACROSS documents (boilerplate, mirrored pages,
+    * syndicated paragraphs), which is ExactSubstr's original dedup use:
+    * the reported spans are what the Lee et al. pipeline CUTS from the
+    * training set (whole-doc dedup q25/q26 can't see a copied paragraph
+    * inside two otherwise-different docs; q113 needs line boundaries).
+    * Both posting sides are df-capped here (the pair fanout is
+    * corpus × corpus, not corpus × eval — the cap bounds it the way
+    * q155's MaxDf bounds the fingerprint join); pairs canonicalize
+    * a < b so each repeated passage reports once.
+    */
+  private[graft] def duplicatePassages(docs: DataFrame): DataFrame = {
+    val grams = Winnowing.gramsOf(docs)
+    val kept = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxDfSub).select("h")
+    // no checkpoint: both sides are the same narrow codegen scan (the
+    // q171 trade — recomputing beats materializing a corpus-long stream)
+    val g = grams.join(kept, Seq("h"))
+    val a = g.select(col("doc_id"), col("p").as("p_r"), col("h"))
+    val b = g.select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
+    diagonalReport(a.join(b, Seq("h"))
+      .filter(col("doc_id") < col("test_doc_id"))
+      .select("doc_id", "test_doc_id", "p_r", "p_t"))
+      .withColumnsRenamed(Map("doc_id" -> "doc_a", "test_doc_id" -> "doc_b",
+        "train_pos" -> "pos_a", "test_pos" -> "pos_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_decontaminate_substring" -> ((s, d) =>
-      substringLeaks(Tables.documents(s, d))))
+      substringLeaks(Tables.documents(s, d))),
+    "q174_duplicate_passages" -> ((s, d) =>
+      duplicatePassages(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q171_decontaminate_substring" -> {
@@ -146,6 +185,60 @@ object ExactSubstr {
          |           AND b.rk = 1
          |GROUP BY i.doc_id, i.test_doc_id
          |ORDER BY i.doc_id, i.test_doc_id""".stripMargin
+    },
+
+    "q174_duplicate_passages" -> {
+      import Winnowing.{MaxCanon, WinnowK, PolyCoef, HashMod}
+      s"""WITH canon AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+         |                1, $MaxCanon) AS c
+         |  FROM documents
+         |), grams AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |         (${PolyCoef.zipWithIndex.map { case (coef, o) =>
+                      s"CAST(ascii(substr(c, p + $o, 1)) AS BIGINT) * $coef"
+                    }.mkString(" + ")}) % $HashMod AS h
+         |  FROM (
+         |    SELECT doc_id, c, unnest(range(1, length(c) - $WinnowK + 2)) AS p
+         |    FROM canon WHERE length(c) >= $WinnowK
+         |  )
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, p, h FROM grams
+         |  WHERE h IN (SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY h
+         |  ) WHERE df <= $MaxDfSub)
+         |), m AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS p_r, b.p AS p_t,
+         |         a.p - b.p AS diag
+         |  FROM g a JOIN g b ON a.h = b.h
+         |  WHERE a.doc_id < b.doc_id
+         |), islands AS MATERIALIZED (
+         |  SELECT doc_a, doc_b,
+         |         CAST(COUNT(*) + ${WinnowK - 1} AS BIGINT) AS len,
+         |         MIN(p_r) AS p_r, MIN(p_t) AS p_t
+         |  FROM (
+         |    SELECT *, p_r - ROW_NUMBER() OVER (
+         |             PARTITION BY doc_a, doc_b, diag ORDER BY p_r) AS grp
+         |    FROM m
+         |  )
+         |  GROUP BY doc_a, doc_b, diag, grp
+         |  HAVING COUNT(*) + ${WinnowK - 1} >= $MinSubLen
+         |), best AS (
+         |  SELECT doc_a, doc_b, len, p_r, p_t,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+         |                            ORDER BY len DESC, p_r, p_t) AS rk
+         |  FROM islands
+         |)
+         |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+         |       CAST(MAX(i.len) AS BIGINT) AS longest_len,
+         |       CAST(MIN(b.p_r) AS BIGINT) AS pos_a,
+         |       CAST(MIN(b.p_t) AS BIGINT) AS pos_b,
+         |       COUNT(*) AS n_islands
+         |FROM islands i
+         |JOIN best b ON b.doc_a = i.doc_a AND b.doc_b = i.doc_b AND b.rk = 1
+         |GROUP BY i.doc_a, i.doc_b
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin
     })
 
   val rowsOnly: Set[String] = Set.empty

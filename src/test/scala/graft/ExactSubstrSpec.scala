@@ -62,6 +62,41 @@ class ExactSubstrSpec extends AnyFunSuite {
       s"longest $len != ${math.max(canon(runA).length, canon(runB).length)}")
   }
 
+  test("q174: a passage copied between two docs reports once, canonicalized a < b") {
+    val passage = "this exact paragraph was syndicated into both articles"
+    val df = Seq(
+      (8L, s"first article intro $passage and a unique ending"),
+      (1L, s"totally different opener $passage with another close"),
+      (0L, "an article sharing nothing with the other two at all"))
+      .map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = ops.ExactSubstr.duplicatePassages(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set((1L, 8L)), s"pairs: ${got.keySet}")
+    val (len, pa, pb) = got((1L, 8L))
+    assert(len == canon(passage).length, s"len $len != ${canon(passage).length}")
+    assert(pa == canon("totally different opener ").length + 1)
+    assert(pb == canon("first article intro ").length + 1)
+  }
+
+  test("q174: every reported corpus passage is verbatim-true at its reported positions") {
+    val d = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> canon(r.getString(1)).take(ops.Winnowing.MaxCanon)).toMap
+    val rows = SparkEntry.queries("q174_duplicate_passages")(spark, d).collect()
+    assert(rows.nonEmpty, "corpus must exercise repeated passages")
+    rows.foreach { r =>
+      val (a, b, len, pa, pb) = (r.getLong(0), r.getLong(1),
+        r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4).toInt)
+      assert(a < b, "pairs must canonicalize a < b")
+      val sa = texts(a).slice(pa - 1, pa - 1 + len)
+      val sb = texts(b).slice(pb - 1, pb - 1 + len)
+      assert(sa.length == len && sa == sb,
+        s"pair ($a,$b): reported $len-char passage at ($pa,$pb) is not verbatim")
+    }
+  }
+
   test("q171: every reported corpus leak is verbatim-true at its reported position") {
     val d = "/root/testdata/sf0.001"
     val texts = Tables.documents(spark, d).select("doc_id", "text").collect()
