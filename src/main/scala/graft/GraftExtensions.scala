@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
-import graft.expressions.{CosineSimilarity, DotProduct, NfcNormalize, SimHash, ZOrder16}
+import graft.expressions.{CosineSimilarity, DotProduct, GramHashes, NfcNormalize, SimHash, ZOrder16}
 
 /** SparkSessionExtensions hook exposing the engine's native expressions
   * to SQL users:
@@ -41,6 +41,7 @@ object GraftExtensions {
     "dot_product" -> (args => DotProduct(asVec(args(0)), asVec(args(1)))),
     "simhash64" -> (args => SimHash(args.head)),
     "nfc_normalize" -> (args => NfcNormalize(args.head)),
+    "gram_hashes" -> (args => GramHashes(args.head)),
     "zorder16" -> (args => ZOrder16(
       Cast(args(0), LongType), Cast(args(1), LongType))))
 

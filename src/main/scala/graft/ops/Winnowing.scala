@@ -82,25 +82,19 @@ object Winnowing {
   private[graft] def fingerprints(s: SparkSession, d: String): DataFrame =
     fingerprintsOf(Tables.documents(s, d))
 
-  /** Fingerprint core over any (doc_id, text) frame — exposed so the
-    * spec can run planted-substring fixtures through the exact
-    * production path (the classifierOn pattern).
-    */
   /** The canon + k-gram-hash stage as its own frame (doc_id, p, h) —
-    * q155 winnows it; q171's exact-substring decontamination reads the
-    * FULL gram stream (no winnowing — it needs every position for the
-    * diagonal-run reconstruction).
-    *
-    * One split per doc, then O(1) element_at per position: substr(c, p,
-    * k) per gram would re-walk the string from byte 0 every call
-    * (UTF8String offsets), i.e. quadratic per doc near the MaxCanon
-    * bound — and the r15 md5-per-gram profile showed the gram hash
-    * dominating the whole query. The whole hash SEQUENCE is computed
-    * row-locally (one nested transform per doc) BEFORE the explode, so
-    * exploded rows carry only (doc_id, p, h) — exploding alongside the
-    * codepoint array would copy the O(doc) array into every one of the
-    * O(doc) rows, a quadratic blowup that measured 8× WORSE than the
-    * md5 chain it was meant to replace.
+    * q155 winnows it; q171/q174's exact-substring reports read the FULL
+    * gram stream (no winnowing — run reconstruction needs every
+    * position). The hash SEQUENCE is computed row-locally BEFORE the
+    * explode, so exploded rows carry only (doc_id, p, h) — exploding
+    * alongside a per-char array column would copy the O(doc) array into
+    * every one of the O(doc) rows, a quadratic blowup that measured 8×
+    * WORSE than the md5 chain it replaced (r15 lesson, pinned here).
+    * The per-position hashing itself is the native one-pass rolling
+    * [[graft.expressions.GramHashes]] expression — the earlier HOF
+    * formulation (split → ascii transform → 8 element_at per position)
+    * walked a boxed array object graph per gram and still dominated the
+    * r16 profile at 4–6 s per gram-family query.
     */
   private[graft] def gramsOf(docs: DataFrame): DataFrame = {
     val canon = docs
@@ -108,20 +102,22 @@ object Winnowing {
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")),
           1, MaxCanon).as("c"))
       .filter(length(col("c")) >= WinnowK)
-    def gramHash(a: Column, p: Column): Column =
-      PolyCoef.zipWithIndex.map { case (coef, o) =>
-        element_at(a, p + lit(o)).cast("long") * lit(coef)
-      }.reduce(_ + _) % lit(HashMod)
+    // native one-pass rolling hash (graft.expressions.GramHashes):
+    // byte-identical to the retired HOF chain (split -> ascii transform
+    // -> 8 element_at per position), which walked a boxed array per
+    // gram; ExpressionsSpec pins native == HOF on canon fixtures and
+    // the oracles replay the same per-gram polynomial unchanged
+    import org.apache.spark.sql.graft.ColumnBridge
     canon
-      .select(col("doc_id"),
-        transform(split(col("c"), ""), ch => ascii(ch)).as("a"),
-        (length(col("c")) - (WinnowK - 1)).as("m"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), col("m")),
-          p => gramHash(col("a"), p))))
+      .select(col("doc_id"), posexplode(ColumnBridge.column(
+        graft.expressions.GramHashes(ColumnBridge.expression(col("c"))))))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
   }
 
+  /** Fingerprint core over any (doc_id, text) frame — exposed so the
+    * spec can run planted-substring fixtures through the exact
+    * production path (the classifierOn pattern).
+    */
   private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
     val grams = gramsOf(docs)
     val byPos = Window.partitionBy("doc_id").orderBy("p")

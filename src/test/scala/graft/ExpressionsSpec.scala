@@ -197,4 +197,51 @@ class ExpressionsSpec extends AnyFunSuite {
     val again = df.select(graft.ops.Dedup.minhashSignature(col("a"))).collect()(0)
     assert(again.getSeq[Long](0) == ma)
   }
+
+  test("gram_hashes: native == the retired HOF polynomial chain; interpreted == codegen; SQL-registered") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.expressions.GramHashes
+    val spark2 = spark
+    import spark2.implicits._
+    // the retired HOF formulation, kept as the cross-check reference
+    def hofGrams(df: org.apache.spark.sql.DataFrame) = {
+      def gramHash(a: Column, p: Column): Column =
+        graft.ops.Winnowing.PolyCoef.zipWithIndex.map { case (coef, o) =>
+          element_at(a, p + lit(o)).cast("long") * lit(coef)
+        }.reduce(_ + _) % lit(graft.ops.Winnowing.HashMod)
+      df.select(col("id"),
+        transform(split(col("c"), ""), ch => ascii(ch)).as("a"),
+        (length(col("c")) - 7).as("m"))
+        .select(col("id"), transform(sequence(lit(1), col("m")),
+          p => gramHash(col("a"), p)).as("hs"))
+    }
+    val fixtures = Seq(
+      (1L, "abcdefgh"),                        // exactly one gram
+      (2L, "aaaaaaaaaa"),                      // repeated chars: rolling must not drift
+      (3L, "thequickbrownfox0123456789"),
+      (4L, "z" * 200 + "energy" + "q" * 200))  // long input: many rolling updates
+    val df = fixtures.toDF("id", "c")
+    val native = df.select(col("id"),
+      ColumnBridge.column(GramHashes(ColumnBridge.expression(col("c")))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = hofGrams(df).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof, "native rolling hash diverged from the HOF polynomial")
+    // sub-k input yields an EMPTY array, never null
+    val short = Seq((9L, "abc")).toDF("id", "c")
+      .select(ColumnBridge.column(GramHashes(ColumnBridge.expression(col("c")))).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+    // interpreted eval == the codegen'd frame path
+    val interpreted = GramHashes(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaaaaaaaa")))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(interpreted == native(2L))
+    // SQL surface via GraftExtensions
+    GraftExtensions.register(spark) // self-sufficient under test filtering
+    val viaSql = spark.sql(
+      "SELECT gram_hashes('abcdefgh') AS hs").collect()(0).getSeq[Long](0)
+    assert(viaSql == native(1L))
+  }
 }
