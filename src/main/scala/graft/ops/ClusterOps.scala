@@ -84,21 +84,30 @@ object ClusterOps {
     * vec_ids, cluster = rank): final centroids in long form with member
     * counts and the dequantized component value.
     */
-  def kmeans(s: SparkSession, d: String): DataFrame = {
-    val pts = quantized(Tables.embeddings(s, d)).localCheckpoint()
+  /** The Lloyd loop over ANY quantized point table: returns the FINAL
+    * centroid model (post-round-[[Iters]] update, collected — the IVF
+    * model pattern) and the final update frame q132 reports. q175
+    * trains on the pre-upsert slice and reuses the model for
+    * assignment-only index maintenance. */
+  private[graft] def trainOn(ptsIn: DataFrame): (Seq[(Int, Seq[Long])], DataFrame) = {
+    val pts = ptsIn.localCheckpoint()
     val seed = pts.orderBy("vec_id").limit(K).collect() // K rows: the IVF collected-model pattern
     var cents: Seq[(Int, Seq[Long])] =
       seed.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
     var updated: DataFrame = null
-    for (i <- 1 to Iters) {
+    for (_ <- 1 to Iters) {
       updated = update(assign(pts, cents))
-      if (i < Iters)
-        cents = updated.collect() // k·dims rows of exact ints — the model, not data
-          .groupBy(_.getInt(0)).toSeq
-          .map { case (c, rows) =>
-            (c, rows.sortBy(_.getInt(1)).map(_.getLong(4)).toSeq)
-          }
+      cents = updated.collect() // k·dims rows of exact ints — the model, not data
+        .groupBy(_.getInt(0)).toSeq
+        .map { case (c, rows) =>
+          (c, rows.sortBy(_.getInt(1)).map(_.getLong(4)).toSeq)
+        }
     }
+    (cents, updated)
+  }
+
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val (_, updated) = trainOn(quantized(Tables.embeddings(s, d)))
     updated.select(
       col("cluster"),
       col("cnt").as("n_members"),
@@ -109,7 +118,36 @@ object ClusterOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q132_kmeans_exact" -> ((s, d) => kmeans(s, d)))
+    "q132_kmeans_exact" -> ((s, d) => kmeans(s, d)),
+
+    // ASSIGNMENT-ONLY index maintenance — what a production vector
+    // index does between rebuilds (retraining the quantizer on every
+    // ingest batch re-encodes the whole index; assigning new vectors to
+    // the STALE centroids is O(batch) and is exactly how IVF systems
+    // absorb writes until a scheduled rebuild): the quantizer trains on
+    // the pre-upsert corpus (the q54 'test' hash slice plays the
+    // arriving batch), both slices then assign to the FINAL stale
+    // centroids, and the report is the per-cell growth a rebuild
+    // scheduler watches (a cell absorbing a disproportionate share of
+    // writes = the distribution moved; time to retrain). Exact-integer
+    // end to end (q132's machinery), so the ENTIRE flow — training,
+    // both assignments, the growth table — replays under the oracle.
+    "q175_ivf_upsert" -> ((s, d) => {
+      val pts = quantized(Tables.embeddings(s, d))
+      val isNew = Sampling.splitOf(col("vec_id")) === "test"
+      val old = pts.filter(!isNew)
+      val (cents, _) = trainOn(old)
+      val nOld = assign(old, cents).groupBy("cluster")
+        .agg(count(lit(1)).as("n_old"))
+      val nNew = assign(pts.filter(isNew), cents).groupBy("cluster")
+        .agg(count(lit(1)).as("n_new"))
+      nOld.join(nNew, Seq("cluster"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("new_frac_u",
+          expr("n_new * 1000000 DIV (n_old + n_new)"))
+        .select("cluster", "n_old", "n_new", "new_frac_u")
+        .orderBy("cluster")
+    }))
 
   /** The oracle unrolls the identical 3 iterations as MATERIALIZED CTEs
     * (the q118 rule: materialize every round — `pts` alone is read 7
@@ -131,7 +169,55 @@ object ClusterOps {
       s"""  SELECT a.cluster, p.dim, CAST(SUM(p.q) // COUNT(*) AS BIGINT) AS cq
          |  FROM $a a JOIN pts p USING (vec_id)
          |  GROUP BY a.cluster, p.dim""".stripMargin
-    Map("q132_kmeans_exact" ->
+    val upsertSql =
+      s"""WITH allpts AS MATERIALIZED (
+         |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+         |         CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1000.0) AS BIGINT) + $Offset AS q,
+         |         substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('e', 'f') AS is_new
+         |  FROM embeddings, range($Dims) t(i)
+         |), pts AS MATERIALIZED (
+         |  SELECT vec_id, dim, q FROM allpts WHERE NOT is_new
+         |), seed AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, vec_id
+         |  FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT $K)
+         |), c0 AS MATERIALIZED (
+         |  SELECT s.cluster, p.dim, p.q AS cq FROM seed s JOIN pts p USING (vec_id)
+         |), a1 AS MATERIALIZED (
+         |${assignSql("c0")}
+         |), c1 AS MATERIALIZED (
+         |${updateSql("a1")}
+         |), a2 AS MATERIALIZED (
+         |${assignSql("c1")}
+         |), c2 AS MATERIALIZED (
+         |${updateSql("a2")}
+         |), a3 AS MATERIALIZED (
+         |${assignSql("c2")}
+         |), c3 AS MATERIALIZED (
+         |${updateSql("a3")}
+         |), a4o AS MATERIALIZED (
+         |${assignSql("c3")}
+         |), a4n AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT p.vec_id, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |             ORDER BY SUM((p.q - c.cq) * (p.q - c.cq)), c.cluster) AS rn
+         |    FROM (SELECT vec_id, dim, q FROM allpts WHERE is_new) p
+         |    JOIN c3 c USING (dim)
+         |    GROUP BY p.vec_id, c.cluster
+         |  ) WHERE rn = 1
+         |), no AS (
+         |  SELECT cluster, COUNT(*) AS n_old FROM a4o GROUP BY cluster
+         |), nn AS (
+         |  SELECT cluster, COUNT(*) AS n_new FROM a4n GROUP BY cluster
+         |)
+         |SELECT no.cluster, no.n_old, COALESCE(nn.n_new, 0) AS n_new,
+         |       COALESCE(nn.n_new, 0) * 1000000 // (no.n_old + COALESCE(nn.n_new, 0))
+         |         AS new_frac_u
+         |FROM no LEFT JOIN nn USING (cluster)
+         |ORDER BY no.cluster""".stripMargin
+    Map(
+    "q175_ivf_upsert" -> upsertSql,
+    "q132_kmeans_exact" ->
       s"""WITH pts AS MATERIALIZED (
          |  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
          |         CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) * 1000.0) AS BIGINT) + $Offset AS q

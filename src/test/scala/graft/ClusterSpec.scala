@@ -63,6 +63,30 @@ class ClusterSpec extends AnyFunSuite {
       r.getDouble(4) == (r.getLong(3) - ClusterOps.Offset).toDouble / 1000.0))
   }
 
+  test("q175 upsert: every arriving vector lands in its exact stale-centroid argmin; totals conserve") {
+    val pts = ClusterOps.quantized(Tables.embeddings(spark, d))
+    val isNew = graft.ops.Sampling.splitOf(col("vec_id")) === "test"
+    val (nOldTotal, nNewTotal) =
+      (pts.filter(!isNew).count(), pts.filter(isNew).count())
+    val rows = SparkEntry.queries("q175_ivf_upsert")(spark, d).collect()
+    assert(rows.map(_.getLong(1)).sum == nOldTotal, "old vectors must conserve")
+    assert(rows.map(_.getLong(2)).sum == nNewTotal, "every arriving vector must land")
+    assert(nNewTotal > 0, "fixture must carry an arriving batch")
+    // driver argmin check: stale centroids from the same training path,
+    // each new vector's cell recomputed with exact integer distances
+    val (cents, _) = ClusterOps.trainOn(pts.filter(!isNew))
+    val assigned = ClusterOps.assign(pts.filter(isNew), cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val newPts = pts.filter(isNew).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    newPts.foreach { case (id, q) =>
+      val best = cents.map { case (c, cv) =>
+        (c, q.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (c, d2) => (d2, c) }._1
+      assert(assigned(id) == best, s"vec $id assigned ${assigned(id)} != argmin $best")
+    }
+  }
+
   test("fixture with two obvious blobs converges to their floor-mean centers") {
     // 4 seed ids land 2 in each blob; Lloyd must separate them by iter 3
     val blobA = Seq(1L -> Seq(0.1, 0.1), 2L -> Seq(0.12, 0.1),
