@@ -48,8 +48,8 @@ object BatchPlan {
     * itself is layout-independent (the order keys are a total order),
     * so the sampled boundaries never reach the answer.
     */
-  private def withGlobalRank(df: DataFrame,
-                             orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+  private[graft] def withGlobalRank(df: DataFrame,
+                                    orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val parted = df.repartitionByRange(RankParts, orderCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

@@ -328,7 +328,11 @@ class PlanSpec extends AnyFunSuite {
       "q20_fact_star_keyed",
       // the water-filling prefix pass: a window over the per-SOURCE
       // allocation frame, bounded by the source catalog like a dim
-      "q173_epoch_allocation")
+      "q173_epoch_allocation",
+      // the coverage-curve cumulative pass: a window over the bit-length
+      // bucket frame, bounded by ceil(log2 |types|)+1 <= 64 rows; the
+      // type table itself is ranked by the q176 two-phase global rank
+      "q177_vocab_coverage")
     val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
       "q122_stream_sessions_append", "q123_stream_attribution_replay",
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
