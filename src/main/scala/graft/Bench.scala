@@ -183,7 +183,7 @@ object Bench {
     // "q112_dedup_segments" -> "112": the q is constant information and
     // one char per key is real budget (full names in QUERIES.md)
     val shortKeys = results.map { case (k, _) =>
-      k -> k.takeWhile(_ != '_').stripPrefix("q")
+      k -> k.takeWhile(_ != '_').stripPrefix("q").dropWhile(_ == '0')
     }.toMap
     val short = if (shortKeys.values.toSet.size == shortKeys.size) shortKeys
                 else shortKeys.keys.map(k => k -> k).toMap // collision: keep full names
@@ -202,8 +202,9 @@ object Bench {
     // every byte of the note is budgeted: the registry keeps growing
     // (~10 chars/query) and this line must stay inside the harness's
     // tail-capture window — semantics documented in QUERIES.md/README
-    // (noop-sink action, median-of-runs, qNN keys, total incl build)
-    val note = "m" + runs + ";qNN" +
+    // (noop-sink action, median-of-runs, qNN keys, total incl build);
+    // the ";qNN" tag was dropped at 178 queries for line budget
+    val note = "m" + runs +
       (if (sharedBuildFailed) ";shared_build FAILED" else "")
     // shared_build is INSIDE the total (steady-state medians + one
     // amortized build = what a full pass actually costs) and also broken

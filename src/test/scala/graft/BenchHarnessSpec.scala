@@ -47,10 +47,15 @@ class BenchHarnessSpec extends AnyFunSuite {
 
   test("the JSON line for the FULL registered surface fits the capture window") {
     // The round harness keeps only the last ~2000 chars of stdout, and
-    // sbt appends ~120 chars of "[success] Total time ..." after the
-    // line. BENCH_r05–r07 were all "parsed": null because the line
-    // outgrew that window as queries were added. Budget 1800 so the
-    // build fails BEFORE a round's bench evidence silently vanishes.
+    // sbt appends its "[success] Total time ..." trailer after the
+    // line — measured at 75 chars + newline in the r16 sf0.1 run, so
+    // real capacity is ~1920. BENCH_r05–r07 were all "parsed": null
+    // because the line outgrew that window as queries were added.
+    // Budget 1880 (40 chars of trailer-variance slack) so the build
+    // fails BEFORE a round's bench evidence silently vanishes; raised
+    // from 1800 at 178 queries together with dropping the ";qNN" note
+    // tag and the leading key zeros — ~8 queries of headroom left, the
+    // next growth needs a format change, not a budget bump.
     val keys = SparkEntry.queries.keys.toSeq.sorted
     // 999s per query is the width model: ms() renders at most 3 chars
     // for any realistic value ("9.9" below 10 s, "%.0f" above — and a
@@ -67,7 +72,7 @@ class BenchHarnessSpec extends AnyFunSuite {
       val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3,
         residency = Some(((999, 999999L), (999, 999999L))))
       assert(!line.contains("\n"), "must be a single line")
-      assert(line.length <= 1800,
+      assert(line.length <= 1880,
         s"bench JSON line is ${line.length} chars; the harness captures only the " +
           "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
     }

@@ -288,6 +288,8 @@ class PlanSpec extends AnyFunSuite {
       "q153_nb_source_classifier",   // model grid: vocab × |classes| — classes
                                      // bounded by construction, vocab top-M-
                                      // pruned at web scale (NaiveBayes scaladoc)
+      "q178_classifier_eval",        // evaluates q153's predictions: inherits
+                                     // exactly its model-grid shape, adds none
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
