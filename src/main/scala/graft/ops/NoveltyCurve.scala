@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.shingles
+
+/** n-gram novelty curve between the held-out and training splits —
+  * the memorization-risk statistic an eval team reads before trusting
+  * held-out metrics: for each n, what share of the test split's
+  * DISTINCT word n-grams never occur in the train split. Low novelty
+  * at large n means the "held-out" text is substantially recombined
+  * training text (the Lee et al. 2022 dedup papers' motivation);
+  * novelty near 10⁶ ppm at n=8 is what an honest split looks like.
+  * Complements decontamination (q66/q163 flag DOCS against an external
+  * benchmark at fixed n=5; this is the per-n curve WITHIN the corpus's
+  * own split) and q171 (which localizes individual leaks).
+  *
+  * Determinism: gram sets are exact (whitespace tokens, the q66
+  * shingle grain); membership is computed on md5 digests — the q66
+  * convention: md5, not xxhash64, wherever the key itself crosses the
+  * engine boundary so DuckDB replays it — and the ppm rate is an
+  * integer division. Fully oracle-replayed.
+  *
+  * Scale shape: per n, the corpus pays one shingle explosion into
+  * (is_test, digest) rows — no text ever enters an exchange — then
+  * two map-side-combined DISTINCTs and one distributed digest
+  * equi-join (train-side distinct keys, so each test gram matches at
+  * most once and `seen <= test_distinct` by construction). The report
+  * is |Ns| single-row aggregates unioned. At 100 TB each pass is the
+  * q66 posting shape, which is the scalable decontamination plan.
+  */
+object NoveltyCurve {
+
+  /** Gram lengths on the curve: unigram overlap is near-total by
+    * construction (shared vocabulary), 8-grams approach verbatim reuse.
+    */
+  private[graft] val Ns = Seq(1, 2, 3, 5, 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_novelty_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select((Sampling.splitOf(col("doc_id")) === "test").as("is_test"),
+          col("text"))
+      val perN = Ns.map { n =>
+        val grams = docs
+          .select(col("is_test"), explode(shingles(col("text"), n)).as("g"))
+          .select(col("is_test"), md5(col("g").cast("binary")).as("gd"))
+        val test = grams.filter(col("is_test")).select("gd").distinct()
+        val train = grams.filter(!col("is_test")).select("gd").distinct()
+          .withColumn("hit", lit(1L))
+        test.join(train, Seq("gd"), "left")
+          .agg(count(lit(1)).as("test_distinct"), count(col("hit")).as("seen"))
+          .select(lit(n).as("n"), col("test_distinct"), col("seen"),
+            expr("CASE WHEN test_distinct = 0 THEN 0" +
+              " ELSE (test_distinct - seen) * 1000000 DIV test_distinct END")
+              .as("novel_ppm"))
+      }
+      perN.reduce(_ unionByName _).orderBy("n")
+    }))
+
+  /** DuckDB gram-list comprehension for word n-grams over `w` — the
+    * FiveGramCtes pattern generalized to any n.
+    */
+  private def gramList(n: Int): String = {
+    val g = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    val hi = if (n == 1) "len(w) + 1" else s"len(w) - ${n - 2}"
+    s"list_distinct(CASE WHEN len(w) >= $n THEN [$g FOR i IN range(1, $hi)] ELSE [] END)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q179_novelty_curve" -> {
+      val blocks = Ns.map { n =>
+        s"""t$n AS (SELECT DISTINCT md5(g) AS gd
+           |  FROM (SELECT UNNEST(${gramList(n)}) AS g FROM toks WHERE is_test)),
+           |r$n AS (SELECT DISTINCT md5(g) AS gd
+           |  FROM (SELECT UNNEST(${gramList(n)}) AS g FROM toks WHERE NOT is_test)),
+           |s$n AS (SELECT CAST(COUNT(*) AS BIGINT) AS test_distinct,
+           |               CAST(COUNT(r.gd) AS BIGINT) AS seen
+           |        FROM t$n t LEFT JOIN r$n r ON t.gd = r.gd)""".stripMargin
+      }
+      val selects = Ns.map { n =>
+        s"""SELECT $n AS n, test_distinct, seen,
+           |       CASE WHEN test_distinct = 0 THEN 0
+           |            ELSE (test_distinct - seen) * 1000000 // test_distinct
+           |       END AS novel_ppm
+           |FROM s$n""".stripMargin
+      }
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT substr(md5(doc_id::VARCHAR), 1, 1) IN ('e', 'f') AS is_test,
+         |         string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents
+         |),
+         |${blocks.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY n""".stripMargin
+    })
+
+  val rowsOnly: Set[String] = Set.empty
+}
