@@ -57,6 +57,44 @@ object NoveltyCurve {
               .as("novel_ppm"))
       }
       perN.reduce(_ unionByName _).orderBy("n")
+    }),
+
+    // the 3-split HYGIENE matrix: q179 curves train→test at many n;
+    // this is every ordered split pair at the q66 grain (n=5),
+    // INCLUDING validation — the table that catches a val split
+    // leaking into train even when the test split is clean. Row
+    // (split, other) = share of `split`'s distinct 5-grams also
+    // present in `other`, ppm. One (split, digest) DISTINCT pass over
+    // the corpus (checkpointed — the matrix self-joins it), one digest
+    // equi-join whose per-gram fanout is bounded by the 3 splits, and
+    // a 6-row literal spine so absent splits report 0 by convention
+    // rather than dropping rows.
+    "q180_split_overlap_matrix" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select(Sampling.splitOf(col("doc_id")).as("split"),
+          explode(shingles(col("text"), 5)).as("g"))
+        .select(col("split"), md5(col("g").cast("binary")).as("gd"))
+        .distinct().localCheckpoint()
+      val spine = Seq("train", "validation", "test")
+      val pairs = (for (a <- spine; b <- spine if a != b) yield (a, b))
+        .toDF("split", "other")
+      val shared = grams.as("x")
+        .join(grams.as("y"),
+          col("x.gd") === col("y.gd") && col("x.split") =!= col("y.split"))
+        .groupBy(col("x.split").as("split"), col("y.split").as("other"))
+        .agg(count(lit(1)).as("shared"))
+      val totals = grams.groupBy("split").agg(count(lit(1)).as("n_distinct"))
+      pairs
+        .join(totals, Seq("split"), "left")
+        .join(shared, Seq("split", "other"), "left")
+        .na.fill(0L, Seq("n_distinct", "shared"))
+        .withColumn("shared_ppm",
+          expr("CASE WHEN n_distinct = 0 THEN 0" +
+            " ELSE shared * 1000000 DIV n_distinct END"))
+        .select(col("split"), col("other"), col("n_distinct"),
+          col("shared"), col("shared_ppm"))
+        .orderBy("split", "other")
     }))
 
   /** DuckDB gram-list comprehension for word n-grams over `w` — the
@@ -94,7 +132,42 @@ object NoveltyCurve {
          |${blocks.mkString(",\n")}
          |${selects.mkString("\nUNION ALL\n")}
          |ORDER BY n""".stripMargin
-    })
+    },
+
+    "q180_split_overlap_matrix" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT CASE WHEN h IN ('c', 'd') THEN 'validation'
+         |              WHEN h IN ('e', 'f') THEN 'test'
+         |              ELSE 'train' END AS split, w
+         |  FROM (SELECT substr(md5(doc_id::VARCHAR), 1, 1) AS h,
+         |               string_split_regex(trim(text), '\\s+') AS w
+         |        FROM documents)
+         |), grams AS MATERIALIZED (
+         |  SELECT DISTINCT split, md5(g) AS gd
+         |  FROM (SELECT split, UNNEST(${gramList(5)}) AS g FROM toks)
+         |), shared AS (
+         |  SELECT x.split AS split, y.split AS other,
+         |         CAST(COUNT(*) AS BIGINT) AS shared
+         |  FROM grams x JOIN grams y ON x.gd = y.gd AND x.split <> y.split
+         |  GROUP BY x.split, y.split
+         |), totals AS (
+         |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_distinct
+         |  FROM grams GROUP BY split
+         |), spine(split, other) AS (
+         |  VALUES ('test', 'train'), ('test', 'validation'),
+         |         ('train', 'test'), ('train', 'validation'),
+         |         ('validation', 'test'), ('validation', 'train')
+         |)
+         |SELECT s.split, s.other,
+         |       COALESCE(t.n_distinct, 0) AS n_distinct,
+         |       COALESCE(sh.shared, 0) AS shared,
+         |       CASE WHEN COALESCE(t.n_distinct, 0) = 0 THEN 0
+         |            ELSE COALESCE(sh.shared, 0) * 1000000 // t.n_distinct
+         |       END AS shared_ppm
+         |FROM spine s
+         |LEFT JOIN totals t ON t.split = s.split
+         |LEFT JOIN shared sh ON sh.split = s.split AND sh.other = s.other
+         |ORDER BY s.split, s.other""".stripMargin)
 
   val rowsOnly: Set[String] = Set.empty
 }

@@ -76,4 +76,52 @@ class NoveltyCurveSpec extends AnyFunSuite {
     assert(got.head._4 < 500000L, "unigram novelty should be low (shared vocab)")
     assert(got.find(_._1 == 5).get._2 > 0L, "corpus must have 5-gram test mass")
   }
+
+  test("q180: hand-computed 3-split matrix incl. a no-overlap split") {
+    val Seq(trainId) = idsBySplit("train", 1)
+    val Seq(valId) = idsBySplit("validation", 1)
+    val Seq(testId) = idsBySplit("test", 1)
+    val dir = "/tmp/graft_test_splitmatrix"
+    // train {a b c d e, b c d e f}; validation {a b c d e}; test {z y x w v}
+    Seq((trainId, "a b c d e f", "en", "t", 0L),
+      (valId, "a b c d e", "en", "t", 0L),
+      (testId, "z y x w v", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q180_split_overlap_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("test", "train", 1L, 0L, 0L),
+      ("test", "validation", 1L, 0L, 0L),
+      ("train", "test", 2L, 0L, 0L),
+      ("train", "validation", 2L, 1L, 500000L),
+      ("validation", "test", 1L, 0L, 0L),
+      ("validation", "train", 1L, 1L, 1000000L)), got.mkString(", "))
+  }
+
+  test("q180: corpus matrix equals a string-set brute force; counts symmetric") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select(graft.ops.Sampling.splitOf(col("doc_id")).as("split"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def gramsOf(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.size < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bySplit = Seq("train", "validation", "test").map { s =>
+      s -> docs.filter(_._1 == s).map(d => gramsOf(d._2))
+        .foldLeft(Set.empty[String])(_ ++ _)
+    }.toMap
+    val expected = (for (a <- bySplit.keys.toSeq; b <- bySplit.keys.toSeq if a != b) yield {
+      val nd = bySplit(a).size.toLong
+      val sh = (bySplit(a) & bySplit(b)).size.toLong
+      (a, b, nd, sh, if (nd == 0) 0L else sh * 1000000L / nd)
+    }).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q180_split_overlap_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"engine:\n${got.mkString("\n")}\nexpected:\n${expected.mkString("\n")}")
+    // intersection counts are symmetric even though the ppm rates aren't
+    for ((a, b, _, sh, _) <- got)
+      assert(got.find(t => t._1 == b && t._2 == a).get._4 == sh)
+  }
 }
