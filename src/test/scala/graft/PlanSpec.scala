@@ -334,7 +334,10 @@ class PlanSpec extends AnyFunSuite {
       // the coverage-curve cumulative pass: a window over the bit-length
       // bucket frame, bounded by ceil(log2 |types|)+1 <= 64 rows; the
       // type table itself is ranked by the q176 two-phase global rank
-      "q177_vocab_coverage")
+      "q177_vocab_coverage",
+      // the threshold-sweep cumulative pass: windows over the 10-row
+      // literal decile spine — bounded by construction
+      "q181_quality_threshold_sweep")
     val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
       "q122_stream_sessions_append", "q123_stream_attribution_replay",
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
