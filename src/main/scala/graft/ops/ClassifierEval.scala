@@ -88,8 +88,45 @@ object ClassifierEval {
     perClass.unionByName(micro).unionByName(macroRow).orderBy("label")
   }
 
+  /** Chance-corrected agreement over any (actual, predicted) frame:
+    * observed agreement po, chance agreement pe from the confusion
+    * marginals, and Cohen's kappa — the number that separates "high
+    * accuracy" from "high accuracy a majority-class guesser would
+    * also get". Integer-exact po/pe (ppm floor divisions on
+    * nonnegative counts); kappa can be NEGATIVE (systematic
+    * disagreement), so it is the one place ROUND runs on a signed
+    * double — IEEE mul/div are correctly rounded and both engines
+    * round half away from zero, and the spec pins the κ = −1 perfect-
+    * disagreement fixture to prove the sign path. Product terms n·c,
+    * Σ row·col, n² stay exact in int64/double up to n ≈ 3·10⁷ test
+    * rows (far above any eval split; the full-corpus scale path would
+    * hierarchically pre-aggregate the same marginals).
+    */
+  private[graft] def agreementOn(preds: DataFrame): DataFrame = {
+    val conf = preds.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val rowm = conf.groupBy("actual").agg(sum(col("n")).as("ra"))
+    val colm = conf.groupBy("predicted").agg(sum(col("n")).as("ca"))
+    // labels missing from either margin contribute 0 to pe — the inner
+    // join drops exactly those zero products
+    val s2 = rowm.join(colm, col("actual") === col("predicted"))
+      .agg(coalesce(sum(col("ra") * col("ca")), lit(0L)).as("s"))
+    val base = conf.agg(sum(col("n")).as("nn"),
+      sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+        .as("c"))
+    base.crossJoin(s2).select(
+      col("nn").as("n"), col("c").as("correct"),
+      expr("CASE WHEN nn = 0 THEN 0 ELSE c * 1000000 DIV nn END").as("po_ppm"),
+      expr("CASE WHEN nn = 0 THEN 0 ELSE s * 1000000 DIV (nn * nn) END")
+        .as("pe_ppm"),
+      expr("CASE WHEN nn * nn - s = 0 THEN 0" +
+        " ELSE CAST(ROUND(CAST(nn * c - s AS DOUBLE) * 1000000.0" +
+        " / CAST(nn * nn - s AS DOUBLE)) AS BIGINT) END").as("kappa_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q178_classifier_eval" -> ((s, d) => reportOn(NaiveBayes.sourceClassifier(s, d))))
+    "q178_classifier_eval" -> ((s, d) => reportOn(NaiveBayes.sourceClassifier(s, d))),
+    "q185_agreement_stats" -> ((s, d) => agreementOn(NaiveBayes.sourceClassifier(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q178_classifier_eval" -> {
@@ -155,6 +192,34 @@ object ClassifierEval {
          |UNION ALL SELECT * FROM micro
          |UNION ALL SELECT * FROM macro
          |ORDER BY label""".stripMargin
+    },
+
+    "q185_agreement_stats" -> {
+      val preds = NaiveBayes.oracleSql("q153_nb_source_classifier")
+      s"""WITH preds AS MATERIALIZED (
+         |$preds
+         |), conf AS MATERIALIZED (
+         |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM preds GROUP BY actual, predicted
+         |), rowm AS (SELECT actual AS l, CAST(SUM(n) AS BIGINT) AS ra
+         |            FROM conf GROUP BY actual),
+         |colm AS (SELECT predicted AS l, CAST(SUM(n) AS BIGINT) AS ca
+         |         FROM conf GROUP BY predicted),
+         |s2 AS (SELECT COALESCE(CAST(SUM(r.ra * c.ca) AS BIGINT), 0) AS s
+         |       FROM rowm r JOIN colm c ON r.l = c.l),
+         |base AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |         CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT) AS c
+         |  FROM conf
+         |)
+         |SELECT nn AS n, c AS correct,
+         |       CASE WHEN nn = 0 THEN 0 ELSE c * 1000000 // nn END AS po_ppm,
+         |       CASE WHEN nn = 0 THEN 0 ELSE s * 1000000 // (nn * nn) END AS pe_ppm,
+         |       CASE WHEN nn * nn - s = 0 THEN 0
+         |            ELSE CAST(ROUND(CAST(nn * c - s AS DOUBLE) * 1000000.0
+         |              / CAST(nn * nn - s AS DOUBLE)) AS BIGINT)
+         |       END AS kappa_ppm
+         |FROM base CROSS JOIN s2""".stripMargin
     })
 
   val rowsOnly: Set[String] = Set.empty

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.ops.ClassifierEval
 
 /** q178 behavior pins: exact hand-computed PRF on a known confusion
@@ -63,5 +64,48 @@ class ClassifierEvalSpec extends AnyFunSuite {
     // this separable-by-construction corpus
     val micro = got.find(_._1 == "__micro__").get
     assert(micro._6 > 1000000L / k, "micro accuracy at or below chance")
+  }
+
+  test("q185: textbook kappa fixture and the kappa = -1 sign path") {
+    // classic 2x2: (A,A)=20 (A,B)=5 (B,A)=10 (B,B)=15 -> n=50, po=0.7,
+    // rows 25/25, cols 30/20, S=1250, pe=0.5, kappa=0.4
+    val preds = (Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B")))
+      .toDF("actual", "predicted")
+    val r = ClassifierEval.agreementOn(preds).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((50L, 35L, 700000L, 500000L, 400000L)))
+    // perfect 2-class disagreement: kappa must be exactly -1
+    val bad = (Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "A")))
+      .toDF("actual", "predicted")
+    val rb = ClassifierEval.agreementOn(bad).head()
+    assert(rb.getLong(2) == 0L && rb.getLong(4) == -1000000L, rb.toString)
+  }
+
+  test("q185: corpus stats consistent with q178's micro row and brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val preds = SparkEntry.queries("q153_nb_source_classifier")(spark, sf)
+      .select("actual", "predicted").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val n = preds.size.toLong
+    val c = preds.count(p => p._1 == p._2).toLong
+    val rows = preds.groupBy(_._1).map { case (l, o) => l -> o.size.toLong }
+    val cols = preds.groupBy(_._2).map { case (l, o) => l -> o.size.toLong }
+    // .toSeq first: mapping over the key SET would collapse duplicate
+    // products before the sum
+    val s = rows.keys.toSeq.map(l => rows(l) * cols.getOrElse(l, 0L)).sum
+    // HALF_UP (away from zero), matching the engines' ROUND on signed doubles
+    val kappa = new java.math.BigDecimal(
+      (n * c - s).toDouble * 1000000.0 / (n * n - s).toDouble)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val r = SparkEntry.queries("q185_agreement_stats")(spark, sf).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((n, c, c * 1000000L / n, s * 1000000L / (n * n), kappa)))
+    // po must equal q178's micro precision on the same predictions
+    val micro = SparkEntry.queries("q178_classifier_eval")(spark, sf)
+      .filter(col("label") === "__micro__").head()
+    assert(r.getLong(2) == micro.getLong(5), "po must equal micro accuracy")
+    // chance correction must bite: kappa strictly below po on this corpus
+    assert(r.getLong(4) < r.getLong(2))
   }
 }

@@ -290,6 +290,8 @@ class PlanSpec extends AnyFunSuite {
                                      // pruned at web scale (NaiveBayes scaladoc)
       "q178_classifier_eval",        // evaluates q153's predictions: inherits
                                      // exactly its model-grid shape, adds none
+      "q185_agreement_stats",        // same inherited q153 shape + 1-row
+                                     // marginal folds crossed at the end
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
