@@ -45,27 +45,27 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!ok.contains("shared_build_error"))
   }
 
-  test("the JSON line for the FULL registered surface fits the capture window") {
+  test("the JSON line fits the capture window at ANY registry size") {
     // The round harness keeps only the last ~2000 chars of stdout, and
     // sbt appends its "[success] Total time ..." trailer after the
     // line — measured at 75 chars + newline in the r16 sf0.1 run, so
-    // real capacity is ~1920. BENCH_r05–r07 were all "parsed": null
-    // because the line outgrew that window as queries were added.
-    // Budget 1880 (40 chars of trailer-variance slack) so the build
-    // fails BEFORE a round's bench evidence silently vanishes; raised
-    // from 1800 at 178 queries together with dropping the ";qNN" note
-    // tag and the leading key zeros — ~8 queries of headroom left, the
-    // next growth needs a format change, not a budget bump.
-    val keys = SparkEntry.queries.keys.toSeq.sorted
+    // real capacity is ~1920; budget 1880 with trailer-variance slack.
+    // BENCH_r05–r07 were all "parsed": null because the line outgrew
+    // that window as queries were added; at 186 queries even per-byte
+    // trims lose to 10.7 bytes/query × N, so the line now carries the
+    // top-[[Bench.Shown]] slowest (the plan-audit set), "nq" for the
+    // registry size, and the FULL map goes to BENCH_DETAIL.json —
+    // making the budget hold at any future registry size, which this
+    // test pins by modeling a 500-query registry at worst-case widths.
+    val keys = SparkEntry.queries.keys.toSeq.sorted ++
+      (200 to 500).map(n => s"q${n}_synthetic_growth_model")
     // 999s per query is the width model: ms() renders at most 3 chars
     // for any realistic value ("9.9" below 10 s, "%.0f" above — and a
     // query beyond ~17 min can't happen: the whole bench run is ~5 min
     // and sbt would be killed long before)
     val allGood = keys.map(k => k -> (Right(999.0): Either[String, Double]))
-    // a regression round is when the line matters most: a failed query
-    // renders ONLY as its short key in errors (it leaves the queries
-    // object entirely), so the all-fail line must also fit — and be
-    // shorter than the all-success one
+    // a regression round is when the line matters most: failed queries
+    // render as at most Shown short keys + an "errx" overflow count
     val allBad = keys.map(k => k -> (Left("boom"): Either[String, Double]))
     for (results <- Seq(allGood, allBad)) {
       // worst-case residency width: hundreds of RDDs, 6-digit MiB
@@ -75,7 +75,28 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(line.length <= 1880,
         s"bench JSON line is ${line.length} chars; the harness captures only the " +
           "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
+      assert(line.contains(s""""nq":${keys.size}"""))
     }
+  }
+
+  test("the line keeps the slowest queries; the detail doc keeps all") {
+    val results = (1 to 100).map { i =>
+      s"q${100 + i}_x" -> (Right(i.toDouble): Either[String, Double])
+    } :+ ("q99_boom" -> (Left("KaboomException"): Either[String, Double]))
+    val line = Bench.renderLine(results, "/sf0.1", runs = 3)
+    // slowest (100s down to 61s) survive; the fastest do not
+    assert(line.contains("\"200\":100") && line.contains("\"161\":61"))
+    assert(!line.contains("\"160\":") && !line.contains("\"101\":1"))
+    // the total still covers EVERY query, not just the shown ones
+    assert(line.contains("\"value\":5050"))
+    assert(line.contains("\"errors\":[\"99\"]"))
+    val detail = Bench.renderDetail(results, "/sf0.1", runs = 3, sharedBuildSec = 1.5)
+    for ((k, _) <- results.init) assert(detail.contains("\"" + k + "\""), k)
+    assert(detail.contains("\"q99_boom\": \"KaboomException\""))
+    assert(detail.contains("\"shared_build_sec\": 1.50"))
+    // parseable: balanced and loadable as one JSON doc (cheap pin:
+    // python-side json.load is the real consumer)
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
     // the qNN short keys must be collision-free, or renderLine falls back
     // to full names and blows the budget at once
     val prefixes = SparkEntry.queries.keys.map(_.takeWhile(_ != '_')).toSeq
