@@ -292,6 +292,8 @@ class PlanSpec extends AnyFunSuite {
                                      // exactly its model-grid shape, adds none
       "q185_agreement_stats",        // same inherited q153 shape + 1-row
                                      // marginal folds crossed at the end
+      "q186_vector_card",            // 1-row per-vec and per-dim folds
+                                     // crossed at the model edge
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
