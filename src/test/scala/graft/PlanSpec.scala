@@ -294,6 +294,8 @@ class PlanSpec extends AnyFunSuite {
                                      // marginal folds crossed at the end
       "q186_vector_card",            // 1-row per-vec and per-dim folds
                                      // crossed at the model edge
+      "q187_split_balance",          // sources-dim × 3-split-literal spine
+                                     // + a 1-row corpus-total fold
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
