@@ -296,6 +296,8 @@ class PlanSpec extends AnyFunSuite {
                                      // crossed at the model edge
       "q187_split_balance",          // sources-dim × 3-split-literal spine
                                      // + a 1-row corpus-total fold
+      "q189_label_dispersion",       // 1-row global-dispersion fold crossed
+                                     // onto the |labels|-row report
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
