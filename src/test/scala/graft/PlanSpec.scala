@@ -345,7 +345,10 @@ class PlanSpec extends AnyFunSuite {
       "q177_vocab_coverage",
       // the threshold-sweep cumulative pass: windows over the 10-row
       // literal decile spine — bounded by construction
-      "q181_quality_threshold_sweep")
+      "q181_quality_threshold_sweep",
+      // the Heaps-curve cumulative/lag passes: windows over the same
+      // ≤64-row bit-length bucket frame as q177
+      "q193_heaps_curve")
     val skip = Set("q116_stream_hourly_replay", "q119_stream_hourly_append",
       "q122_stream_sessions_append", "q123_stream_attribution_replay",
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
