@@ -298,6 +298,8 @@ class PlanSpec extends AnyFunSuite {
                                      // + a 1-row corpus-total fold
       "q189_label_dispersion",       // 1-row global-dispersion fold crossed
                                      // onto the |labels|-row report
+      "q194_cell_validity",          // same shape: 1-row total-scatter fold
+                                     // crossed onto the |cells|-row report
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
