@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.ngrams
+
+/** Directional copy-mass matrix — per ORDERED source pair (A, B):
+  * what fraction of A's 5-gram TOKEN MASS (occurrences, not types)
+  * is 5-grams B also emits. The asymmetry is the point and what both
+  * neighbors blur: q145's near-dup pairs see whole documents, q195's
+  * vocabulary Jaccard is symmetric over types — but a feed that is a
+  * strict SUBSET mirror of a bigger source reads ~10⁶ ppm in ITS row
+  * (all its mass is elsewhere — drop it) while the big source's row
+  * toward it stays small (keep it). The de-weighting decision needs
+  * the direction.
+  *
+  * Determinism: multiset counts are exact; shared mass sums A-side
+  * counts over the digest intersection; share_ppm is a nonnegative
+  * integer DIV (DIV ≡ //). Grams cross engines as md5 digests (q66
+  * rule).
+  *
+  * Scale shape: ONE (source, digest) 5-gram count shuffle (map-side
+  * combined, checkpointed — the matrix self-joins it); the digest
+  * equi-join fans out ≤ |sources| rows per key (the q180/q195
+  * bound) into a |sources|²-key aggregate. A zero-overlap pair is
+  * absent (q145 inner semantics).
+  */
+object CopyMass {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_copy_mass_matrix" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(ngrams(col("text"), 5)).as("g"))
+        .select(col("source"), md5(col("g").cast("binary")).as("gd"))
+        .groupBy("source", "gd").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val totals = cnt.groupBy("source").agg(sum(col("c")).as("total_mass"))
+      cnt.as("a")
+        .join(cnt.as("b"),
+          col("a.gd") === col("b.gd") && col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("src"), col("b.source").as("other"))
+        .agg(sum(col("a.c")).as("shared_mass"), count(lit(1)).as("shared_types"))
+        .join(totals.select(col("source").as("src"), col("total_mass")), Seq("src"))
+        .select(col("src"), col("other"), col("total_mass"),
+          col("shared_mass"), col("shared_types"),
+          expr("shared_mass * 1000000 DIV total_mass").as("share_ppm"))
+        .orderBy("src", "other")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q197_copy_mass_matrix" ->
+      """WITH cnt AS MATERIALIZED (
+        |  SELECT source, md5(g) AS gd, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, UNNEST(CASE WHEN len(w) >= 5
+        |          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                FOR i IN range(1, len(w) - 3)]
+        |          ELSE [] END) AS g
+        |        FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |              FROM documents))
+        |  GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS total_mass FROM cnt GROUP BY source
+        |), shared AS (
+        |  SELECT a.source AS src, b.source AS other,
+        |         CAST(SUM(a.c) AS BIGINT) AS shared_mass,
+        |         CAST(COUNT(*) AS BIGINT) AS shared_types
+        |  FROM cnt a JOIN cnt b ON a.gd = b.gd AND a.source <> b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src, other, t.total_mass, shared_mass, shared_types,
+        |       shared_mass * 1000000 // t.total_mass AS share_ppm
+        |FROM shared JOIN totals t ON t.source = src
+        |ORDER BY src, other""".stripMargin)
+
+  val rowsOnly: Set[String] = Set.empty
+}
