@@ -300,6 +300,8 @@ class PlanSpec extends AnyFunSuite {
                                      // onto the |labels|-row report
       "q194_cell_validity",          // same shape: 1-row total-scatter fold
                                      // crossed onto the |cells|-row report
+      "q200_join_key_skew",          // per-key census: three 1-row folds
+                                     // (totals × top-10 heap) crossed
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
