@@ -302,6 +302,8 @@ class PlanSpec extends AnyFunSuite {
                                      // crossed onto the |cells|-row report
       "q200_join_key_skew",          // per-key census: three 1-row folds
                                      // (totals × top-10 heap) crossed
+      "q202_rfm_segments",           // 1-row reference-day/population fold
+                                     // crossed onto the customer dim frame
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
