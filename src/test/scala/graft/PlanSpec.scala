@@ -304,6 +304,8 @@ class PlanSpec extends AnyFunSuite {
                                      // (totals × top-10 heap) crossed
       "q202_rfm_segments",           // 1-row reference-day/population fold
                                      // crossed onto the customer dim frame
+      "q203_basket_affinity",        // 1-row basket-total fold crossed onto
+                                     // the min-support-pruned pair frame
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
