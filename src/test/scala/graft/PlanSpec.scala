@@ -306,6 +306,8 @@ class PlanSpec extends AnyFunSuite {
                                      // crossed onto the customer dim frame
       "q203_basket_affinity",        // 1-row basket-total fold crossed onto
                                      // the min-support-pruned pair frame
+      "q205_abc_classification",     // 1-row revenue-total fold crossed onto
+                                     // the part dim frame
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
