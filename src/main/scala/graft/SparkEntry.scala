@@ -37,7 +37,7 @@ object SparkEntry {
       ops.Retrieval.queries ++ ops.NaiveBayes.queries ++
       ops.Winnowing.queries ++ ops.UnigramLm.queries ++
       ops.Dsir.queries ++ ops.Mining.queries ++ ops.WordPiece.queries ++
-      ops.SymSpell.queries ++ ops.LinearProbe.queries ++ ops.QualityBuckets.queries ++ ops.CountMin.queries ++ ops.Chunking.queries ++ ops.QlRetrieval.queries ++ ops.ExactSubstr.queries ++ ops.EpochAllocation.queries ++ ops.BatchPlan.queries ++ ops.VocabCoverage.queries ++ ops.ClassifierEval.queries ++ ops.NoveltyCurve.queries ++ ops.QualitySweep.queries ++ ops.CentroidMatrix.queries ++ ops.Collocations.queries ++ ops.DataCard.queries ++ ops.VectorCard.queries ++ ops.SplitBalance.queries ++ ops.SourceProfile.queries ++ ops.LabelDispersion.queries ++ ops.SourceEntropy.queries ++ ops.LabelProp.queries ++ ops.ZipfFit.queries ++ ops.HeapsCurve.queries ++ ops.CellValidity.queries ++ ops.VocabOverlap.queries ++ ops.CondEntropy.queries ++ ops.CopyMass.queries ++ ops.BatchMix.queries ++ ops.QualityQuartiles.queries ++ ops.SkewCensus.queries ++ ops.Retention.queries ++ ops.RfmSegments.queries ++ ops.BasketAffinity.queries ++ ops.NumericCorr.queries ++ ops.AbcPareto.queries ++ ops.YoyGrowth.queries
+      ops.SymSpell.queries ++ ops.LinearProbe.queries ++ ops.QualityBuckets.queries ++ ops.CountMin.queries ++ ops.Chunking.queries ++ ops.QlRetrieval.queries ++ ops.ExactSubstr.queries ++ ops.EpochAllocation.queries ++ ops.BatchPlan.queries ++ ops.VocabCoverage.queries ++ ops.ClassifierEval.queries ++ ops.NoveltyCurve.queries ++ ops.QualitySweep.queries ++ ops.CentroidMatrix.queries ++ ops.Collocations.queries ++ ops.DataCard.queries ++ ops.VectorCard.queries ++ ops.SplitBalance.queries ++ ops.SourceProfile.queries ++ ops.LabelDispersion.queries ++ ops.SourceEntropy.queries ++ ops.LabelProp.queries ++ ops.ZipfFit.queries ++ ops.HeapsCurve.queries ++ ops.CellValidity.queries ++ ops.VocabOverlap.queries ++ ops.CondEntropy.queries ++ ops.CopyMass.queries ++ ops.BatchMix.queries ++ ops.QualityQuartiles.queries ++ ops.SkewCensus.queries ++ ops.Retention.queries ++ ops.RfmSegments.queries ++ ops.BasketAffinity.queries ++ ops.NumericCorr.queries ++ ops.AbcPareto.queries ++ ops.YoyGrowth.queries ++ ops.GiniConcentration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -58,7 +58,7 @@ object SparkEntry {
       ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql ++
       ops.Winnowing.oracleSql ++ ops.UnigramLm.oracleSql ++
       ops.Dsir.oracleSql ++ ops.Mining.oracleSql ++ ops.WordPiece.oracleSql ++
-      ops.SymSpell.oracleSql ++ ops.LinearProbe.oracleSql ++ ops.QualityBuckets.oracleSql ++ ops.CountMin.oracleSql ++ ops.Chunking.oracleSql ++ ops.QlRetrieval.oracleSql ++ ops.ExactSubstr.oracleSql ++ ops.EpochAllocation.oracleSql ++ ops.BatchPlan.oracleSql ++ ops.VocabCoverage.oracleSql ++ ops.ClassifierEval.oracleSql ++ ops.NoveltyCurve.oracleSql ++ ops.QualitySweep.oracleSql ++ ops.CentroidMatrix.oracleSql ++ ops.Collocations.oracleSql ++ ops.DataCard.oracleSql ++ ops.VectorCard.oracleSql ++ ops.SplitBalance.oracleSql ++ ops.SourceProfile.oracleSql ++ ops.LabelDispersion.oracleSql ++ ops.SourceEntropy.oracleSql ++ ops.LabelProp.oracleSql ++ ops.ZipfFit.oracleSql ++ ops.HeapsCurve.oracleSql ++ ops.CellValidity.oracleSql ++ ops.VocabOverlap.oracleSql ++ ops.CondEntropy.oracleSql ++ ops.CopyMass.oracleSql ++ ops.BatchMix.oracleSql ++ ops.QualityQuartiles.oracleSql ++ ops.SkewCensus.oracleSql ++ ops.Retention.oracleSql ++ ops.RfmSegments.oracleSql ++ ops.BasketAffinity.oracleSql ++ ops.NumericCorr.oracleSql ++ ops.AbcPareto.oracleSql ++ ops.YoyGrowth.oracleSql
+      ops.SymSpell.oracleSql ++ ops.LinearProbe.oracleSql ++ ops.QualityBuckets.oracleSql ++ ops.CountMin.oracleSql ++ ops.Chunking.oracleSql ++ ops.QlRetrieval.oracleSql ++ ops.ExactSubstr.oracleSql ++ ops.EpochAllocation.oracleSql ++ ops.BatchPlan.oracleSql ++ ops.VocabCoverage.oracleSql ++ ops.ClassifierEval.oracleSql ++ ops.NoveltyCurve.oracleSql ++ ops.QualitySweep.oracleSql ++ ops.CentroidMatrix.oracleSql ++ ops.Collocations.oracleSql ++ ops.DataCard.oracleSql ++ ops.VectorCard.oracleSql ++ ops.SplitBalance.oracleSql ++ ops.SourceProfile.oracleSql ++ ops.LabelDispersion.oracleSql ++ ops.SourceEntropy.oracleSql ++ ops.LabelProp.oracleSql ++ ops.ZipfFit.oracleSql ++ ops.HeapsCurve.oracleSql ++ ops.CellValidity.oracleSql ++ ops.VocabOverlap.oracleSql ++ ops.CondEntropy.oracleSql ++ ops.CopyMass.oracleSql ++ ops.BatchMix.oracleSql ++ ops.QualityQuartiles.oracleSql ++ ops.SkewCensus.oracleSql ++ ops.Retention.oracleSql ++ ops.RfmSegments.oracleSql ++ ops.BasketAffinity.oracleSql ++ ops.NumericCorr.oracleSql ++ ops.AbcPareto.oracleSql ++ ops.YoyGrowth.oracleSql ++ ops.GiniConcentration.oracleSql
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in

@@ -308,6 +308,8 @@ class PlanSpec extends AnyFunSuite {
                                      // the min-support-pruned pair frame
       "q205_abc_classification",     // 1-row revenue-total fold crossed onto
                                      // the part dim frame
+      "q207_revenue_gini",           // 1-row total/Gini folds crossed onto
+                                     // the 10-row decile frame
       "q154_mmr_diversify",          // broadcast 10-query side vs corpus (the
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
@@ -356,6 +358,9 @@ class PlanSpec extends AnyFunSuite {
       // the threshold-sweep cumulative pass: windows over the 10-row
       // literal decile spine — bounded by construction
       "q181_quality_threshold_sweep",
+      // the Lorenz cumulative pass: a window over the 10-row decile
+      // frame — the q181 shape
+      "q207_revenue_gini",
       // the Heaps-curve cumulative/lag passes: windows over the same
       // ≤64-row bit-length bucket frame as q177
       "q193_heaps_curve")
