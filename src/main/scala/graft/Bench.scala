@@ -249,6 +249,22 @@ object Bench {
     */
   private[graft] val DetailFile = "BENCH_DETAIL.json"
 
+  /** Minimal JSON string escaper for the detail file. timeQueries only
+    * stores `getClass.getSimpleName` today, but renderDetail must stay
+    * valid JSON if a future change routes exception MESSAGES (quotes,
+    * backslashes, newlines) through the error channel.
+    */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
+
   private[graft] def renderDetail(results: Seq[(String, Either[String, Double])],
                                   sfDir: String, runs: Int,
                                   sharedBuildSec: Double): String = {
@@ -257,7 +273,7 @@ object Bench {
     val qs = results.collect { case (k, Right(v)) =>
       s"""    "$k": ${ms(v)}""" }.mkString(",\n")
     val errs = results.collect { case (k, Left(e)) =>
-      s"""    "$k": "$e"""" }.mkString(",\n")
+      s"""    "$k": "${jsonEscape(e)}"""" }.mkString(",\n")
     s"""{
        |  "sf": "${sfDir.split('/').last}",
        |  "runs": $runs,

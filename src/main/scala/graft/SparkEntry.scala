@@ -10,6 +10,102 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** One registry module: the (queries, oracleSql, rowsOnly) triple every
+    * ops/sources/streaming object exposes. The registry is the fold of
+    * [[modules]], so registering a new module is ONE Seq entry — the
+    * r16 shape (three separate 69-term `++` expressions) is where q156's
+    * wiring miss happened: a module could be added to `queries` but not
+    * `oracleSql`/`rowsOnlyQueries`. A mis-wired triple cannot ship
+    * silently: RegistryDocsSpec's partition test (oracle + rows-only =
+    * registered, subset checks) fails on any queries/oracle mismatch,
+    * and its QUERIES.md phantom-row test fails if a module is dropped
+    * from the Seq entirely.
+    */
+  final case class QueryModule(
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String],
+      rowsOnly: Set[String])
+
+  private def m(
+      q: Map[String, (SparkSession, String) => DataFrame],
+      o: Map[String, String],
+      r: Set[String] = Set.empty): QueryModule = QueryModule(q, o, r)
+
+  /** Every registered module, one line each (Dedup/SimilaritySearch/
+    * EventsOps expose `allQueries` = base ++ FrameMemo-backed extras).
+    */
+  private[graft] val modules: Seq[QueryModule] = Seq(
+    m(ops.ParityQueries.queries, ops.ParityQueries.oracleSql, ops.ParityQueries.rowsOnly),
+    m(ops.TextAnalysis.queries, ops.TextAnalysis.oracleSql, ops.TextAnalysis.rowsOnly),
+    m(ops.Dedup.allQueries, ops.Dedup.oracleSql, ops.Dedup.rowsOnly),
+    m(ops.SimilaritySearch.allQueries, ops.SimilaritySearch.oracleSql, ops.SimilaritySearch.rowsOnly),
+    m(ops.EventsOps.allQueries, ops.EventsOps.oracleSql, ops.EventsOps.rowsOnly),
+    m(ops.Multimodal.queries, ops.Multimodal.oracleSql, ops.Multimodal.rowsOnly),
+    m(ops.AnalyticsExtras.queries, ops.AnalyticsExtras.oracleSql, ops.AnalyticsExtras.rowsOnly),
+    m(ops.Sampling.queries, ops.Sampling.oracleSql, ops.Sampling.rowsOnly),
+    m(ops.CorpusSignals.queries, ops.CorpusSignals.oracleSql, ops.CorpusSignals.rowsOnly),
+    m(ops.EmbeddingOps.queries, ops.EmbeddingOps.oracleSql, ops.EmbeddingOps.rowsOnly),
+    m(ops.CorpusPrep.queries, ops.CorpusPrep.oracleSql, ops.CorpusPrep.rowsOnly),
+    m(ops.LakehouseOps.queries, ops.LakehouseOps.oracleSql, ops.LakehouseOps.rowsOnly),
+    m(ops.IntervalOps.queries, ops.IntervalOps.oracleSql, ops.IntervalOps.rowsOnly),
+    m(ops.CorpusReports.queries, ops.CorpusReports.oracleSql, ops.CorpusReports.rowsOnly),
+    m(ops.GraphOps.queries, ops.GraphOps.oracleSql, ops.GraphOps.rowsOnly),
+    m(sources.Layout.queries, sources.Layout.oracleSql, sources.Layout.rowsOnly),
+    m(sources.DataSkipping.queries, sources.DataSkipping.oracleSql, sources.DataSkipping.rowsOnly),
+    m(ops.ScaleOps.queries, ops.ScaleOps.oracleSql, ops.ScaleOps.rowsOnly),
+    m(ops.SegmentDedup.queries, ops.SegmentDedup.oracleSql, ops.SegmentDedup.rowsOnly),
+    m(streaming.StreamingQueries.queries, streaming.StreamingQueries.oracleSql, streaming.StreamingQueries.rowsOnly),
+    m(ops.ProfileOps.queries, ops.ProfileOps.oracleSql, ops.ProfileOps.rowsOnly),
+    m(ops.ClusterOps.queries, ops.ClusterOps.oracleSql, ops.ClusterOps.rowsOnly),
+    m(ops.LmTokenizer.queries, ops.LmTokenizer.oracleSql, ops.LmTokenizer.rowsOnly),
+    m(ops.PqOps.queries, ops.PqOps.oracleSql, ops.PqOps.rowsOnly),
+    m(ops.Retrieval.queries, ops.Retrieval.oracleSql, ops.Retrieval.rowsOnly),
+    m(ops.NaiveBayes.queries, ops.NaiveBayes.oracleSql, ops.NaiveBayes.rowsOnly),
+    m(ops.Winnowing.queries, ops.Winnowing.oracleSql, ops.Winnowing.rowsOnly),
+    m(ops.UnigramLm.queries, ops.UnigramLm.oracleSql, ops.UnigramLm.rowsOnly),
+    m(ops.Dsir.queries, ops.Dsir.oracleSql, ops.Dsir.rowsOnly),
+    m(ops.Mining.queries, ops.Mining.oracleSql, ops.Mining.rowsOnly),
+    m(ops.WordPiece.queries, ops.WordPiece.oracleSql, ops.WordPiece.rowsOnly),
+    m(ops.SymSpell.queries, ops.SymSpell.oracleSql, ops.SymSpell.rowsOnly),
+    m(ops.LinearProbe.queries, ops.LinearProbe.oracleSql, ops.LinearProbe.rowsOnly),
+    m(ops.QualityBuckets.queries, ops.QualityBuckets.oracleSql, ops.QualityBuckets.rowsOnly),
+    m(ops.CountMin.queries, ops.CountMin.oracleSql, ops.CountMin.rowsOnly),
+    m(ops.Chunking.queries, ops.Chunking.oracleSql, ops.Chunking.rowsOnly),
+    m(ops.QlRetrieval.queries, ops.QlRetrieval.oracleSql, ops.QlRetrieval.rowsOnly),
+    m(ops.ExactSubstr.queries, ops.ExactSubstr.oracleSql, ops.ExactSubstr.rowsOnly),
+    m(ops.EpochAllocation.queries, ops.EpochAllocation.oracleSql, ops.EpochAllocation.rowsOnly),
+    m(ops.BatchPlan.queries, ops.BatchPlan.oracleSql, ops.BatchPlan.rowsOnly),
+    m(ops.VocabCoverage.queries, ops.VocabCoverage.oracleSql, ops.VocabCoverage.rowsOnly),
+    m(ops.ClassifierEval.queries, ops.ClassifierEval.oracleSql, ops.ClassifierEval.rowsOnly),
+    m(ops.NoveltyCurve.queries, ops.NoveltyCurve.oracleSql, ops.NoveltyCurve.rowsOnly),
+    m(ops.QualitySweep.queries, ops.QualitySweep.oracleSql, ops.QualitySweep.rowsOnly),
+    m(ops.CentroidMatrix.queries, ops.CentroidMatrix.oracleSql, ops.CentroidMatrix.rowsOnly),
+    m(ops.Collocations.queries, ops.Collocations.oracleSql, ops.Collocations.rowsOnly),
+    m(ops.DataCard.queries, ops.DataCard.oracleSql, ops.DataCard.rowsOnly),
+    m(ops.VectorCard.queries, ops.VectorCard.oracleSql, ops.VectorCard.rowsOnly),
+    m(ops.SplitBalance.queries, ops.SplitBalance.oracleSql, ops.SplitBalance.rowsOnly),
+    m(ops.SourceProfile.queries, ops.SourceProfile.oracleSql, ops.SourceProfile.rowsOnly),
+    m(ops.LabelDispersion.queries, ops.LabelDispersion.oracleSql, ops.LabelDispersion.rowsOnly),
+    m(ops.SourceEntropy.queries, ops.SourceEntropy.oracleSql, ops.SourceEntropy.rowsOnly),
+    m(ops.LabelProp.queries, ops.LabelProp.oracleSql, ops.LabelProp.rowsOnly),
+    m(ops.ZipfFit.queries, ops.ZipfFit.oracleSql, ops.ZipfFit.rowsOnly),
+    m(ops.HeapsCurve.queries, ops.HeapsCurve.oracleSql, ops.HeapsCurve.rowsOnly),
+    m(ops.CellValidity.queries, ops.CellValidity.oracleSql, ops.CellValidity.rowsOnly),
+    m(ops.VocabOverlap.queries, ops.VocabOverlap.oracleSql, ops.VocabOverlap.rowsOnly),
+    m(ops.CondEntropy.queries, ops.CondEntropy.oracleSql, ops.CondEntropy.rowsOnly),
+    m(ops.CopyMass.queries, ops.CopyMass.oracleSql, ops.CopyMass.rowsOnly),
+    m(ops.BatchMix.queries, ops.BatchMix.oracleSql, ops.BatchMix.rowsOnly),
+    m(ops.QualityQuartiles.queries, ops.QualityQuartiles.oracleSql, ops.QualityQuartiles.rowsOnly),
+    m(ops.SkewCensus.queries, ops.SkewCensus.oracleSql, ops.SkewCensus.rowsOnly),
+    m(ops.Retention.queries, ops.Retention.oracleSql, ops.Retention.rowsOnly),
+    m(ops.RfmSegments.queries, ops.RfmSegments.oracleSql, ops.RfmSegments.rowsOnly),
+    m(ops.BasketAffinity.queries, ops.BasketAffinity.oracleSql, ops.BasketAffinity.rowsOnly),
+    m(ops.NumericCorr.queries, ops.NumericCorr.oracleSql, ops.NumericCorr.rowsOnly),
+    m(ops.AbcPareto.queries, ops.AbcPareto.oracleSql, ops.AbcPareto.rowsOnly),
+    m(ops.YoyGrowth.queries, ops.YoyGrowth.oracleSql, ops.YoyGrowth.rowsOnly),
+    m(ops.GiniConcentration.queries, ops.GiniConcentration.oracleSql, ops.GiniConcentration.rowsOnly)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The longest parity chain (SURVEY §7.2): scan → clean → agg → join →
     * null-safe divide → window top-k.
@@ -19,66 +115,24 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline extensions (text analysis, dedup, similarity
-    * search, events, multimodal).
+    * search, events, multimodal). A `++` fold keeps the historical
+    * last-module-wins semantics, but cross-module key collisions are
+    * impossible while RegistryDocsSpec's module-disjointness test is
+    * green.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.ParityQueries.queries ++ ops.TextAnalysis.queries ++
-      ops.Dedup.allQueries ++ ops.SimilaritySearch.allQueries ++
-      ops.EventsOps.allQueries ++ ops.Multimodal.queries ++
-      ops.AnalyticsExtras.queries ++ ops.Sampling.queries ++
-      ops.CorpusSignals.queries ++ ops.EmbeddingOps.queries ++
-      ops.CorpusPrep.queries ++ ops.LakehouseOps.queries ++
-      ops.IntervalOps.queries ++ ops.CorpusReports.queries ++
-      ops.GraphOps.queries ++ sources.Layout.queries ++
-      sources.DataSkipping.queries ++ ops.ScaleOps.queries ++
-      ops.SegmentDedup.queries ++ streaming.StreamingQueries.queries ++
-      ops.ProfileOps.queries ++ ops.ClusterOps.queries ++
-      ops.LmTokenizer.queries ++ ops.PqOps.queries ++
-      ops.Retrieval.queries ++ ops.NaiveBayes.queries ++
-      ops.Winnowing.queries ++ ops.UnigramLm.queries ++
-      ops.Dsir.queries ++ ops.Mining.queries ++ ops.WordPiece.queries ++
-      ops.SymSpell.queries ++ ops.LinearProbe.queries ++ ops.QualityBuckets.queries ++ ops.CountMin.queries ++ ops.Chunking.queries ++ ops.QlRetrieval.queries ++ ops.ExactSubstr.queries ++ ops.EpochAllocation.queries ++ ops.BatchPlan.queries ++ ops.VocabCoverage.queries ++ ops.ClassifierEval.queries ++ ops.NoveltyCurve.queries ++ ops.QualitySweep.queries ++ ops.CentroidMatrix.queries ++ ops.Collocations.queries ++ ops.DataCard.queries ++ ops.VectorCard.queries ++ ops.SplitBalance.queries ++ ops.SourceProfile.queries ++ ops.LabelDispersion.queries ++ ops.SourceEntropy.queries ++ ops.LabelProp.queries ++ ops.ZipfFit.queries ++ ops.HeapsCurve.queries ++ ops.CellValidity.queries ++ ops.VocabOverlap.queries ++ ops.CondEntropy.queries ++ ops.CopyMass.queries ++ ops.BatchMix.queries ++ ops.QualityQuartiles.queries ++ ops.SkewCensus.queries ++ ops.Retention.queries ++ ops.RfmSegments.queries ++ ops.BasketAffinity.queries ++ ops.NumericCorr.queries ++ ops.AbcPareto.queries ++ ops.YoyGrowth.queries ++ ops.GiniConcentration.queries
+    modules.iterator.map(_.queries).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.ParityQueries.oracleSql ++ ops.TextAnalysis.oracleSql ++
-      ops.Dedup.oracleSql ++ ops.SimilaritySearch.oracleSql ++
-      ops.EventsOps.oracleSql ++ ops.Multimodal.oracleSql ++
-      ops.AnalyticsExtras.oracleSql ++ ops.Sampling.oracleSql ++
-      ops.CorpusSignals.oracleSql ++ ops.EmbeddingOps.oracleSql ++
-      ops.CorpusPrep.oracleSql ++ ops.LakehouseOps.oracleSql ++
-      ops.IntervalOps.oracleSql ++ ops.CorpusReports.oracleSql ++
-      sources.Layout.oracleSql ++ sources.DataSkipping.oracleSql ++
-      ops.ScaleOps.oracleSql ++ ops.SegmentDedup.oracleSql ++
-      ops.GraphOps.oracleSql ++ streaming.StreamingQueries.oracleSql ++
-      ops.ProfileOps.oracleSql ++ ops.ClusterOps.oracleSql ++
-      ops.LmTokenizer.oracleSql ++ ops.PqOps.oracleSql ++
-      ops.Retrieval.oracleSql ++ ops.NaiveBayes.oracleSql ++
-      ops.Winnowing.oracleSql ++ ops.UnigramLm.oracleSql ++
-      ops.Dsir.oracleSql ++ ops.Mining.oracleSql ++ ops.WordPiece.oracleSql ++
-      ops.SymSpell.oracleSql ++ ops.LinearProbe.oracleSql ++ ops.QualityBuckets.oracleSql ++ ops.CountMin.oracleSql ++ ops.Chunking.oracleSql ++ ops.QlRetrieval.oracleSql ++ ops.ExactSubstr.oracleSql ++ ops.EpochAllocation.oracleSql ++ ops.BatchPlan.oracleSql ++ ops.VocabCoverage.oracleSql ++ ops.ClassifierEval.oracleSql ++ ops.NoveltyCurve.oracleSql ++ ops.QualitySweep.oracleSql ++ ops.CentroidMatrix.oracleSql ++ ops.Collocations.oracleSql ++ ops.DataCard.oracleSql ++ ops.VectorCard.oracleSql ++ ops.SplitBalance.oracleSql ++ ops.SourceProfile.oracleSql ++ ops.LabelDispersion.oracleSql ++ ops.SourceEntropy.oracleSql ++ ops.LabelProp.oracleSql ++ ops.ZipfFit.oracleSql ++ ops.HeapsCurve.oracleSql ++ ops.CellValidity.oracleSql ++ ops.VocabOverlap.oracleSql ++ ops.CondEntropy.oracleSql ++ ops.CopyMass.oracleSql ++ ops.BatchMix.oracleSql ++ ops.QualityQuartiles.oracleSql ++ ops.SkewCensus.oracleSql ++ ops.Retention.oracleSql ++ ops.RfmSegments.oracleSql ++ ops.BasketAffinity.oracleSql ++ ops.NumericCorr.oracleSql ++ ops.AbcPareto.oracleSql ++ ops.YoyGrowth.oracleSql ++ ops.GiniConcentration.oracleSql
+    modules.iterator.map(_.oracleSql).reduce(_ ++ _)
 
   /** Queries intentionally registered WITHOUT oracle SQL (driver records a
     * weaker rows-only check): ops whose semantics aren't expressible in
     * portable ANSI SQL (hash-dependent sketches etc.).
     */
   def rowsOnlyQueries: Set[String] =
-    ops.TextAnalysis.rowsOnly ++ ops.Dedup.rowsOnly ++
-      ops.SimilaritySearch.rowsOnly ++ ops.EventsOps.rowsOnly ++
-      ops.Multimodal.rowsOnly ++ ops.AnalyticsExtras.rowsOnly ++
-      ops.CorpusSignals.rowsOnly ++ ops.EmbeddingOps.rowsOnly ++
-      ops.CorpusPrep.rowsOnly ++ ops.GraphOps.rowsOnly ++
-      ops.CorpusReports.rowsOnly ++ ops.LakehouseOps.rowsOnly ++
-      ops.IntervalOps.rowsOnly ++ ops.Sampling.rowsOnly ++
-      sources.Layout.rowsOnly ++ sources.DataSkipping.rowsOnly ++
-      ops.ScaleOps.rowsOnly ++ ops.SegmentDedup.rowsOnly ++
-      streaming.StreamingQueries.rowsOnly ++
-      ops.ProfileOps.rowsOnly ++ ops.ClusterOps.rowsOnly ++
-      ops.LmTokenizer.rowsOnly ++ ops.PqOps.rowsOnly ++
-      ops.Retrieval.rowsOnly ++ ops.NaiveBayes.rowsOnly ++
-      ops.Winnowing.rowsOnly ++ ops.UnigramLm.rowsOnly ++
-      ops.Dsir.rowsOnly ++ ops.Mining.rowsOnly ++ ops.WordPiece.rowsOnly ++
-      ops.SymSpell.rowsOnly ++ ops.LinearProbe.rowsOnly ++ ops.QualityBuckets.rowsOnly ++ ops.CountMin.rowsOnly ++ ops.Chunking.rowsOnly ++ ops.QlRetrieval.rowsOnly ++ ops.ExactSubstr.rowsOnly ++ ops.EpochAllocation.rowsOnly ++ ops.BatchPlan.rowsOnly
+    modules.iterator.map(_.rowsOnly).reduce(_ ++ _)
 }

@@ -1,39 +1,56 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.ngrams
 
 /** Directional copy-mass matrix — per ORDERED source pair (A, B):
-  * what fraction of A's 5-gram TOKEN MASS (occurrences, not types)
-  * is 5-grams B also emits. The asymmetry is the point and what both
-  * neighbors blur: q145's near-dup pairs see whole documents, q195's
-  * vocabulary Jaccard is symmetric over types — but a feed that is a
-  * strict SUBSET mirror of a bigger source reads ~10⁶ ppm in ITS row
-  * (all its mass is elsewhere — drop it) while the big source's row
+  * what fraction of A's DISCRIMINATIVE 5-gram TOKEN MASS (occurrences,
+  * not types) is 5-grams B also emits. The asymmetry is the point and
+  * what both neighbors blur: q145's near-dup pairs see whole documents,
+  * q195's vocabulary Jaccard is symmetric over types — but a feed that
+  * is a strict SUBSET mirror of a bigger source reads ~10⁶ ppm in ITS
+  * row (all its mass is elsewhere — drop it) while the big source's row
   * toward it stays small (keep it). The de-weighting decision needs
   * the direction.
+  *
+  * Df-cap (the q155/[[Winnowing.MaxDf]] discipline, same constant):
+  * a 5-gram present in more than MaxDf distinct DOCUMENTS is boilerplate
+  * (headers, licence text, templated phrases), not copying evidence —
+  * it is excluded from BOTH the shared mass and the denominator, so
+  * share_ppm reads "fraction of A's discriminative mass that B also
+  * emits". This is also the corpus-wide scale mitigation the r16
+  * SCALING.md row promised: the (source, digest) table the matrix
+  * self-joins now holds only df≤cap grams, so ubiquitous grams never
+  * reach the join no matter how large the corpus.
   *
   * Determinism: multiset counts are exact; shared mass sums A-side
   * counts over the digest intersection; share_ppm is a nonnegative
   * integer DIV (DIV ≡ //). Grams cross engines as md5 digests (q66
   * rule).
   *
-  * Scale shape: ONE (source, digest) 5-gram count shuffle (map-side
-  * combined, checkpointed — the matrix self-joins it); the digest
-  * equi-join fans out ≤ |sources| rows per key (the q180/q195
-  * bound) into a |sources|²-key aggregate. A zero-overlap pair is
+  * Scale shape: one (gd, doc, source) 5-gram count shuffle (map-side
+  * combined), a gd-PARTITIONED count window for the df cap (per-gram
+  * partitions, ≤ corpus doc count each — never a global window), then
+  * the capped (source, digest) fold (checkpointed — the matrix
+  * self-joins it); the digest equi-join fans out ≤ min(MaxDf, |sources|)
+  * rows per key into a |sources|²-key aggregate. A zero-overlap pair is
   * absent (q145 inner semantics).
   */
 object CopyMass {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_copy_mass_matrix" -> ((s, d) => {
-      val cnt = Tables.documents(s, d)
-        .select(col("source"), explode(ngrams(col("text"), 5)).as("g"))
-        .select(col("source"), md5(col("g").cast("binary")).as("gd"))
-        .groupBy("source", "gd").agg(count(lit(1)).as("c"))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(ngrams(col("text"), 5)).as("g"))
+        .select(col("doc_id"), col("source"), md5(col("g").cast("binary")).as("gd"))
+        .groupBy("gd", "doc_id", "source").agg(count(lit(1)).as("c"))
+      val cnt = perDoc
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gd")))
+        .filter(col("df") <= Winnowing.MaxDf)
+        .groupBy("source", "gd").agg(sum(col("c")).as("c"))
         .localCheckpoint()
       val totals = cnt.groupBy("source").agg(sum(col("c")).as("total_mass"))
       cnt.as("a")
@@ -50,14 +67,19 @@ object CopyMass {
 
   val oracleSql: Map[String, String] = Map(
     "q197_copy_mass_matrix" ->
-      """WITH cnt AS MATERIALIZED (
-        |  SELECT source, md5(g) AS gd, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM (SELECT source, UNNEST(CASE WHEN len(w) >= 5
+      s"""WITH perdoc AS (
+        |  SELECT md5(g) AS gd, doc_id, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, source, UNNEST(CASE WHEN len(w) >= 5
         |          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
         |                FOR i IN range(1, len(w) - 3)]
         |          ELSE [] END) AS g
-        |        FROM (SELECT source, string_split_regex(trim(text), '\s+') AS w
+        |        FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
         |              FROM documents))
+        |  GROUP BY 1, 2, 3
+        |), cnt AS MATERIALIZED (
+        |  SELECT source, gd, CAST(SUM(c) AS BIGINT) AS c
+        |  FROM (SELECT gd, source, c FROM perdoc
+        |        QUALIFY COUNT(*) OVER (PARTITION BY gd) <= ${Winnowing.MaxDf})
         |  GROUP BY 1, 2
         |), totals AS (
         |  SELECT source, CAST(SUM(c) AS BIGINT) AS total_mass FROM cnt GROUP BY source

@@ -403,4 +403,7 @@ object ParityQueries {
          |JOIN dim_time dt ON f.year = dt.year AND f.month = dt.month
          |ORDER BY dr.region_id, dt.time_id""".stripMargin
   )
+
+  /** Every parity query is SQL-expressible — none are rows-only. */
+  val rowsOnly: Set[String] = Set.empty
 }

@@ -14,10 +14,11 @@ import graft.Tables
   *
   * Determinism: cents quantize per lineitem (ROUND(x·100), identical
   * IEEE) before summing; years are integer date parts; growth is
-  * SIGNED, so it avoids integer division entirely (Spark DIV
-  * truncates, DuckDB // floors — they DIFFER below zero) and uses
-  * the q185 signed-ROUND-on-doubles convention: one pinned
-  * cast-sub-mul-div-ROUND, exact inputs ≪ 2⁵³.
+  * SIGNED and uses the q185 signed-ROUND-on-doubles convention (one
+  * pinned cast-sub-mul-div-ROUND, exact inputs ≪ 2⁵³) rather than
+  * integer division — a style choice for the signed path, not a
+  * necessity: Spark DIV and DuckDB integer // both truncate toward
+  * zero (the q147 pin), so either convention would hash-match.
   *
   * Scale shape: lineitem joins the part dim on the part key (the dim
   * broadcasts — the q20 shape), folds map-side to (brand, year)

@@ -24,7 +24,7 @@ object StreamingQueries {
       .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map("%02x".format(_)).mkString
 
-  private def stageEventsDir(d: String): String = {
+  private[graft] def stageEventsDir(d: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$d/events.parquet")
     // readable prefix + a digest of the RAW path: sanitization alone maps
@@ -32,8 +32,14 @@ object StreamingQueries {
     // collision would silently replay the wrong table
     val raw = src.toAbsolutePath.toString
     val digest = pathDigest(raw)
+    // "ev" prefix: sanitizing the absolute path turns the leading "/"
+    // into "_", and Spark's hidden-path convention filters _-prefixed
+    // names during glob resolution — every streaming query logged
+    // "WARN DataSource: All paths were ignored" against the stage dir
+    // (data still flowed via the file-source listing, but the WARN
+    // read like a stale-listing race in the bench tail)
     val stage = Paths.get(
-      s"/tmp/graft_stream_stage/${raw.replaceAll("[^A-Za-z0-9]", "_")}_$digest")
+      s"/tmp/graft_stream_stage/ev${raw.replaceAll("[^A-Za-z0-9]", "_")}_$digest")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     // a link left from an earlier run can dangle if the target was

@@ -61,14 +61,10 @@ class QualityBucketsSpec extends AnyFunSuite {
     val pairs = c12.join(uni, Seq("w1"))
       .select(col("c12"), col("c1")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    var minMargin = Double.MaxValue
-    pairs.foreach { case (n12, n1) =>
-      val x = 1e6 * math.log((n12 + 1).toDouble / (n1 + v))
-      val margin = math.abs(math.abs(x - math.floor(x)) - 0.5)
-      if (margin < minMargin) minMargin = margin
-    }
+    val minMargin = UlpBoundary.minMargin(pairs.iterator.map { case (n12, n1) =>
+      1e6 * math.log((n12 + 1).toDouble / (n1 + v)) })
     info(f"min distance of any bigram NLL·1e6 to a .5 boundary: $minMargin%.2e")
-    assert(minMargin > 1e-8,
+    assert(minMargin > UlpBoundary.Floor,
       f"a bigram NLL sits $minMargin%.2e from a rounding boundary — see the hazard note")
   }
 }

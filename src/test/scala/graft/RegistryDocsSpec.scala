@@ -51,6 +51,32 @@ class RegistryDocsSpec extends AnyFunSuite {
       s"QUERIES.md rows for unregistered queries: ${phantom.toSeq.sorted.mkString(", ")}")
   }
 
+  test("module query keys are pairwise disjoint (fold order can never matter)") {
+    // SparkEntry.queries is a ++ fold over modules; a cross-module key
+    // collision would silently shadow one implementation with another.
+    val sizes = SparkEntry.modules.map(_.queries.size).sum
+    assert(sizes == nQueries,
+      s"modules register $sizes keys but the union holds $nQueries — duplicate query names across modules")
+  }
+
+  test("committed BENCH_DETAIL.json covers the full live registry") {
+    // r16 shipped bench evidence one query short (refreshed at 206,
+    // q207 added after): the rule is now mechanical — the BENCH_DETAIL
+    // refresh is part of the LAST query's commit, and this test fails
+    // the build until the refresh lands. queries ∪ errors must equal
+    // the registry exactly (a failed query appears under errors).
+    val md = read(Bench.DetailFile)
+    val inDetail = """    "(q\d+[a-z0-9_]*)":""".r
+      .findAllMatchIn(md).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- inDetail
+    assert(missing.isEmpty,
+      s"registered but absent from ${Bench.DetailFile} (re-run graft.Bench and commit): ${missing.toSeq.sorted.mkString(", ")}")
+    val stale = inDetail -- registered
+    assert(stale.isEmpty,
+      s"${Bench.DetailFile} entries for unregistered queries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("README.md query counts match the live registry") {
     val md = read("README.md")
     // every 'N queries' / 'N-query' mention must carry the live count

@@ -59,7 +59,7 @@ class RetrievalSpec extends AnyFunSuite {
     val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val clen = cf.values.sum.toDouble
     val mu = graft.ops.QlRetrieval.Mu.toDouble
-    def margin(x: Double) = math.abs(math.abs(x - math.floor(x)) - 0.5)
+    def margin(x: Double) = UlpBoundary.margin(x)
     var m = Double.MaxValue
     // family A: ln(μ·cf/|C|) per term; family B: ln(dl+μ) per doc;
     // family C: ln(1 + tf·|C|/(μ·cf)) per (tf, cf) pair in use
@@ -71,7 +71,7 @@ class RetrievalSpec extends AnyFunSuite {
       }
     }
     info(f"min distance of any QL ln·1e6 to a .5 boundary: $m%.2e")
-    assert(m > 1e-8, f"a QL quantized ln sits $m%.2e from a boundary — known hazard class")
+    assert(m > UlpBoundary.Floor, f"a QL quantized ln sits $m%.2e from a boundary — known hazard class")
   }
 
   test("q149 BM25: contiguous ranks, positive scores, hits bounded by query terms") {
@@ -138,14 +138,11 @@ class RetrievalSpec extends AnyFunSuite {
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
-    var minMargin = Double.MaxValue
-    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
-      val x = Retrieval.cosSeq(vecs(i), vecs(j)) * 1e6
-      val margin = math.abs(math.abs(x - math.floor(x)) - 0.5)
-      if (margin < minMargin) minMargin = margin
-    }
+    val minMargin = UlpBoundary.minMargin(
+      for (i <- vecs.indices.iterator; j <- ((i + 1) until vecs.length).iterator)
+        yield Retrieval.cosSeq(vecs(i), vecs(j)) * 1e6)
     info(f"min distance of any cos·1e6 to a .5 rounding boundary: $minMargin%.2e")
-    assert(minMargin > 1e-8,
+    assert(minMargin > UlpBoundary.Floor,
       f"a similarity sits $minMargin%.2e from a rounding boundary — within " +
         "reach of cross-libm drift; see the hazard note at Retrieval.quant")
   }

@@ -36,6 +36,28 @@ class StreamingSpec extends AnyFunSuite {
       "bounded streaming replay must reproduce the batch aggregation bit-for-bit")
   }
 
+  test("stage dir is glob-visible and re-entrant: no hidden prefix, second invocation identical") {
+    // the r16 bench tail logged "WARN DataSource: All paths were
+    // ignored" per streaming query: the sanitized absolute path began
+    // with "_", Spark's hidden-path convention. Pin the visible prefix
+    // AND per-query re-entry (the stage dir is shared-by-design across
+    // the 13 streaming queries of a bench/verify session — a stale or
+    // state-corrupting listing would show up as a second-run drift).
+    val d = "/root/testdata/sf0.001"
+    val stage = streaming.StreamingQueries.stageEventsDir(d)
+    val name = java.nio.file.Paths.get(stage).getFileName.toString
+    assert(!name.startsWith("_") && !name.startsWith("."),
+      s"stage dir '$name' is hidden under Spark's path conventions")
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(stage).resolve("events.parquet")),
+      "staged events.parquet missing or dangling")
+    val first = SparkEntry.queries("q116_stream_hourly_replay")(spark, d)
+    val second = SparkEntry.queries("q116_stream_hourly_replay")(spark, d)
+    assert(first.count() > 0)
+    assert(first.exceptAll(second).isEmpty && second.exceptAll(first).isEmpty,
+      "re-entering the staged streaming source must be idempotent")
+  }
+
   test("q119 append replay emits exactly the windows the final watermark seals") {
     // the oracle's predicate, mirrored engine-side: W = floor_ms(max ts)
     // - 2h (EventTimeWatermarkExec truncates micros to millis), sealed =

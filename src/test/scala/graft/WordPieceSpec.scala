@@ -72,7 +72,7 @@ class WordPieceSpec extends AnyFunSuite {
         val scored = pairs.toSeq.map { case ((p1, p2), c) =>
           val raw = 1e6 * (math.log(c.toDouble) -
             math.log(units(p1).toDouble) - math.log(units(p2).toDouble))
-          val margin = math.abs(math.abs(raw - math.floor(raw)) - 0.5)
+          val margin = UlpBoundary.margin(raw)
           if (margin < minMargin) minMargin = margin
           (p1, p2, c, quantHalfUp(raw))
         }
@@ -152,7 +152,7 @@ class WordPieceSpec extends AnyFunSuite {
         row.getString(3), row.getLong(4), row.getLong(5))).toSeq
     assert(got == ref)
     info(f"min distance of any candidate score·10⁶ to a .5 boundary: $minMargin%.2e")
-    assert(minMargin > 1e-8,
+    assert(minMargin > UlpBoundary.Floor,
       f"a merge score sits $minMargin%.2e from a rounding boundary — within " +
         "cross-libm drift; see the hazard note in WordPiece's scaladoc")
   }
