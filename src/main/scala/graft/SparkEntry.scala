@@ -103,7 +103,8 @@ object SparkEntry {
     m(ops.NumericCorr.queries, ops.NumericCorr.oracleSql, ops.NumericCorr.rowsOnly),
     m(ops.AbcPareto.queries, ops.AbcPareto.oracleSql, ops.AbcPareto.rowsOnly),
     m(ops.YoyGrowth.queries, ops.YoyGrowth.oracleSql, ops.YoyGrowth.rowsOnly),
-    m(ops.GiniConcentration.queries, ops.GiniConcentration.oracleSql, ops.GiniConcentration.rowsOnly)
+    m(ops.GiniConcentration.queries, ops.GiniConcentration.oracleSql, ops.GiniConcentration.rowsOnly),
+    m(ops.DedupReport.queries, ops.DedupReport.oracleSql, ops.DedupReport.rowsOnly)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

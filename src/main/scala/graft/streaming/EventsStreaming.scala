@@ -404,19 +404,34 @@ object EventsStreaming {
     */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append,
-                  statePartitions: Option[Int] = None): DataFrame = {
+                  statePartitions: Option[Int] = None): DataFrame =
+    runWithProgress(s, streamed, name, mode, statePartitions)._1
+
+  /** [[runToMemory]] that also returns the per-trigger progress objects
+    * — the engine's own observability counters (numInputRows,
+    * numRowsDroppedByWatermark, the effective watermark). q209 builds
+    * its late-data audit from these: the metrics ARE the product, not a
+    * side channel, which is why this returns them instead of the query
+    * re-deriving drop counts from data.
+    */
+  def runWithProgress(s: SparkSession, streamed: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Append,
+                      statePartitions: Option[Int] = None)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     statePartitions.foreach(n => s.conf.set(key, n.toString))
-    try {
-      val q: StreamingQuery = streamed.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set(key, saved)
-    s.table(name)
+    val progress =
+      try {
+        val q: StreamingQuery = streamed.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.recentProgress.toSeq
+      } finally s.conf.set(key, saved)
+    (s.table(name), progress)
   }
 }

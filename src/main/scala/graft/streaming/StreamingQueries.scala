@@ -74,7 +74,107 @@ object StreamingQueries {
     root
   }
 
+  /** Micro-batch count for the q209 late-data replay. */
+  private[graft] val LateBatches = 4
+
+  /** Staged K-file split of the events table for the q209 late-data
+    * replay: file i holds rows with event_id % K == i (a deterministic,
+    * ts-INTERLEAVED split — every batch spans the full time range, so
+    * once batch 0 has advanced the watermark near max(ts) − delay,
+    * batches 1..K−1 arrive mostly late: the worst-case replay the audit
+    * quantifies). Mtimes are pinned to i minutes past epoch so
+    * FileStreamSource (oldest-first) processes file i as micro-batch i,
+    * deterministically. Built once per source path (content-addressed
+    * dir, tmp→rename swap so a crashed build never half-serves; rebuild
+    * triggers only if a batch file is missing).
+    */
+  private[graft] def stageSplitEventsDir(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val raw = Paths.get(s"$d/events.parquet").toAbsolutePath.toString
+    // "ev" prefix: see stageEventsDir (leading "_" is Spark-hidden)
+    val stage = Paths.get(s"/tmp/graft_stream_late/ev" +
+      s"${raw.replaceAll("[^A-Za-z0-9]", "_")}_${pathDigest(raw)}_$LateBatches")
+    // freshness: the driver regenerates testdata between rounds at the
+    // SAME path (the stageEventsDir dangling-symlink lesson) — a stage
+    // dir older than its source file is stale and must rebuild. The
+    // stage dir's own mtime records build time (batch files carry
+    // pinned epoch mtimes for replay ordering, so compare the dir).
+    val complete = Files.isDirectory(stage) &&
+      (0 until LateBatches).forall(i => Files.exists(stage.resolve(s"b$i.parquet"))) &&
+      Files.getLastModifiedTime(stage).compareTo(
+        Files.getLastModifiedTime(Paths.get(raw))) >= 0
+    if (!complete) {
+      val tmp = Paths.get(stage.toString + ".tmp")
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      Files.createDirectories(tmp)
+      val ev = graft.Tables.events(s, d)
+      (0 until LateBatches).foreach { i =>
+        val part = tmp.resolve(s"part$i")
+        ev.filter(pmod(col("event_id"), lit(LateBatches.toLong)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val listing = Files.list(part)
+        val file =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part in $part"))
+          finally listing.close()
+        Files.move(file, tmp.resolve(s"b$i.parquet"))
+        new scala.reflect.io.Directory(part.toFile).deleteRecursively()
+        Files.setLastModifiedTime(tmp.resolve(s"b$i.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(60000L * i))
+      }
+      new scala.reflect.io.Directory(stage.toFile).deleteRecursively()
+      Files.move(tmp, stage)
+    }
+    stage.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q209: watermark LATE-DATA QUANTIFICATION — the ops-side
+    // observability every production streaming pipeline runs: how many
+    // rows arrived past the watermark and were dropped, per micro-batch.
+    // The events table replays as LateBatches ts-interleaved files
+    // (worst-case lateness by construction) through the q116 windowed
+    // aggregation (1h windows, 2h watermark), and the report rows come
+    // from the ENGINE'S OWN counters (StreamingQueryProgress:
+    // numInputRows, numRowsDroppedByWatermark, the effective
+    // watermark) — a ≤LateBatches-row driver-side build, the one place
+    // the metrics live. Oracle: the full watermark recurrence replayed
+    // in SQL, including Spark's TWO-watermark semantic (3.4+,
+    // SPARK-40925): the reported/eviction wm for batch i derives from
+    // batches < i (max ts − 2h, initial 0), but LATE-ROW FILTERING
+    // uses the PREVIOUS batch's wm (watermarkForLateEvents — batches
+    // < i−1), so a row drops iff its WINDOW END ≤ wm(i−1); the
+    // ≤-not-< boundary (window end exactly equal to the filter wm is
+    // dropped) is pinned in LateAuditSpec on an exact-boundary event.
+    // And the counter's UNIT: numRowsDroppedByWatermark counts rows at
+    // the STATE OPERATOR's input — i.e. the map-side-combined PARTIAL
+    // rows, one per late (window, event_type) CELL per input split —
+    // not raw events. Batch files are single-split at the oracle SFs
+    // (far below maxPartitionBytes), so the oracle counts DISTINCT late cells.
+    // wm_ms is the engine-reported millisecond-floored watermark. So
+    // the oracle proves the engine's observability counters — not a
+    // re-derivation — match the documented drop semantics exactly.
+    "q209_stream_late_audit" -> ((s, d) => {
+      import s.implicits._
+      val stage = stageSplitEventsDir(s, d)
+      val stream = EventsStreaming.readEvents(s, stage, maxFilesPerTrigger = Some(1))
+      val (_, progress) = EventsStreaming.runWithProgress(s,
+        EventsStreaming.hourlyCounts(stream), "q209_stream_late_audit",
+        OutputMode.Append, statePartitions = Some(8))
+      val rows = progress.filter(_.numInputRows > 0).zipWithIndex.map {
+        case (p, i) =>
+          val wmMs = java.time.Instant.parse(p.eventTime.get("watermark"))
+            .toEpochMilli
+          (i, p.numInputRows, p.stateOperators.head.numRowsDroppedByWatermark,
+            wmMs)
+      }
+      rows.toDF("batch", "n_input", "n_late_dropped", "wm_ms")
+        .orderBy("batch")
+    }),
+
     // q168's count-min sketch maintained ON INGEST — the streaming skew
     // sentinel: every event updates D counter cells keyed by its
     // user_id (a narrow per-row expansion into a 256-key stateful
@@ -308,6 +408,44 @@ object StreamingQueries {
     * the batch aggregation bit-for-bit on a bounded replay.
     */
   val oracleSql: Map[String, String] = Map(
+    // q209: the watermark recurrence replayed in SQL. Reported/eviction
+    // wm for batch i = max ts over batches < i minus the 2h delay
+    // (initial 0 = epoch); LATE-ROW FILTERING uses the previous batch's
+    // wm (SPARK-40925 watermarkForLateEvents: batches < i-1), so a row
+    // drops iff its 1h-window END <= that lagged wm — counted as the
+    // DISTINCT late (window, event_type) cells the state operator sees
+    // (map-side-combined partials; batch files single-split at these
+    // SFs); the reported wm_ms
+    // is the engine's millisecond-floored progress value (positive
+    // epochs, so // 1000 is the same floor).
+    "q209_stream_late_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_id % $LateBatches AS b, ts, event_type FROM events
+         |), mx AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_input, MAX(ts) AS mxts
+         |  FROM e GROUP BY b
+         |), wm AS (
+         |  SELECT b, n_input,
+         |         COALESCE(epoch_us(MAX(mxts) OVER (
+         |             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |           - 7200000000, 0) AS wm_us,
+         |         COALESCE(epoch_us(MAX(mxts) OVER (
+         |             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING))
+         |           - 7200000000, 0) AS wm_late_us
+         |  FROM mx
+         |), drops AS (
+         |  SELECT e.b, CAST(COUNT(DISTINCT (date_trunc('hour', e.ts), e.event_type)) FILTER (
+         |      WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 <= w.wm_late_us
+         |    ) AS BIGINT) AS n_late_dropped
+         |  FROM e JOIN wm w USING (b)
+         |  GROUP BY e.b
+         |)
+         |SELECT CAST(w.b AS INTEGER) AS batch, w.n_input,
+         |       COALESCE(d.n_late_dropped, CAST(0 AS BIGINT)) AS n_late_dropped,
+         |       w.wm_us // 1000 AS wm_ms
+         |FROM wm w LEFT JOIN drops d USING (b)
+         |ORDER BY batch""".stripMargin,
+
     // q172: the batch replay of the streamed sketch + the probe — the
     // whole chain is COUNT aggregates over md5-derived buckets, so the
     // oracle proves streamed-state ≡ batch-CMS ≡ SQL, the strongest

@@ -314,8 +314,11 @@ class PlanSpec extends AnyFunSuite {
                                      // q30/q77 candidate-generation shape)
       "q158_hard_negatives",         // broadcast 10-anchor side vs corpus
                                      // (same shape; ANN shortlist at scale)
-      "q173_epoch_allocation")       // 1-row budget/weight-total folds over
+      "q173_epoch_allocation",       // 1-row budget/weight-total folds over
                                      // the |sources|-bounded allocation frame
+      "q208_dedup_recall_report")    // 1-row truth-count folds crossed per
+                                     // family + the q29 capped exact anchor
+                                     // it scores against (both shapes above)
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
@@ -324,7 +327,7 @@ class PlanSpec extends AnyFunSuite {
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
       "q126_stream_attribution_outer", "q127_stream_gold_additive",
       "q128_stream_fact_upsert", "q129_stream_user_counts",
-      "q130_stream_dedup_ingest")
+      "q130_stream_dedup_ingest", "q209_stream_late_audit")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -369,7 +372,7 @@ class PlanSpec extends AnyFunSuite {
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
       "q126_stream_attribution_outer", "q127_stream_gold_additive",
       "q128_stream_fact_upsert", "q129_stream_user_counts",
-      "q130_stream_dedup_ingest",
+      "q130_stream_dedup_ingest", "q209_stream_late_audit",
       // driver-collected iterative queries: building their frame RUNS
       // the full fixed-round iteration (collect + checkpoint per round)
       // only to inspect what ends as a LocalTableScan/checkpoint leaf —
@@ -379,7 +382,12 @@ class PlanSpec extends AnyFunSuite {
       "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
       "q140_bpe_train_batched", "q141_bpe_apply_oov", "q147_pq_codes",
       "q118_pagerank_exact", "q93_pagerank", "q156_unigram_lm_train",
-      "q159_tokenizer_fertility")
+      "q159_tokenizer_fertility",
+      // q208 composes four component runs + the memoized pair frames:
+      // building its frame at sweep time re-runs all of them only to
+      // see checkpoint leaves; its (window-free) family shapes are
+      // pinned by the per-family sweeps above and DedupReportSpec
+      "q208_dedup_recall_report")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if !skip(name) && !globalWindowAllowed(name)) {
       // sparkPlan, NOT executedPlan: under AQE the executed plan is a
