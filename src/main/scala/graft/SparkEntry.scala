@@ -104,7 +104,12 @@ object SparkEntry {
     m(ops.AbcPareto.queries, ops.AbcPareto.oracleSql, ops.AbcPareto.rowsOnly),
     m(ops.YoyGrowth.queries, ops.YoyGrowth.oracleSql, ops.YoyGrowth.rowsOnly),
     m(ops.GiniConcentration.queries, ops.GiniConcentration.oracleSql, ops.GiniConcentration.rowsOnly),
-    m(ops.DedupReport.queries, ops.DedupReport.oracleSql, ops.DedupReport.rowsOnly)
+    m(ops.DedupReport.queries, ops.DedupReport.oracleSql, ops.DedupReport.rowsOnly),
+    m(ops.PowerIteration.queries, ops.PowerIteration.oracleSql, ops.PowerIteration.rowsOnly),
+    m(ops.TriangleCount.queries, ops.TriangleCount.oracleSql, ops.TriangleCount.rowsOnly),
+    m(ops.ImageHash.queries, ops.ImageHash.oracleSql, ops.ImageHash.rowsOnly),
+    m(ops.AudioFeatures.queries, ops.AudioFeatures.oracleSql, ops.AudioFeatures.rowsOnly),
+    m(ops.CommonDirection.queries, ops.CommonDirection.oracleSql, ops.CommonDirection.rowsOnly)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -270,6 +270,34 @@ object MediaCodec {
     Pcm(channels, sampleRate, dataLen / 2, i => buf.getShort(start + 2 * i) / 32768.0)
   }
 
+  /** Raw 16-bit PCM samples of a parsed WAV payload — exact integers
+    * (the normalized accessor divides by 32768; multiplying back is
+    * exact since short/32768.0 is dyadic, but q213 wants the integers
+    * directly). One sample per encoded content byte: ((b & 0xFF) − 128)
+    * << 8 by the [[encodeWav]] contract, which is what makes the q213
+    * oracle a TRUE cross-engine derivation from the text bytes.
+    */
+  def pcmRawSamples(p: Array[Byte]): Array[Int] = {
+    val pcm = parseWav(p)
+    val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // re-locate the data chunk (parseWav keeps it in a closure): the
+    // accessor multiplies out exactly, so reuse it rather than a second
+    // chunk walk — sample(i)·32768 is the stored short, bit-for-bit
+    Array.tabulate(pcm.nSamples)(i => math.round(pcm.sample(i) * 32768.0).toInt)
+  }
+
+  /** The [[windowMeans]] partition bounds, exposed for the fixed-window
+    * feature extractors (q213) and their oracles: window c of n items
+    * covers [i0, i1) with i0 = ⌊c·n/cells⌋ and i1 = max(i0+1,
+    * ⌊(c+1)·n/cells⌋) — never empty; windows RESAMPLE when n < cells.
+    */
+  def windowBounds(n: Int, cells: Int): Array[(Int, Int)] =
+    Array.tabulate(cells) { c =>
+      val i0 = (c.toLong * n / cells).toInt
+      val i1 = math.max(i0 + 1, ((c + 1).toLong * n / cells).toInt)
+      (i0, i1)
+    }
+
   def decodeWav(p: Array[Byte]): Decoded = {
     val pcm = parseWav(p)
     val channels = pcm.channels
@@ -298,6 +326,52 @@ object MediaCodec {
       math.min(1.0, frames / math.max(sampleRate, 1).toDouble).toFloat,
       sampleRate / 48000f, channels.toFloat,
       (if (nSamples > 1) diff / (nSamples - 1) else 0.0).toFloat))
+  }
+
+  /** Exact integer gray grid over an image raster: per (gridRows ×
+    * gridCols) cell, the SUM of (R+G+B) over its pixel block and the
+    * block's pixel COUNT — block bounds from [[windowBounds]] on each
+    * axis (orientation-corrected like [[thumbnailRaster]], so cell row
+    * 0 is the TOP of the image for both BMP bottom-up storage and
+    * PPM). Integer sums so consumers (q212's dHash) can compare cell
+    * means EXACTLY via cross-multiplication — no float rounding can
+    * flip a near-tie bit.
+    */
+  def grayGridSums(mime: String, payload: Array[Byte],
+                   gridRows: Int, gridCols: Int): (Array[Long], Array[Long]) = {
+    val r = mime match {
+      case BmpMime => parseBmp(payload)
+      case PpmMime => parsePpm(payload)
+      case other => throw new IllegalArgumentException(s"not an image mime: $other")
+    }
+    val rows = windowBounds(r.h, gridRows)
+    val cols = windowBounds(r.w, gridCols)
+    val sums = new Array[Long](gridRows * gridCols)
+    val counts = new Array[Long](gridRows * gridCols)
+    var gy = 0
+    while (gy < gridRows) {
+      val (r0, r1) = rows(gy)
+      var gx = 0
+      while (gx < gridCols) {
+        val (c0, c1) = cols(gx)
+        var sum = 0L
+        var row = r0
+        while (row < r1) {
+          var col = c0
+          while (col < c1) {
+            val (red, green, blue) = r.rgb(row, col)
+            sum += red + green + blue
+            col += 1
+          }
+          row += 1
+        }
+        sums(gy * gridCols + gx) = sum
+        counts(gy * gridCols + gx) = (r1 - r0).toLong * (c1 - c0)
+        gx += 1
+      }
+      gy += 1
+    }
+    (sums, counts)
   }
 
   // --------------------------------------- resize / frame-sample paths

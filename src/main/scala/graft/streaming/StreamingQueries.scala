@@ -157,6 +157,31 @@ object StreamingQueries {
     // wm_ms is the engine-reported millisecond-floored watermark. So
     // the oracle proves the engine's observability counters — not a
     // re-derivation — match the documented drop semantics exactly.
+    // q209: watermark LATE-DATA QUANTIFICATION — the ops-side
+    // observability every production streaming pipeline runs: how many
+    // rows arrived past the watermark and were dropped, per micro-batch.
+    // The events table replays as LateBatches ts-interleaved files
+    // (worst-case lateness by construction) through the q116 windowed
+    // aggregation (1h windows, 2h watermark), and the report rows come
+    // from the ENGINE'S OWN counters (StreamingQueryProgress:
+    // numInputRows, numRowsDroppedByWatermark, the effective
+    // watermark) — a ≤LateBatches-row driver-side build, the one place
+    // the metrics live. Oracle: the full watermark recurrence replayed
+    // in SQL, including Spark's TWO-watermark semantic (3.4+,
+    // SPARK-40925): the reported/eviction wm for batch i derives from
+    // batches < i (max ts − 2h, initial 0), but LATE-ROW FILTERING
+    // uses the PREVIOUS batch's wm (watermarkForLateEvents — batches
+    // < i−1), so a row drops iff its WINDOW END ≤ wm(i−1); the
+    // ≤-not-< boundary (window end exactly equal to the filter wm is
+    // dropped) is pinned in LateAuditSpec on an exact-boundary event.
+    // And the counter's UNIT: numRowsDroppedByWatermark counts rows at
+    // the STATE OPERATOR's input — i.e. the map-side-combined PARTIAL
+    // rows, one per late (window, event_type) CELL per input split —
+    // not raw events. Batch files are single-split at the oracle SFs
+    // (far below maxPartitionBytes), so the oracle counts DISTINCT late cells.
+    // wm_ms is the engine-reported millisecond-floored watermark. So
+    // the oracle proves the engine's observability counters — not a
+    // re-derivation — match the documented drop semantics exactly.
     "q209_stream_late_audit" -> ((s, d) => {
       import s.implicits._
       val stage = stageSplitEventsDir(s, d)
@@ -208,6 +233,34 @@ object StreamingQueries {
         .select(col("user_id"), col("exact_n"), col("cms_est"),
           (col("cms_est") - col("exact_n")).as("overcount"))
         .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
+    // q215: state-store SIZE audit — q209's sibling (q209 quantifies
+    // what the watermark DROPS; this quantifies what the state store
+    // HOLDS): per micro-batch of the same deterministic 4-file replay,
+    // the engine's own StateOperatorProgress counters — rows in state
+    // after eviction (numRowsTotal), keys written this batch
+    // (numRowsUpdated), keys evicted (numRowsRemoved). The oracle
+    // replays the full state lifecycle in SQL: a (window, type) cell
+    // is INSERTED by its first batch with a surviving (non-late) row,
+    // UPDATED by every batch with surviving rows, and EVICTED at the
+    // end of the first batch whose eviction watermark passes its
+    // window end (late filter uses the LAGGED wm — q209's SPARK-40925
+    // pin; eviction uses the CURRENT one). This is the capacity-
+    // planning observability a production stateful pipeline runs, and
+    // here it is hash-gated cross-engine, not just logged.
+    "q215_stream_state_audit" -> ((s, d) => {
+      import s.implicits._
+      val stage = stageSplitEventsDir(s, d)
+      val stream = EventsStreaming.readEvents(s, stage, maxFilesPerTrigger = Some(1))
+      val (_, progress) = EventsStreaming.runWithProgress(s,
+        EventsStreaming.hourlyCounts(stream), "q215_stream_state_audit",
+        OutputMode.Append, statePartitions = Some(8))
+      progress.filter(_.numInputRows > 0).zipWithIndex.map { case (p, i) =>
+        val st = p.stateOperators.head
+        (i, st.numRowsTotal, st.numRowsUpdated, st.numRowsRemoved)
+      }.toSeq.toDF("batch", "n_state_total", "n_updated", "n_removed")
+        .orderBy("batch")
     }),
 
     // q32 replayed through the streaming engine: same grouping, same
@@ -408,6 +461,50 @@ object StreamingQueries {
     * the batch aggregation bit-for-bit on a bounded replay.
     */
   val oracleSql: Map[String, String] = Map(
+    // q215: the state lifecycle replayed in SQL — eviction wm(i) from
+    // batches < i, late-filter wm lagged one more (q209's pin); a cell
+    // is in state after batch i iff it arrived (survived the late
+    // filter) by batch i and its window end is still above the
+    // eviction wm; removed(i) = cells crossing the eviction wm this
+    // batch; updated(i) = cells with surviving rows this batch.
+    "q215_stream_state_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_id % $LateBatches AS b, ts, event_type FROM events
+         |), mx AS (
+         |  SELECT b, MAX(ts) AS mxts FROM e GROUP BY b
+         |), wm AS MATERIALIZED (
+         |  SELECT b,
+         |         COALESCE(epoch_us(MAX(mxts) OVER (
+         |             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |           - 7200000000, 0) AS wm_evict,
+         |         COALESCE(epoch_us(MAX(mxts) OVER (
+         |             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING))
+         |           - 7200000000, 0) AS wm_late
+         |  FROM mx
+         |), cells AS MATERIALIZED (
+         |  SELECT e.b, epoch_us(date_trunc('hour', e.ts)) + 3600000000 AS wend,
+         |         e.event_type AS ty
+         |  FROM e JOIN wm USING (b)
+         |  WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 > wm.wm_late
+         |  GROUP BY 1, 2, 3
+         |), first_arrival AS MATERIALIZED (
+         |  SELECT wend, ty, MIN(b) AS b0 FROM cells GROUP BY 1, 2
+         |), batches AS MATERIALIZED (
+         |  SELECT b, wm_evict,
+         |         LAG(wm_evict, 1, 0) OVER (ORDER BY b) AS wm_prev
+         |  FROM wm
+         |)
+         |SELECT CAST(bt.b AS INTEGER) AS batch,
+         |  CAST((SELECT COUNT(*) FROM first_arrival f
+         |        WHERE f.b0 <= bt.b AND f.wend > bt.wm_evict) AS BIGINT)
+         |    AS n_state_total,
+         |  CAST((SELECT COUNT(*) FROM cells c WHERE c.b = bt.b) AS BIGINT)
+         |    AS n_updated,
+         |  CAST((SELECT COUNT(*) FROM first_arrival f
+         |        WHERE f.b0 <= bt.b AND f.wend > bt.wm_prev
+         |          AND f.wend <= bt.wm_evict) AS BIGINT) AS n_removed
+         |FROM batches bt ORDER BY batch""".stripMargin,
+
     // q209: the watermark recurrence replayed in SQL. Reported/eviction
     // wm for batch i = max ts over batches < i minus the 2h delay
     // (initial 0 = epoch); LATE-ROW FILTERING uses the previous batch's

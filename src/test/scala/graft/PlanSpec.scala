@@ -327,7 +327,8 @@ class PlanSpec extends AnyFunSuite {
       "q124_stream_sessionize_custom", "q125_stream_enrich_replay",
       "q126_stream_attribution_outer", "q127_stream_gold_additive",
       "q128_stream_fact_upsert", "q129_stream_user_counts",
-      "q130_stream_dedup_ingest", "q209_stream_late_audit")
+      "q130_stream_dedup_ingest", "q209_stream_late_audit",
+      "q215_stream_state_audit")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -373,6 +374,7 @@ class PlanSpec extends AnyFunSuite {
       "q126_stream_attribution_outer", "q127_stream_gold_additive",
       "q128_stream_fact_upsert", "q129_stream_user_counts",
       "q130_stream_dedup_ingest", "q209_stream_late_audit",
+      "q215_stream_state_audit",
       // driver-collected iterative queries: building their frame RUNS
       // the full fixed-round iteration (collect + checkpoint per round)
       // only to inspect what ends as a LocalTableScan/checkpoint leaf —
@@ -382,7 +384,8 @@ class PlanSpec extends AnyFunSuite {
       "q132_kmeans_exact", "q135_bpe_train", "q136_bpe_encode",
       "q140_bpe_train_batched", "q141_bpe_apply_oov", "q147_pq_codes",
       "q118_pagerank_exact", "q93_pagerank", "q156_unigram_lm_train",
-      "q159_tokenizer_fertility",
+      "q159_tokenizer_fertility", "q210_power_iteration",
+      "q214_common_direction",
       // q208 composes four component runs + the memoized pair frames:
       // building its frame at sweep time re-runs all of them only to
       // see checkpoint leaves; its (window-free) family shapes are

@@ -41,7 +41,7 @@ class StreamingSpec extends AnyFunSuite {
     // ignored" per streaming query: the sanitized absolute path began
     // with "_", Spark's hidden-path convention. Pin the visible prefix
     // AND per-query re-entry (the stage dir is shared-by-design across
-    // the 13 streaming queries of a bench/verify session — a stale or
+    // the 15 streaming queries of a bench/verify session — a stale or
     // state-corrupting listing would show up as a second-run drift).
     val d = "/root/testdata/sf0.001"
     val stage = streaming.StreamingQueries.stageEventsDir(d)
