@@ -133,6 +133,11 @@ object Bench {
             // an amortized build hidden in a discarded first run
             exec(ops.PqOps.pqCodes(spark, sfDir))
             exec(ops.PqOps.ivfPqSearch(spark, sfDir))
+            // r17 additions to the stored-artifact set: the DSIR score
+            // table (q157/q160 both read it) and the embedding Gram
+            // (q210/q214 both iterate on it)
+            ops.Dsir.importanceScores(spark, sfDir)
+            ops.PowerIteration.gramOf(spark, sfDir)
             true
           } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - tB) / 1e9

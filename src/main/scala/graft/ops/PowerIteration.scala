@@ -69,7 +69,21 @@ object PowerIteration {
     out.result()
   }
 
+  /** Gram memo per (session, dir) — q210 and q214 share the identical
+    * matrix, and the dim²-key shuffle is the only corpus-scale work
+    * either query does. Immutable-dir-guarded like FrameMemo (a spec
+    * fixture dir can be rewritten between calls); the model-edge map
+    * is ≤64² longs, trivially resident. Bench's shared pre-build
+    * prices the one build honestly.
+    */
+  private val gramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[(Int, Int), Long]]()
+
   private[graft] def gramOf(s: SparkSession, d: String): Map[(Int, Int), Long] =
+    if (!FrameMemo.memoizable(d)) buildGram(s, d)
+    else gramMemo.computeIfAbsent((s, d), _ => buildGram(s, d))
+
+  private def buildGram(s: SparkSession, d: String): Map[(Int, Int), Long] =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))

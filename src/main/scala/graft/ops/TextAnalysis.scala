@@ -360,30 +360,29 @@ object TextAnalysis {
     * the window's doc_id partitioning (no second shuffle); the
     * doc-level md5 join is dim-sized.
     */
-  def rollingFingerprintMd5(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"),
-      size(tokens(col("text"))).as("n"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+  def rollingFingerprintMd5(docs: DataFrame): DataFrame =
     // 48-bit md5 prefix: inside BIGINT in both engines even summed
     // 8-wide (8 * 2^48 << 2^63); DuckDB recomputes it bit-for-bit
-    // via ('0x' || substr(md5, 1, 12))::BIGINT
-    val h = tok.withColumn("h",
-      conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, 7)
-    // full 8-token windows only (start pos <= n-8, 0-based); < 8
-    // tokens degrades to one whole-doc window at pos 0 (frame clamps)
-    val wins = h.withColumn("wsum", sum(col("h")).over(w))
-      .filter(col("pos") <= greatest(col("n") - 8, lit(0)))
-      .groupBy("doc_id")
-      .agg(max(col("n")).as("n_tokens"),
-        min(col("wsum")).as("fp_min"), max(col("wsum")).as("fp_max"))
-    docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
-      .join(wins, Seq("doc_id"))
-      .select(col("doc_id"), col("content_md5"), col("n_tokens"),
-        col("fp_min"), col("fp_max"))
-  }
+    // via ('0x' || substr(md5, 1, 12))::BIGINT.
+    // NARROW plan (r17): the r16 shape (posexplode -> doc_id-window ->
+    // groupBy -> join) shuffled+sorted the token stream twice for a
+    // per-doc computation; the HOF form keeps everything inside the
+    // row — per-token digests via transform, 8-wide window sums via
+    // aggregate over slices (full windows at starts 0..max(n-8, 0);
+    // < 8 tokens degrades to one whole-doc window, the same spec) —
+    // so the only exchange left is the presentation sort. tokens() of
+    // an empty string is [""], so n >= 1 always and every doc emits.
+    docs.select(col("doc_id"), md5(col("text")).as("content_md5"),
+        tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("hs", transform(col("toks"),
+        t => conv(substring(md5(t), 1, 12), 16, 10).cast("long")))
+      .withColumn("wins", transform(
+        sequence(lit(0), greatest(col("n") - 8, lit(0))),
+        p => aggregate(slice(col("hs"), p + 1, least(lit(8), col("n"))),
+          lit(0L), (acc, x) => acc + x)))
+      .select(col("doc_id"), col("content_md5"), col("n").as("n_tokens"),
+        array_min(col("wins")).as("fp_min"), array_max(col("wins")).as("fp_max"))
 
   val oracleSql: Map[String, String] = Map(
     // the probe suffix is e + chr(769) = the decomposed combining acute

@@ -140,7 +140,7 @@ class PropertiesSpec extends AnyFunSuite {
   }
 
   test("rolling md5 fingerprint equals a brute-force reference on random docs") {
-    // the q120 plan (posexplode + ROWS-frame window) vs a straight
+    // the q120 plan (narrow HOF digests + slice-sum windows) vs a straight
     // Scala computation of the same spec: h = first 12 hex chars of
     // md5(token) as a long; windows = 8-token sums at starts
     // 0..max(n-8, 0); signature = (min, max)
