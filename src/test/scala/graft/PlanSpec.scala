@@ -316,9 +316,11 @@ class PlanSpec extends AnyFunSuite {
                                      // (same shape; ANN shortlist at scale)
       "q173_epoch_allocation",       // 1-row budget/weight-total folds over
                                      // the |sources|-bounded allocation frame
-      "q208_dedup_recall_report")    // 1-row truth-count folds crossed per
+      "q208_dedup_recall_report",    // 1-row truth-count folds crossed per
                                      // family + the q29 capped exact anchor
                                      // it scores against (both shapes above)
+      "q216_event_funnel")           // 1-row stage-1 base fold crossed onto
+                                     // the 3-row stage report (q114 shape)
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
