@@ -308,6 +308,29 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // per-source duplication burden — the rollup a curator reads to
+    // decide which FEED to de-weight (q145 shows cross-source pair
+    // structure, q197 directional copy-mass; this is the within-
+    // threshold near-dup burden per source): docs participating in
+    // >= 1 exact-Jaccard near-dup pair (q26's memoized graph), over
+    // the source's total, as exact ppm (integer DIV from counts).
+    // Scale shape: the pair frame arrives materialized (FrameMemo);
+    // the distinct-participant projection is pair-sized, the join is
+    // doc-keyed, the report is |sources| rows.
+    "q218_dup_burden_by_source" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d, threshold = 0.2)
+      val dupIds = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("is_dup", lit(1L))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(dupIds, Seq("doc_id"), "left")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          expr("n_dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
+        .orderBy("source")
+    }),
+
     // embedding-cosine near-dup pairs — the EXACT baseline, deliberately
     // capped to a bounded slice (all-pairs is quadratic; an uncapped
     // registered query would be a scale landmine). q43 is the uncapped
@@ -630,6 +653,20 @@ object Dedup {
          |       ROUND(d.cos, 4) AS dup_cos_r
          |FROM av a LEFT JOIN dupc d USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
+
+    "q218_dup_burden_by_source" ->
+      s"""WITH $PairCtes,
+         |dup AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs
+         |  )
+         |)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup_docs,
+         |       CAST(COUNT(dup.doc_id) AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q25_dedup_exact" ->
       """SELECT md5(text) AS content_md5,

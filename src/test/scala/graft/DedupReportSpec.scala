@@ -87,6 +87,37 @@ class DedupReportSpec extends AnyFunSuite {
     assert(q49._3 == math.rint(q49._2.toDouble / 3 * 10000) / 10000, q49.toString)
   }
 
+  test("q218: per-source burden on the planted graded corpus and a corpus brute force") {
+    // the graded fixture from the q208 test: pair docs {0,1},{10,11},
+    // {20,21} all participate; sources are src(id % 3), doc 30 is the
+    // only non-participant -> src0 = {0, 21 dup; 30 not} = 2/3,
+    // src1 = {1, 10} = 2/2, src2 = {11, 20} = 2/2
+    val dir = "/tmp/graft_test_dedupreport" // written by the first test
+    val got = SparkEntry.queries("q218_dup_burden_by_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("src0", 3L, 2L, 666666L),
+      ("src1", 2L, 2L, 1000000L),
+      ("src2", 2L, 2L, 1000000L)), got.mkString(", "))
+
+    val d = "/root/testdata/sf0.001"
+    val pairDocs = SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, d)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, d).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val n = ds.length.toLong
+      val dup = ds.count(x => pairDocs(x._1)).toLong
+      (src, n, dup, dup * 1000000L / n)
+    }.sortBy(_._1)
+    val gotC = SparkEntry.queries("q218_dup_burden_by_source")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(gotC == expected, s"engine $gotC vs brute $expected")
+    assert(gotC.map(_._3).sum > 0)
+  }
+
   test("q208: oracle-SF corpus agrees with the RecallSpec contracts") {
     val got = collectReport("/root/testdata/sf0.01")
     assert(got.size == 5)
