@@ -65,6 +65,12 @@ object Dedup {
       xxhash64(lit(b), sig(4 * b), sig(4 * b + 1),
         sig(4 * b + 2), sig(4 * b + 3))): _*)
 
+  /** Df cap shared by the exact-pair family (q26/q47/q108/q218's
+    * maxDocFreq default) and PROFILED by q219: shingles in more docs
+    * than this are stopword-like and create quadratic fanout.
+    */
+  private[graft] val DefaultMaxDocFreq = 100
+
   /** doc_id, lang, distinct word-3-gram shingles + set size. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -78,7 +84,7 @@ object Dedup {
     * quadratic fan-out at corpus scale; real pipelines always cap).
     */
   def jaccardPairs(s: SparkSession, d: String, threshold: Double,
-                   maxDocFreq: Int = 100): DataFrame =
+                   maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
     // q26 registers these pairs and q47 feeds them to connected
     // components: one posting build + self-join per (dir, params), not
     // one per consumer (FrameMemo; the q43/q90/q93 edge-list discipline)
@@ -192,7 +198,7 @@ object Dedup {
     * docs' token arrays, never the corpus.
     */
   def prefixJaccardPairs(s: SparkSession, d: String, tNum: Int, tDen: Int,
-                         maxDocFreq: Int = 100): DataFrame = {
+                         maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val (_, _, docToks, candidates) =
       prefixJaccardFrames(s, d, tNum, tDen, maxDocFreq)
     // verification reuses docToks' already-built arrays (exchange reuse
@@ -329,6 +335,29 @@ object Dedup {
         .select(col("source"), col("n_docs"), col("n_dup_docs"),
           expr("n_dup_docs * 1000000 DIV n_docs").as("dup_ppm"))
         .orderBy("source")
+    }),
+
+    // shingle document-frequency profile — the EVIDENCE for the df
+    // caps the whole exact-pair family stands on (q26/q47/q108/q218
+    // drop shingles with df > DefaultMaxDocFreq; q155/q171/q174/q197
+    // run the same discipline at other grains): per bit-length df
+    // bucket (the q177/q193 integer idiom — no float log2), shingle
+    // types, total postings, and exactly what the cap excludes. ONE
+    // (digest) count shuffle into a ≤64-row report; md5 digests only
+    // in exchanges (q66 rule).
+    "q219_shingle_df_profile" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+        .select(explode(shingles(col("text"), 3)).as("sh"))
+        .select(md5(col("sh").cast("binary")).as("sd"))
+        .groupBy("sd").agg(count(lit(1)).as("df"))
+      df.groupBy(length(bin(col("df"))).cast("int").as("df_bucket"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("df")).as("n_postings"),
+          sum(when(col("df") > DefaultMaxDocFreq, 1L).otherwise(0L))
+            .as("n_types_dropped"),
+          sum(when(col("df") > DefaultMaxDocFreq, col("df")).otherwise(0L))
+            .as("n_postings_dropped"))
+        .orderBy("df_bucket")
     }),
 
     // embedding-cosine near-dup pairs — the EXACT baseline, deliberately
@@ -653,6 +682,26 @@ object Dedup {
          |       ROUND(d.cos, 4) AS dup_cos_r
          |FROM av a LEFT JOIN dupc d USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
+
+    "q219_shingle_df_profile" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+         |    ELSE [] END) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+         |), dfreq AS (
+         |  SELECT sd, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM (SELECT md5(UNNEST(sh)) AS sd FROM sets)
+         |  GROUP BY sd
+         |)
+         |SELECT CAST(length(bin(df)) AS INTEGER) AS df_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_types,
+         |       CAST(SUM(df) AS BIGINT) AS n_postings,
+         |       CAST(COUNT(*) FILTER (df > $DefaultMaxDocFreq) AS BIGINT)
+         |         AS n_types_dropped,
+         |       CAST(COALESCE(SUM(df) FILTER (df > $DefaultMaxDocFreq), 0) AS BIGINT)
+         |         AS n_postings_dropped
+         |FROM dfreq GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q218_dup_burden_by_source" ->
       s"""WITH $PairCtes,
