@@ -52,15 +52,20 @@ object Bench {
     (infos.length, infos.map(i => i.memSize + i.diskSize).sum >> 20)
   }
 
-  /** Median-of-`runs` timings per query, sorted by name. A throwing
-    * query must NOT be billed as a (near-zero) time — that would make
-    * the bench total IMPROVE when a regression breaks a query — so a
-    * failure is a `Left(exception class)` for that query, never a
-    * swallowed fast run. Pinned by BenchHarnessSpec.
+  /** Per-run timings per query (EXECUTION order, not sorted — the r16/r17
+    * verdicts could not adjudicate whether the driver's inflated
+    * gram-block medians were uniformly-slow runs (machine contention) or
+    * bimodal (a first-run artifact) because only medians were committed;
+    * raw per-run arrays in BENCH_DETAIL make that decidable). Queries
+    * sorted by name. A throwing query must NOT be billed as a
+    * (near-zero) time — that would make the bench total IMPROVE when a
+    * regression breaks a query — so a failure is a `Left(exception
+    * class)` for that query, never a swallowed fast run. Pinned by
+    * BenchHarnessSpec.
     */
   def timeQueries(spark: SparkSession, sfDir: String,
                   queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-                  runs: Int): Seq[(String, Either[String, Double])] =
+                  runs: Int): Seq[(String, Either[String, Seq[Double]])] =
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // checkpoint/broadcast blocks from the previous query are only
       // released after a DRIVER GC triggers ContextCleaner; on a large
@@ -75,9 +80,17 @@ object Bench {
           try exec(fn(spark, sfDir))
           catch { case t: Throwable => err = Some(t.getClass.getSimpleName) }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> err.toLeft(times(times.length / 2)) // median
+      }
+      name -> err.toLeft(times)
     }
+
+  /** Median of the raw run array — the single number the stdout line and
+    * cross-round comparisons use.
+    */
+  private[graft] def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    s(s.length / 2)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,7 +183,7 @@ object Bench {
     * stays under budget, so adding queries past the window fails the
     * build instead of silently zeroing the round's bench evidence.
     */
-  def renderLine(results: Seq[(String, Either[String, Double])],
+  def renderLine(results: Seq[(String, Either[String, Seq[Double]])],
                  sfDir: String, runs: Int,
                  sharedBuildSec: Double = 0.0,
                  sharedBuildFailed: Boolean = false,
@@ -206,7 +219,7 @@ object Bench {
     // audit reads, the total still covers EVERY query, "nq" records
     // the full registry size, and the complete per-query map is
     // written to BENCH_DETAIL.json in the repo (committed evidence).
-    val successes = results.collect { case (k, Right(v)) => k -> v }
+    val successes = results.collect { case (k, Right(ts)) => k -> median(ts) }
     val shown = successes.sortBy { case (k, v) => (-v, k) }.take(Shown)
       .sortBy(_._1)
     val qs = shown.map { case (k, v) => "\"" + short(k) + "\":" + ms(v) }
@@ -270,13 +283,18 @@ object Bench {
       case c             => c.toString
     }
 
-  private[graft] def renderDetail(results: Seq[(String, Either[String, Double])],
+  private[graft] def renderDetail(results: Seq[(String, Either[String, Seq[Double]])],
                                   sfDir: String, runs: Int,
                                   sharedBuildSec: Double): String = {
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
       "%.2f", java.lang.Double.valueOf(v))
-    val qs = results.collect { case (k, Right(v)) =>
-      s"""    "$k": ${ms(v)}""" }.mkString(",\n")
+    // runs_sec is the RAW array in execution order (median derived) —
+    // the committed evidence that distinguishes "all three runs slow"
+    // (contended session) from "first run slow, rest quiet" (warmup /
+    // first-touch artifact) without needing a replay session
+    val qs = results.collect { case (k, Right(ts)) =>
+      s"""    "$k": {"median_sec": ${ms(median(ts))}, "runs_sec": [${ts.map(ms).mkString(", ")}]}""" }
+      .mkString(",\n")
     val errs = results.collect { case (k, Left(e)) =>
       s"""    "$k": "${jsonEscape(e)}"""" }.mkString(",\n")
     s"""{

@@ -279,10 +279,8 @@ object MediaCodec {
     */
   def pcmRawSamples(p: Array[Byte]): Array[Int] = {
     val pcm = parseWav(p)
-    val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // re-locate the data chunk (parseWav keeps it in a closure): the
-    // accessor multiplies out exactly, so reuse it rather than a second
-    // chunk walk — sample(i)·32768 is the stored short, bit-for-bit
+    // sample(i)·32768 recovers the stored short bit-for-bit (short/32768.0
+    // is dyadic, the multiply-back is exact) — no second chunk walk needed
     Array.tabulate(pcm.nSamples)(i => math.round(pcm.sample(i) * 32768.0).toInt)
   }
 

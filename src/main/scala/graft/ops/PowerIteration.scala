@@ -40,6 +40,11 @@ import graft.Tables
   * Overflow audit: |q| ≤ 1000·max|x| (~2·10³), G cells ≤ n·q² (~10¹⁰
   * at sf0.1), w ≤ dim·G·1000 (~10¹⁷) — all inside int64 with two
   * orders of headroom; PowerIterationSpec pins the corpus magnitudes.
+  * The n·q² bound is also a RUNTIME GUARD in buildGram (exact BigInt
+  * check per cell, ≥10× headroom required): past the ceiling Spark's
+  * Long SUM would wrap silently while DuckDB promotes to HUGEINT and
+  * errors on the BIGINT cast — the engines would diverge instead of
+  * failing together, so the build fails loudly first.
   */
 object PowerIteration {
 
@@ -83,7 +88,7 @@ object PowerIteration {
     if (!FrameMemo.memoizable(d)) buildGram(s, d)
     else gramMemo.computeIfAbsent((s, d), _ => buildGram(s, d))
 
-  private def buildGram(s: SparkSession, d: String): Map[(Int, Int), Long] =
+  private def buildGram(s: SparkSession, d: String): Map[(Int, Int), Long] = {
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
@@ -96,8 +101,24 @@ object PowerIteration {
           expr(s"CAST(ROUND(x * $Scale) AS BIGINT)").as("q")).as("b"),
         col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.q") * col("b.q")).as("g"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      // overflow GUARD, not just audit: Spark's Long SUM wraps silently at
+      // larger corpora while DuckDB promotes to HUGEINT and errors on the
+      // BIGINT cast — the engines would DIVERGE rather than fail together.
+      // |q·q| ≤ maxQ², so n_vecs·maxQ² bounds every cell; fail loudly
+      // while the bound still has an order of headroom. At sf0.1 the cell
+      // max is ~1e10 (2e8 headroom ×45); a corpus past ~4e17/maxQ² vectors
+      // must re-derive Scale (coarser quantization) before using q210/q214.
+      .agg(sum(col("a.q") * col("b.q")).as("g"), count(lit(1)).as("n"),
+        max(abs(col("a.q"))).as("max_qa"), max(abs(col("b.q"))).as("max_qb"))
+      .collect().map { r =>
+        val bound = BigInt(r.getLong(3)) * BigInt(r.getLong(4)) * BigInt(r.getLong(5))
+        require(bound * 10 <= BigInt(Long.MaxValue),
+          s"Gram cell int64 ceiling: ${r.getLong(3)} vectors at max|q| " +
+            s"${r.getLong(4)}x${r.getLong(5)} leaves <10x headroom on the exact " +
+            s"Σq·q — lower Scale ($Scale) before trusting q210/q214 at this corpus size")
+        ((r.getInt(0), r.getInt(1)), r.getLong(2))
+      }.toMap
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_power_iteration" -> ((s, d) => {

@@ -122,6 +122,15 @@ object StreamingQueries {
           finally listing.close()
         Files.move(file, tmp.resolve(s"b$i.parquet"))
         new scala.reflect.io.Directory(part.toFile).deleteRecursively()
+        // q209/q215 number engine batches by zipWithIndex over NON-EMPTY
+        // progress entries while their oracles number by event_id % K
+        // residue — an empty residue class would silently shift the two
+        // numberings (and the watermark recurrence) apart and the hash
+        // gate would break confusingly downstream. Make the implicit
+        // every-class-populated assumption a loud stage-time failure.
+        require(s.read.parquet(tmp.resolve(s"b$i.parquet").toString).limit(1).count() > 0,
+          s"late-replay split b$i is empty: event_id residues mod $LateBatches " +
+            "must all be populated or batch numbering diverges from the oracle")
         Files.setLastModifiedTime(tmp.resolve(s"b$i.parquet"),
           java.nio.file.attribute.FileTime.fromMillis(60000L * i))
       }
@@ -132,31 +141,6 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // q209: watermark LATE-DATA QUANTIFICATION — the ops-side
-    // observability every production streaming pipeline runs: how many
-    // rows arrived past the watermark and were dropped, per micro-batch.
-    // The events table replays as LateBatches ts-interleaved files
-    // (worst-case lateness by construction) through the q116 windowed
-    // aggregation (1h windows, 2h watermark), and the report rows come
-    // from the ENGINE'S OWN counters (StreamingQueryProgress:
-    // numInputRows, numRowsDroppedByWatermark, the effective
-    // watermark) — a ≤LateBatches-row driver-side build, the one place
-    // the metrics live. Oracle: the full watermark recurrence replayed
-    // in SQL, including Spark's TWO-watermark semantic (3.4+,
-    // SPARK-40925): the reported/eviction wm for batch i derives from
-    // batches < i (max ts − 2h, initial 0), but LATE-ROW FILTERING
-    // uses the PREVIOUS batch's wm (watermarkForLateEvents — batches
-    // < i−1), so a row drops iff its WINDOW END ≤ wm(i−1); the
-    // ≤-not-< boundary (window end exactly equal to the filter wm is
-    // dropped) is pinned in LateAuditSpec on an exact-boundary event.
-    // And the counter's UNIT: numRowsDroppedByWatermark counts rows at
-    // the STATE OPERATOR's input — i.e. the map-side-combined PARTIAL
-    // rows, one per late (window, event_type) CELL per input split —
-    // not raw events. Batch files are single-split at the oracle SFs
-    // (far below maxPartitionBytes), so the oracle counts DISTINCT late cells.
-    // wm_ms is the engine-reported millisecond-floored watermark. So
-    // the oracle proves the engine's observability counters — not a
-    // re-derivation — match the documented drop semantics exactly.
     // q209: watermark LATE-DATA QUANTIFICATION — the ops-side
     // observability every production streaming pipeline runs: how many
     // rows arrived past the watermark and were dropped, per micro-batch.

@@ -20,12 +20,23 @@ class BenchHarnessSpec extends AnyFunSuite {
         s.range(10).toDF("id").select(
           when(col("id") >= 0, raise_error(lit("deliberately broken")))
             .otherwise(col("id")).as("id"))))
-    val results = Bench.timeQueries(spark, "unused_dir", qs, runs = 1).toMap
+    val results = Bench.timeQueries(spark, "unused_dir", qs, runs = 2).toMap
     assert(results("broken_query").isLeft, "broken query must be reported as err")
     results("good_query") match {
-      case Right(sec) => assert(sec > 0.0)
+      case Right(ts) =>
+        assert(ts.length == 2, "one raw entry per run")
+        assert(ts.forall(_ > 0.0))
+        assert(Bench.median(ts) > 0.0)
       case Left(e) => fail(s"good query reported err: $e")
     }
+  }
+
+  test("median is positional on the sorted runs, raw order preserved in the result") {
+    // raw arrays stay in EXECUTION order (bimodality evidence); the
+    // median must not depend on that order
+    assert(Bench.median(Seq(9.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 9.0)) == 2.0)
+    assert(Bench.median(Seq(5.0)) == 5.0)
   }
 
   test("a failed shared build reports its marker, never the memoized label or its time") {
@@ -33,7 +44,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     // run (billed in their own medians) — folding the partial build time
     // into the total under the "memoized" note would double-bill and
     // overclaim amortization
-    val results = Seq("q01_x" -> (Right(1.0): Either[String, Double]))
+    val results = Seq("q01_x" -> (Right(Seq(1.0)): Either[String, Seq[Double]]))
     val line = Bench.renderLine(results, "/sf", runs = 3,
       sharedBuildSec = 0.0, sharedBuildFailed = true)
     assert(line.contains("\"shared_build_error\":true"))
@@ -63,10 +74,10 @@ class BenchHarnessSpec extends AnyFunSuite {
     // for any realistic value ("9.9" below 10 s, "%.0f" above — and a
     // query beyond ~17 min can't happen: the whole bench run is ~5 min
     // and sbt would be killed long before)
-    val allGood = keys.map(k => k -> (Right(999.0): Either[String, Double]))
+    val allGood = keys.map(k => k -> (Right(Seq(999.0, 999.0, 999.0)): Either[String, Seq[Double]]))
     // a regression round is when the line matters most: failed queries
     // render as at most Shown short keys + an "errx" overflow count
-    val allBad = keys.map(k => k -> (Left("boom"): Either[String, Double]))
+    val allBad = keys.map(k => k -> (Left("boom"): Either[String, Seq[Double]]))
     for (results <- Seq(allGood, allBad)) {
       // worst-case residency width: hundreds of RDDs, 6-digit MiB
       val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3,
@@ -81,8 +92,10 @@ class BenchHarnessSpec extends AnyFunSuite {
 
   test("the line keeps the slowest queries; the detail doc keeps all") {
     val results = (1 to 100).map { i =>
-      s"q${100 + i}_x" -> (Right(i.toDouble): Either[String, Double])
-    } :+ ("q99_boom" -> (Left("KaboomException"): Either[String, Double]))
+      // raw runs deliberately bimodal (first run slow): the median must
+      // read the middle of the SORTED runs, the detail doc the raw order
+      s"q${100 + i}_x" -> (Right(Seq(i * 3.0, i.toDouble, i.toDouble)): Either[String, Seq[Double]])
+    } :+ ("q99_boom" -> (Left("KaboomException"): Either[String, Seq[Double]]))
     val line = Bench.renderLine(results, "/sf0.1", runs = 3)
     // slowest (100s down to 61s) survive; the fastest do not
     assert(line.contains("\"200\":100") && line.contains("\"161\":61"))
@@ -94,6 +107,8 @@ class BenchHarnessSpec extends AnyFunSuite {
     for ((k, _) <- results.init) assert(detail.contains("\"" + k + "\""), k)
     assert(detail.contains("\"q99_boom\": \"KaboomException\""))
     assert(detail.contains("\"shared_build_sec\": 1.50"))
+    // per-run raw evidence: execution order preserved, median derived
+    assert(detail.contains("""{"median_sec": 1.00, "runs_sec": [3.00, 1.00, 1.00]}"""))
     // parseable: balanced and loadable as one JSON doc (cheap pin:
     // python-side json.load is the real consumer)
     assert(detail.count(_ == '{') == detail.count(_ == '}'))
