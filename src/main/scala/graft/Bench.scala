@@ -151,6 +151,13 @@ object Bench {
             // (q210/q214 both iterate on it)
             ops.Dsir.importanceScores(spark, sfDir)
             ops.PowerIteration.gramOf(spark, sfDir)
+            // r18: the corpus gram/fingerprint asset set — the raw
+            // (doc_id, p, h) stream, its df-capped posting frame
+            // (q171/q174's diagonal-run input, read twice per query),
+            // and the winnowed fingerprint table (q155's input)
+            ops.Winnowing.gramFrame(spark, sfDir)
+            ops.ExactSubstr.keptGrams(spark, sfDir)
+            ops.Winnowing.fingerprints(spark, sfDir)
             true
           } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - tB) / 1e9

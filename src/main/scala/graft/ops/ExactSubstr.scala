@@ -32,8 +32,10 @@ import graft.Tables
   * boilerplate, the MOSS rule), so matched volume tracks contamination,
   * not corpus size; the islands pass is one shuffle keyed by (pair,
   * diagonal) with a codegen ROW_NUMBER window. The gram frame is read
-  * twice (df table + posting sides) — both reads are the same narrow
-  * codegen scan, cheaper than checkpointing a corpus-sized stream.
+  * twice (df table + posting sides) — the registered queries read the
+  * [[Winnowing.gramFrame]] STORED ARTIFACT (FrameMemo, priced in
+  * Bench's shared_build), so each read is a columnar checkpoint scan;
+  * only spec fixtures recompute grams inline.
   */
 object ExactSubstr {
 
@@ -75,18 +77,37 @@ object ExactSubstr {
       .orderBy("doc_id", "test_doc_id")
   }
 
-  private[graft] def substringLeaks(docs: DataFrame): DataFrame = {
-    val grams = Winnowing.gramsOf(docs)
-      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
+  /** The df-capped gram posting frame (grams whose hash appears in ≤
+    * [[MaxDfSub]] docs) as a FrameMemo STORED ARTIFACT derived from
+    * [[Winnowing.gramFrame]] — the posting-list table a production
+    * decontamination store keeps next to the raw gram stream (the cap
+    * is corpus-global, so the filter belongs in the snapshot build,
+    * not in every query). q171 and q174 both read it: their match
+    * semantics are unchanged because a match needs BOTH sides on the
+    * same kept hash, so pre-filtering every side through `kept`
+    * excludes exactly the pairs the caps already excluded (both
+    * oracles' `g` CTEs filter both sides the same way). Priced in
+    * Bench's shared_build.
+    */
+  private[graft] def keptGrams(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "gramStreamDf" + MaxDfSub) {
+      keptGramsOf(Winnowing.gramFrame(s, d))
+    }
+
+  private def keptGramsOf(grams: DataFrame): DataFrame = {
     val kept = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= MaxDfSub).select("h")
-    // the df cap gates only the TEST side: a match needs both sides on
-    // the same h, so excluding a capped hash from one side excludes the
-    // pair — and the test stream is the split's small fraction, while
-    // filtering the full train stream through `kept` was a third
-    // corpus-sized shuffle for nothing (measured 6.4 s → 4.1 s at sf0.1)
-    val test = grams.filter(col("is_test")).join(kept, Seq("h"))
+    grams.join(kept, Seq("h"))
+  }
+
+  private[graft] def substringLeaks(docs: DataFrame): DataFrame =
+    substringLeaksFromKept(keptGramsOf(Winnowing.gramsOf(docs)))
+
+  private[graft] def substringLeaksFromKept(g: DataFrame): DataFrame = {
+    val grams = g
+      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
+    val test = grams.filter(col("is_test"))
       .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
     val train = grams.filter(!col("is_test"))
       .select(col("doc_id"), col("p").as("p_r"), col("h"))
@@ -105,14 +126,13 @@ object ExactSubstr {
     * q155's MaxDf bounds the fingerprint join); pairs canonicalize
     * a < b so each repeated passage reports once.
     */
-  private[graft] def duplicatePassages(docs: DataFrame): DataFrame = {
-    val grams = Winnowing.gramsOf(docs)
-    val kept = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= MaxDfSub).select("h")
-    // no checkpoint: both sides are the same narrow codegen scan (the
-    // q171 trade — recomputing beats materializing a corpus-long stream)
-    val g = grams.join(kept, Seq("h"))
+  private[graft] def duplicatePassages(docs: DataFrame): DataFrame =
+    duplicatePassagesFromKept(keptGramsOf(Winnowing.gramsOf(docs)))
+
+  private[graft] def duplicatePassagesFromKept(g: DataFrame): DataFrame = {
+    // both posting sides read the SAME frame; against the registered
+    // path's FrameMemo checkpoint each side is a columnar block scan,
+    // not a recompute of canon + rolling hashes + the df cap
     val a = g.select(col("doc_id"), col("p").as("p_r"), col("h"))
     val b = g.select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
     diagonalReport(a.join(b, Seq("h"))
@@ -124,9 +144,9 @@ object ExactSubstr {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_decontaminate_substring" -> ((s, d) =>
-      substringLeaks(Tables.documents(s, d))),
+      substringLeaksFromKept(keptGrams(s, d))),
     "q174_duplicate_passages" -> ((s, d) =>
-      duplicatePassages(Tables.documents(s, d))))
+      duplicatePassagesFromKept(keptGrams(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q171_decontaminate_substring" -> {

@@ -79,8 +79,32 @@ object Winnowing {
     * codegen integer arithmetic instead of an md5+hex+base-conversion
     * chain per corpus position.
     */
+  /** The winnowed fingerprint table as its own FrameMemo STORED
+    * ARTIFACT over [[gramFrame]] — the MOSS fingerprint database a
+    * plagiarism/contamination store persists per corpus snapshot (far
+    * smaller than the gram stream: ~2 selections per [[WinnowW]]
+    * window). q155's steady state is then the df cap + pair join —
+    * the lookup work — not the per-doc window re-selection.
+    */
   private[graft] def fingerprints(s: SparkSession, d: String): DataFrame =
-    fingerprintsOf(Tables.documents(s, d))
+    FrameMemo.cached(s, d, "winnowFingerprints") {
+      fingerprintsFromGrams(gramFrame(s, d))
+    }
+
+  /** The corpus (doc_id, p, h) gram-hash stream as a FrameMemo STORED
+    * ARTIFACT — built once per (session, dir) and read by every
+    * gram-family consumer: q155 winnows it, q171/q174 reconstruct
+    * diagonal runs over it (q174 reads it twice: df table + both
+    * posting sides — against the checkpoint those are cheap columnar
+    * re-reads, not three recomputations of canon + rolling hashes).
+    * At 100 TB a corpus gram/fingerprint table is a standard stored
+    * decontamination asset built once per snapshot (the Lee et al.
+    * pipeline materializes exactly this); Bench prices the build in
+    * shared_build like the LSH pair frames and the DSIR score table.
+    * Size: one row per canon char — ~24 B/row, linear in corpus bytes.
+    */
+  private[graft] def gramFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "gramStream")(gramsOf(Tables.documents(s, d)))
 
   /** The canon + k-gram-hash stage as its own frame (doc_id, p, h) —
     * q155 winnows it; q171/q174's exact-substring reports read the FULL
@@ -118,8 +142,10 @@ object Winnowing {
     * spec can run planted-substring fixtures through the exact
     * production path (the classifierOn pattern).
     */
-  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
-    val grams = gramsOf(docs)
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame =
+    fingerprintsFromGrams(gramsOf(docs))
+
+  private[graft] def fingerprintsFromGrams(grams: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val frame = byPos.rowsBetween(Window.currentRow, WinnowW - 1)
     grams
@@ -145,10 +171,13 @@ object Winnowing {
     * planted fixtures.
     */
   def overlapReport(s: SparkSession, d: String): DataFrame =
-    overlapReportOf(Tables.documents(s, d))
+    overlapFromFingerprints(fingerprints(s, d))
 
-  private[graft] def overlapReportOf(docs: DataFrame): DataFrame = {
-    val dh = fingerprintsOf(docs).select("doc_id", "fp_hash").distinct()
+  private[graft] def overlapReportOf(docs: DataFrame): DataFrame =
+    overlapFromFingerprints(fingerprintsOf(docs))
+
+  private def overlapFromFingerprints(fp: DataFrame): DataFrame = {
+    val dh = fp.select("doc_id", "fp_hash").distinct()
     val kept = dh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_hash")))
       .filter(col("df") <= MaxDf)
