@@ -114,6 +114,13 @@ object Retrieval {
     * full-outer join of two (queries × k)-row ranked lists — fusion
     * cost tracks the query load, never the corpus.
     */
+  /** q152's fused ranking as a FrameMemo stored artifact (the r18 q117
+    * contract: method result frames build once in shared_build; the
+    * registered q152 presents this ordered, q117 scores it raw).
+    */
+  private[graft] def hybridRanked(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "hybridRrfRanked")(hybridRrf(s, d))
+
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val lex = bm25Ranked(s, d)
       .filter(col("query_id") < HybridQueries)
@@ -241,7 +248,8 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_bm25_retrieval" -> ((s, d) => bm25MoreLikeThis(s, d)),
-    "q152_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q152_hybrid_rrf" -> ((s, d) =>
+      hybridRanked(s, d).orderBy("query_id", "rank")),
     "q154_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)))
 
   /** q154 oracle: candidate top-[[MmrCandidates]] + quantized pairwise
