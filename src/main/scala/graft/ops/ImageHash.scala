@@ -17,13 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Exactness: cell means compare via integer cross-multiplication
   * over exact (Σ(R+G+B), count) grid sums ([[MediaCodec.grayGridSums]])
   * — sumL·cntR < sumR·cntL — so no float rounding can flip a
-  * near-tie bit and the hash is bit-stable across JVMs. HYBRID oracle
-  * (the q138/q139 convention): mime and container geometry derive
-  * independently in SQL from the encoder contracts; the dhash column,
-  * which isn't portable SQL, is regression-pinned against the
-  * committed fixture parquet (tools/fixtures/q212_expected.parquet,
-  * generated once by GenMultimodalFixture; MultimodalSpec-style hand
-  * fixtures in ImageHashSpec gate what a "legitimate" change is).
+  * near-tie bit and the hash is bit-stable across JVMs. TRUE
+  * cross-engine oracle (the q213 convention, upgraded from the
+  * r17 fixture pin): every pixel of the decoded, orientation-corrected
+  * raster is a pure function of the document's UTF-8 bytes — BMP's
+  * RGB→BGR bottom-up storage round-trips exactly and PPM at
+  * maxval=255 is the identity, both zero-padded past the content
+  * ([[MediaCodec.encodeBmp]]/[[MediaCodec.encodePpm]] contracts) — so
+  * DuckDB re-derives the grid sums from the text BLOB's hex (luma of
+  * pixel i = bytes 3i..3i+2), replays [[MediaCodec.windowBounds]]'s
+  * floor/clamp block geometry in // arithmetic, and rebuilds every
+  * dHash bit by the same integer cross-multiplication. The engine
+  * runs the real container parse; the oracle runs the contract; a
+  * parser regression breaks the hash. Bit 63 (cell (7,7) vs (7,8))
+  * is reconstructed as the signed Long minimum so the two's-
+  * complement sum equals the engine's Long bit-OR exactly.
   *
   * Scale shape: narrow per-row decode + 81 integer cells per image
   * inside one mapPartitions — no shuffle except the presentation
@@ -69,28 +77,87 @@ object ImageHash {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q212_image_dhash" -> ((s, d) => dhashFrame(s, d)))
 
-  /** Mime + geometry from the encoder contracts (the q138 geo CTE);
-    * dhash regression-pinned against the committed fixture.
+  /** Full encoder-contract replay (the q213 discipline): geometry from
+    * the near-square contract, pixel lumas from the text BLOB's hex,
+    * grid blocks from the windowBounds floor/clamp arithmetic, bits
+    * from the identical integer cross-multiplication. `cellpx` fans
+    * out per-cell pixel INDICES only (integers) and joins the luma
+    * table by index, so the hex string is copied once per pixel (the
+    * q213 `sam` shape), never once per cell-pixel.
     */
   val oracleSql: Map[String, String] = Map(
     "q212_image_dhash" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, doc_id % 3 AS fmt,
-         |         octet_length(CAST(text AS BLOB)) AS n,
+      s"""WITH img AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 3 AS fmt, hex(CAST(text AS BLOB)) AS hx,
+         |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
          |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
          |  FROM documents WHERE doc_id % 3 < 2
+         |), geo AS MATERIALIZED (
+         |  SELECT doc_id, fmt, hx, n, w,
+         |         GREATEST(1, CAST(CEIL(n / (3.0 * w)) AS BIGINT)) AS h
+         |  FROM img
+         |), px AS MATERIALIZED (
+         |  -- luma of pixel i: content bytes 3i..3i+2 (RGB), zero-padded
+         |  -- past n — both encoders pad the raster with zero bytes
+         |  SELECT doc_id, i // w AS prow, i % w AS pcol,
+         |         (CASE WHEN 3 * i < n THEN
+         |            ('0x' || substr(hx, CAST(6 * i + 1 AS INTEGER), 2))::BIGINT ELSE 0 END
+         |        + CASE WHEN 3 * i + 1 < n THEN
+         |            ('0x' || substr(hx, CAST(6 * i + 3 AS INTEGER), 2))::BIGINT ELSE 0 END
+         |        + CASE WHEN 3 * i + 2 < n THEN
+         |            ('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2))::BIGINT ELSE 0 END) AS luma
+         |  FROM (SELECT doc_id, hx, n, w,
+         |               CAST(unnest(range(w * h)) AS BIGINT) AS i FROM geo)
+         |), cells AS MATERIALIZED (
+         |  -- ${GridRows}x$GridCols grid: floor partition per axis with the
+         |  -- never-empty clamp (MediaCodec.windowBounds, // = floor on
+         |  -- nonnegative operands)
+         |  SELECT doc_id, gy, gx,
+         |         gy * h // $GridRows AS r0,
+         |         GREATEST(gy * h // $GridRows + 1, (gy + 1) * h // $GridRows) AS r1,
+         |         gx * w // $GridCols AS c0,
+         |         GREATEST(gx * w // $GridCols + 1, (gx + 1) * w // $GridCols) AS c1
+         |  FROM geo,
+         |       (SELECT CAST(unnest(range($GridRows)) AS BIGINT) AS gy),
+         |       (SELECT CAST(unnest(range($GridCols)) AS BIGINT) AS gx)
+         |), cellpx AS MATERIALIZED (
+         |  SELECT doc_id, gy, gx, cnt, prow,
+         |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
+         |  FROM (SELECT doc_id, gy, gx, c0, c1,
+         |               (r1 - r0) * (c1 - c0) AS cnt,
+         |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
+         |        FROM cells)
+         |), cellsum AS MATERIALIZED (
+         |  SELECT cp.doc_id, cp.gy, cp.gx,
+         |         CAST(MIN(cp.cnt) AS BIGINT) AS cnt,
+         |         CAST(SUM(p.luma) AS BIGINT) AS s
+         |  FROM cellpx cp
+         |  JOIN px p ON p.doc_id = cp.doc_id AND p.prow = cp.prow
+         |           AND p.pcol = cp.pcol
+         |  GROUP BY cp.doc_id, cp.gy, cp.gx
+         |), bits AS (
+         |  -- meanL < meanR  ⇔  sumL·cntR < sumR·cntL; bit k = gy·8+gx.
+         |  -- Distinct powers sum = bit-OR; bit 63 enters as the signed
+         |  -- Long minimum so the sum equals the engine's two's-complement
+         |  -- Long exactly (a bare 1 << 63 overflows DuckDB's BIGINT)
+         |  SELECT l.doc_id,
+         |         CAST(SUM(CASE WHEN l.s * r.cnt < r.s * l.cnt THEN
+         |           CASE WHEN l.gy * ${GridCols - 1} + l.gx = 63 THEN -9223372036854775808
+         |                ELSE 1::BIGINT << CAST(l.gy * ${GridCols - 1} + l.gx AS INTEGER) END
+         |           ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM cellsum l JOIN cellsum r
+         |    ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < ${GridCols - 1}
+         |  GROUP BY l.doc_id
          |)
-         |SELECT g.doc_id,
-         |       CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
-         |                  ELSE '${MediaCodec.PpmMime}' END AS mime,
-         |       CAST(g.w AS INTEGER) AS width,
-         |       CAST(GREATEST(1, CAST(CEIL(g.n / (3.0 * g.w)) AS BIGINT)) AS INTEGER)
-         |         AS height,
-         |       f.dhash
-         |FROM g
-         |JOIN read_parquet('${Multimodal.FixtureDir}/q212_expected.parquet') f
-         |  USING (doc_id)
-         |ORDER BY g.doc_id""".stripMargin)
+         |SELECT geo.doc_id,
+         |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
+         |       CAST(geo.w AS INTEGER) AS width,
+         |       CAST(geo.h AS INTEGER) AS height,
+         |       b.dhash
+         |FROM geo JOIN bits b USING (doc_id)
+         |ORDER BY geo.doc_id""".stripMargin)
 
   val rowsOnly: Set[String] = Set.empty
 }

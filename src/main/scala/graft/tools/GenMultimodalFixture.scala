@@ -3,7 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-shot generator for the q138/q139/q212 expected-digest fixtures
+/** One-shot generator for the q138/q139 expected-digest fixtures
   * (dev tool, not part of the driver contract). Runs the multimodal
   * decode/thumbnail digest queries at sf0.01 — the driver's verify SF —
   * and writes each result as a SINGLE parquet file under
@@ -37,8 +37,8 @@ object GenMultimodalFixture {
     }
     writeOne(graft.ops.Multimodal.decodeDigest(spark, sf), "q138_expected.parquet")
     writeOne(graft.ops.Multimodal.thumbnailDigest(spark, sf), "q139_expected.parquet")
-    writeOne(graft.ops.ImageHash.dhashFrame(spark, sf)
-      .select("doc_id", "dhash"), "q212_expected.parquet")
+    // q212 needs no fixture since r18: its dhash oracle is a full
+    // encoder-contract replay in SQL (ImageHash.oracleSql)
     spark.stop()
   }
 }
