@@ -110,7 +110,8 @@ object SparkEntry {
     m(ops.ImageHash.queries, ops.ImageHash.oracleSql, ops.ImageHash.rowsOnly),
     m(ops.AudioFeatures.queries, ops.AudioFeatures.oracleSql, ops.AudioFeatures.rowsOnly),
     m(ops.CommonDirection.queries, ops.CommonDirection.oracleSql, ops.CommonDirection.rowsOnly),
-    m(ops.EventSequences.queries, ops.EventSequences.oracleSql, ops.EventSequences.rowsOnly)
+    m(ops.EventSequences.queries, ops.EventSequences.oracleSql, ops.EventSequences.rowsOnly),
+    m(ops.SketchReport.queries, ops.SketchReport.oracleSql, ops.SketchReport.rowsOnly)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

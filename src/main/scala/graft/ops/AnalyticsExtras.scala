@@ -18,6 +18,35 @@ object AnalyticsExtras {
       .join(orderRegion(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"))
 
+  /** q61's per-period HLL estimates (unordered) — presented by q61,
+    * gated per-row by q220's sketch-error report.
+    */
+  private[graft] def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val perDay = daily.select(col("day").cast("string").as("period"),
+      hll_sketch_estimate(col("sk")).as("distinct_users_est"))
+    val total = daily.agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("ALL").as("period"),
+        hll_sketch_estimate(col("sk")).as("distinct_users_est"))
+    perDay.unionByName(total)
+  }
+
+  /** q121's exact per-period distinct rollup (unordered) — the ground
+    * truth q220 joins the HLL estimates against.
+    */
+  private[graft] def distinctRollupExact(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val perDay = pairs
+      .groupBy(col("day").cast("string").as("period"))
+      .agg(count(lit(1)).as("distinct_users"))
+    val total = pairs.agg(countDistinct(col("user_id")).as("distinct_users"))
+      .select(lit("ALL").as("period"), col("distinct_users"))
+    perDay.unionByName(total)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MERGEABLE distinct sketches — the composable-summary pattern that
     // replaces rescans at scale: sketch each day's users once (a few KB
@@ -27,17 +56,7 @@ object AnalyticsExtras {
     // the whole stream — AnalyticsSpec pins exact equality, plus a 5%
     // accuracy gate against exact distincts). Rows-only: sketch bytes
     // aren't portable SQL.
-    "q61_sketch_rollup" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      val perDay = daily.select(col("day").cast("string").as("period"),
-        hll_sketch_estimate(col("sk")).as("distinct_users_est"))
-      val total = daily.agg(hll_union_agg(col("sk")).as("sk"))
-        .select(lit("ALL").as("period"),
-          hll_sketch_estimate(col("sk")).as("distinct_users_est"))
-      perDay.unionByName(total).orderBy("period")
-    }),
+    "q61_sketch_rollup" -> ((s, d) => hllRollup(s, d).orderBy("period")),
 
     // q61's ORACLE-CHECKED exact twin (the q118 twin design): the same
     // per-day + ALL distinct-user rollup with exact counts, which plain
@@ -49,16 +68,8 @@ object AnalyticsExtras {
     // then a narrow agg and the ALL row re-aggregates the already
     // deduped pairs — the raw events are never shuffled twice, unlike
     // the naive two COUNT(DISTINCT) passes.
-    "q121_distinct_rollup_exact" -> ((s, d) => {
-      val pairs = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-      val perDay = pairs
-        .groupBy(col("day").cast("string").as("period"))
-        .agg(count(lit(1)).as("distinct_users"))
-      val total = pairs.agg(countDistinct(col("user_id")).as("distinct_users"))
-        .select(lit("ALL").as("period"), col("distinct_users"))
-      perDay.unionByName(total).orderBy("period")
-    }),
+    "q121_distinct_rollup_exact" -> ((s, d) =>
+      distinctRollupExact(s, d).orderBy("period")),
 
     // A1/A2 analog: grouped avg/max/count in one pass. avg computed as
     // exact-sum / count (plain avg() over doubles is accumulation-order-

@@ -32,6 +32,24 @@ object CorpusReports {
     (conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") + 1L) / 4294967296.0
 
+  /** The (doc_id, lang, quality, n_tokens) scoring frame q86/q98 rank —
+    * also the population q220's GK rank gate counts against.
+    */
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** q98's per-language GK decile-cut sketch (lang, cuts[9], records) —
+    * q98 buckets with it, q220 rank-gates each cut.
+    */
+  private[graft] def qualityCutSketch(s: SparkSession, d: String): DataFrame =
+    qualityScored(s, d).groupBy("lang")
+      .agg(expr("approx_percentile(quality, " +
+        "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("cuts"),
+        count(lit(1)).as("records"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Overlapping chunking: each doc's whitespace tokens split into
     // 32-token windows with stride 24 — one row per (doc, chunk) with
@@ -121,14 +139,8 @@ object CorpusReports {
     // population balance and boundary agreement between the two.
     // Rows-only: GK merge order isn't portable SQL.
     "q98_quality_deciles_approx" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          qualityScore(col("text")).as("quality"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-      val cuts = scored.groupBy("lang")
-        .agg(expr("approx_percentile(quality, " +
-          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)").as("cuts"))
-      scored.join(broadcast(cuts), Seq("lang"))
+      val scored = qualityScored(s, d)
+      scored.join(broadcast(qualityCutSketch(s, d).select("lang", "cuts")), Seq("lang"))
         // ascending bucket = 1 + #cuts strictly below, flipped so
         // decile 1 is the TOP decile (q86's orientation)
         .withColumn("decile",

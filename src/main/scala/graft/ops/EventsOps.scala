@@ -200,17 +200,23 @@ object EventsOps {
     // this against q44 with a relative-error bound. Rows-only (DuckDB's
     // approx_quantile is a different sketch — values can't hash-match).
     "q51_quantiles_approx" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), " +
-            "array(0.25D, 0.5D, 0.75D), 10000)").as("ps"),
-          count(lit(1)).as("records"))
+      priceQuantileSketch(s, d)
         .select(col("l_returnflag"),
           col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"),
           col("records"))
         .orderBy("l_returnflag"))
   )
+
+  /** q51's GK sketch frame (l_returnflag, ps[3], records), unpivoted by
+    * the q220 sketch-error report for its rank-window gate.
+    */
+  private[graft] def priceQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), " +
+          "array(0.25D, 0.5D, 0.75D), 10000)").as("ps"),
+        count(lit(1)).as("records"))
 
   private val AsOfOracle =
     """SELECT event_id, user_id, last_orderkey, last_totalprice FROM (

@@ -71,11 +71,59 @@ object ImageHash {
         (m.doc_id, m.mime, dec.width, dec.height, dHash64(m.mime, m.payload))
       })
       .toDF("doc_id", "mime", "width", "height", "dhash")
-      .orderBy("doc_id")
   }
 
+  /** q221's hamming radius: pairs within this many differing gradient
+    * bits. 3 is what the 4-chunk pigeonhole GUARANTEES (4 equal-width
+    * chunks of a 64-bit key; ≤3 flipped bits leave ≥1 chunk intact, so
+    * every qualifying pair meets in some chunk bucket — q28's rule).
+    */
+  private[graft] val HammingMax = 3
+
+  /** Per-(chunk, value) bucket population cap — the q43 skew guard: a
+    * degenerate bucket (a flood of near-identical rasters) would go
+    * quadratic in the self-join; capped buckets are dropped and their
+    * members still meet in their other 3 chunks unless those are
+    * equally degenerate. Replayed by the oracle, so the cap is part of
+    * the checked semantics, not a silent approximation.
+    */
+  private[graft] val MaxChunkBucket = 10000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q212_image_dhash" -> ((s, d) => dhashFrame(s, d)))
+    "q212_image_dhash" -> ((s, d) => dhashFrame(s, d).orderBy("doc_id")),
+
+    // visual NEAR-DUP pairs over the q212 dHashes — the consumer the
+    // dHash exists for, completing the multimodal dedup story (q25-q28
+    // dedup text; this dedups the image column by perceptual content,
+    // catching the same content re-encoded in a DIFFERENT container:
+    // identical bytes as BMP vs PPM decode to the same raster, hamming
+    // 0). Plan is q28's pigeonhole verbatim: 4x16-bit chunks, bucket
+    // equi-join (never a cross join), exact hamming verify <= 3.
+    // Fully oracle-checked (unlike q28's xxhash signatures): the r18
+    // contract-replay oracle makes the dHash itself SQL-derivable, so
+    // the whole pair graph replays cross-engine.
+    "q221_image_neardup_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // one decode pass serves both join sides
+      val sigs = dhashFrame(s, d).select("doc_id", "dhash").localCheckpoint()
+      val chunks = sigs.select(col("doc_id"), col("dhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("dhash"), 16 * c).bitwiseAND(0xFFFFL).as("cval"))): _*)).as("cc"))
+        .select(col("doc_id"), col("dhash"), col("cc.chunk"), col("cc.cval"))
+      val keep = chunks.groupBy("chunk", "cval")
+        .agg(count(lit(1)).as("pop"))
+        .filter(col("pop") <= MaxChunkBucket).select("chunk", "cval")
+      val capped = chunks.join(keep, Seq("chunk", "cval"))
+      capped.as("a").join(capped.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HammingMax)
+        .orderBy("doc_a", "doc_b")
+    }))
 
   /** Full encoder-contract replay (the q213 discipline): geometry from
     * the near-square contract, pixel lumas from the text BLOB's hex,
@@ -85,8 +133,12 @@ object ImageHash {
     * table by index, so the hex string is copied once per pixel (the
     * q213 `sam` shape), never once per cell-pixel.
     */
-  val oracleSql: Map[String, String] = Map(
-    "q212_image_dhash" ->
+  /** The shared contract-replay CTE chain (img → geo → px → cells →
+    * cellpx → cellsum → bits): per image doc, geometry + the 64-bit
+    * dhash rebuilt from the text bytes. q212's oracle presents it;
+    * q221's oracle runs the pigeonhole pair join over it.
+    */
+  private def dhashOracleCtes: String =
       s"""WITH img AS MATERIALIZED (
          |  SELECT doc_id, doc_id % 3 AS fmt, hex(CAST(text AS BLOB)) AS hx,
          |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
@@ -149,7 +201,11 @@ object ImageHash {
          |    ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
          |  WHERE l.gx < ${GridCols - 1}
          |  GROUP BY l.doc_id
-         |)
+         |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q212_image_dhash" ->
+      s"""$dhashOracleCtes
          |SELECT geo.doc_id,
          |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
          |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
@@ -157,7 +213,26 @@ object ImageHash {
          |       CAST(geo.h AS INTEGER) AS height,
          |       b.dhash
          |FROM geo JOIN bits b USING (doc_id)
-         |ORDER BY geo.doc_id""".stripMargin)
+         |ORDER BY geo.doc_id""".stripMargin,
+
+    // the pigeonhole pair join replayed over the contract-derived
+    // dhashes: >> is arithmetic in both engines and & 65535 masks the
+    // extension away, bit_count/xor agree on two's-complement BIGINT
+    "q221_image_neardup_pairs" ->
+      s"""$dhashOracleCtes, chunks AS MATERIALIZED (
+         |  SELECT b.doc_id, b.dhash, c.chunk,
+         |         (b.dhash >> (16 * c.chunk)) & 65535 AS cval
+         |  FROM bits b, (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+         |), capped AS MATERIALIZED (
+         |  SELECT doc_id, dhash, chunk, cval FROM chunks
+         |  QUALIFY COUNT(*) OVER (PARTITION BY chunk, cval) <= $MaxChunkBucket
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM capped a JOIN capped b
+         |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin)
 
   val rowsOnly: Set[String] = Set.empty
 }

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** q220: SKETCH ERROR REPORT — the q117/q208 move applied to the
+  * approximate-aggregate family. The four sketch queries (q61 HLL
+  * rollup, q73 Misra-Gries top tokens, q51/q98 GK quantiles) are
+  * rows-only — their estimates aren't portable SQL — so their accuracy
+  * lived in ScalaTest gates the driver never saw. This report makes
+  * sketch quality driver-hash-gated: one row per estimate, carrying
+  * the EXACT value (SQL-replayable) and an in-envelope verdict the
+  * oracle asserts as a literal TRUE. A sketch drifting outside its
+  * DOCUMENTED guarantee flips `within` and breaks the hash.
+  *
+  * Why the output is deterministic even though sketch internals are
+  * not: GK compression and Misra-Gries survival depend on partition
+  * merge order, but each guarantee holds under EVERY merge order
+  * (Greenwald–Khanna 2001; Agarwal et al., Mergeable Summaries, PODS
+  * 2012), so the boolean verdicts — the only estimate-derived
+  * columns — are order-free. The item sets are exact-side derived
+  * (periods, guaranteed-survivor tokens, group × quantile labels),
+  * never sketch-derived.
+  *
+  * Envelopes (each the documented bound, not an empirical fudge):
+  *   - HLL (lgK=12): |est − exact| < 5% · exact, integer-exact compare
+  *     (the AnalyticsSpec band; theoretical RSE ≈ 1.04/√2¹² ≈ 1.6%).
+  *   - MG (k=64): every token with exact count · (k+1) > Σtokens must
+  *     survive the per-source sketches AND the merge, with
+  *     exact − est ≤ Σtokens/(k+1) and never an overcount — all
+  *     integer-exact.
+  *   - GK (accuracy 10⁴): the returned cut's exact rank window
+  *     [cnt_lt, cnt_le] must intersect target ± (n/10⁴ + 1) where
+  *     target = q·n — the rank-error form of the guarantee (value-space
+  *     error is unbounded for GK, rank error is what it promises).
+  *
+  * Scale shape: every section is one narrow aggregate over an already-
+  * registered frame plus a group-keyed join — the exact sides are the
+  * same shuffles q121/q59/q44/q86 already price; nothing quadratic,
+  * nothing collected. The 1-row Σtokens fold broadcasts (BNLJ allowed
+  * like q114's corpus-total fold).
+  */
+object SketchReport {
+
+  /** HLL acceptance band, percent of exact (AnalyticsSpec's gate). */
+  private[graft] val HllBandPct = 5
+
+  /** GK accuracy parameter shared by q51 and q98's sketches. */
+  private[graft] val GkAccuracy = 10000
+
+  /** Generic GK rank-window section: `pop` = (grp, v) population,
+    * `sk` = (grp, cuts array, records), probed at `qs`, items labeled
+    * `grp:label(i)`.
+    */
+  private[graft] def gkSection(label: String, pop: DataFrame, sk: DataFrame,
+                               qs: Seq[Double], labels: Seq[String]): DataFrame = {
+    // pop feeds both the rank-window count and the exact percentile as
+    // plain recomputed scans — measured FASTER than localCheckpointing
+    // the projection (eager sequential materialization of 4 section
+    // inputs beat the saved recompute by ~25%: the sections' jobs
+    // otherwise overlap in the scheduler)
+    val est = sk.select(col("grp"), col("records"),
+      posexplode(col("cuts")).as(Seq("qi", "est")))
+    val ranks = est.join(pop, Seq("grp"))
+      .groupBy("grp", "qi", "est", "records")
+      .agg(count(when(col("v") < col("est"), 1)).as("cnt_lt"),
+        count(when(col("v") <= col("est"), 1)).as("cnt_le"))
+    val exact = pop.groupBy("grp")
+      .agg(expr(s"percentile(v, array(${qs.map(_ + "D").mkString(",")}))").as("eps"))
+      .select(col("grp"), posexplode(col("eps")).as(Seq("qi", "exact_p")))
+    val target = element_at(typedLit(qs), col("qi") + 1) * col("records")
+    val tol = col("records").cast("double") / GkAccuracy + 1.0
+    ranks.join(exact, Seq("grp", "qi"))
+      .select(lit(label).as("sketch"),
+        concat(col("grp"), lit(":"),
+          element_at(typedLit(labels), col("qi") + 1)).as("item"),
+        round(col("exact_p"), 6).as("exact_v"),
+        (col("cnt_lt").cast("double") <= target + tol &&
+          col("cnt_le").cast("double") >= target - tol).as("within"))
+  }
+
+  def report(s: SparkSession, d: String): DataFrame = {
+    // q61 HLL vs the q121 exact twin, integer-exact 5% band
+    val hll = AnalyticsExtras.hllRollup(s, d)
+      .join(AnalyticsExtras.distinctRollupExact(s, d), Seq("period"))
+      .select(lit("q61_hll_lgk12").as("sketch"),
+        col("period").as("item"),
+        col("distinct_users").cast("double").as("exact_v"),
+        (abs(col("distinct_users_est") - col("distinct_users")) * 100 <
+          col("distinct_users") * HllBandPct).as("within"))
+
+    // q73 MG: every GUARANTEED survivor (count·(k+1) > Σtokens) must be
+    // in the merged sketch, undercounted by at most Σtokens/(k+1)
+    val kp1 = TextAnalysis.MgSketchK + 1
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val mg = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tok"))))
+      .filter(col("n") * kp1 > col("n_tok"))
+      .join(TextAnalysis.mgMergedTokens(s, d), Seq("token"), "left")
+      .select(lit("q73_mg_k64").as("sketch"),
+        col("token").as("item"),
+        col("n").cast("double").as("exact_v"),
+        (col("est_count").isNotNull && col("est_count") <= col("n") &&
+          (col("n") - col("est_count")) * kp1 <= col("n_tok")).as("within"))
+
+    val gkPrices = gkSection("q51_gk_prices_acc10k",
+      Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("double").as("v")),
+      EventsOps.priceQuantileSketch(s, d)
+        .select(col("l_returnflag").as("grp"), col("ps").as("cuts"), col("records")),
+      Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+
+    val gkQuality = gkSection("q98_gk_quality_acc10k",
+      CorpusReports.qualityScored(s, d)
+        .select(col("lang").as("grp"), col("quality").as("v")),
+      CorpusReports.qualityCutSketch(s, d)
+        .select(col("lang").as("grp"), col("cuts"), col("records")),
+      (1 to 9).map(_ / 10.0), (1 to 9).map("d" + _))
+
+    hll.unionByName(mg).unionByName(gkPrices).unionByName(gkQuality)
+      .orderBy("sketch", "item")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_sketch_error_report" -> ((s, d) => report(s, d)))
+
+  /** The exact sides replayed in SQL; every `within` asserted TRUE —
+    * the oracle's claim IS the guarantee.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q220_sketch_error_report" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM documents
+         |), prices AS MATERIALIZED (
+         |  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+         |  FROM lineitem
+         |), quality AS MATERIALIZED (
+         |  SELECT lang AS grp, ${TextAnalysis.QualitySql} AS v
+         |  FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+         |        FROM documents)
+         |)
+         |SELECT sketch, item, exact_v, within FROM (
+         |  SELECT 'q61_hll_lgk12' AS sketch, period AS item,
+         |         CAST(distinct_users AS DOUBLE) AS exact_v, TRUE AS within
+         |  FROM (
+         |    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS period,
+         |           COUNT(DISTINCT user_id) AS distinct_users
+         |    FROM events GROUP BY 1
+         |    UNION ALL
+         |    SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+         |  )
+         |  UNION ALL
+         |  SELECT 'q73_mg_k64', token, CAST(n AS DOUBLE), TRUE
+         |  FROM (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+         |  WHERE n * ${TextAnalysis.MgSketchK + 1} > (SELECT COUNT(*) FROM toks)
+         |  UNION ALL
+         |  SELECT 'q51_gk_prices_acc10k',
+         |         grp || ':' || ['p25','p50','p75'][i],
+         |         ROUND(qs[i], 6), TRUE
+         |  FROM (SELECT grp, quantile_cont(v, [0.25, 0.5, 0.75]) AS qs
+         |        FROM prices GROUP BY grp),
+         |       (SELECT unnest([1, 2, 3]) AS i)
+         |  UNION ALL
+         |  SELECT 'q98_gk_quality_acc10k',
+         |         grp || ':' || ['d1','d2','d3','d4','d5','d6','d7','d8','d9'][i],
+         |         ROUND(qs[i], 6), TRUE
+         |  FROM (SELECT grp,
+         |               quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+         |        FROM quality GROUP BY grp),
+         |       (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i)
+         |)
+         |ORDER BY sketch, item""".stripMargin)
+
+  val rowsOnly: Set[String] = Set.empty
+}

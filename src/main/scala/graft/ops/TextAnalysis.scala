@@ -13,6 +13,21 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** q73's Misra-Gries sketch size (per-source AND merge level). */
+  private[graft] val MgSketchK = 64
+
+  /** The full merged Misra-Gries counter table (token, est_count) —
+    * q73 presents its top 20; q220's sketch-error report gates every
+    * guaranteed-survivor token against the exact counts.
+    */
+  private[graft] def mgMergedTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(graft.functions.FreqSketch(MgSketchK)(col("token")).as("sk"))
+      .agg(graft.functions.FreqSketch.merge(MgSketchK)(col("sk")).as("merged"))
+      .select(explode(col("merged")).as(Seq("token", "est_count")))
+
   /** The fixed q115 retrieval query — terms from the corpus vocabulary
     * so tf/df are non-degenerate at every SF. */
   val BM25QueryTerms: Seq[String] = Seq("spark", "join", "window")
@@ -164,18 +179,10 @@ object TextAnalysis {
     // bound, never rescanning the corpus. Rows-only: counter survival
     // is data-order-free but estimates aren't portable SQL;
     // AnalyticsSpec gates recall + error against the exact q59.
-    "q73_top_tokens_sketch" -> ((s, d) => {
-      val k = 64
-      val perSource = Tables.documents(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-        .groupBy("source")
-        .agg(graft.functions.FreqSketch(k)(col("token")).as("sk"))
-      perSource
-        .agg(graft.functions.FreqSketch.merge(k)(col("sk")).as("merged"))
-        .select(explode(col("merged")).as(Seq("token", "est_count")))
+    "q73_top_tokens_sketch" -> ((s, d) =>
+      mgMergedTokens(s, d)
         .orderBy(col("est_count").desc, col("token"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // BM25 retrieval (Robertson–Spärck Jones, the Okapi form): top-10
     // docs for a fixed 3-term query. Completes the lexical-scoring

@@ -43,6 +43,56 @@ class EventSequencesSpec extends AnyFunSuite {
       (3, "purchase", 1L, 333333L)), got.mkString(", "))
   }
 
+  test("q222: hand-checkable deltas; corpus quantiles equal a scala brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttc").toString
+    write(dir, Seq(
+      (1L, 1L, "view", "2024-01-01T00:00:00Z"),
+      (2L, 1L, "click", "2024-01-01T00:10:00Z"),
+      (3L, 1L, "purchase", "2024-01-01T00:30:00Z"),
+      (4L, 2L, "view", "2024-01-01T00:00:00Z"),
+      (5L, 2L, "click", "2024-01-01T00:20:00Z")))
+    val got = SparkEntry.queries("q222_funnel_time_to_convert")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val m10 = 600e6 // 10 minutes in µs
+    assert(got == Seq(
+      // view->click deltas: {10, 20} min -> p25=12.5 p50=15 p75=17.5
+      ("1_view_to_click", 2L, 1.25 * m10, 1.5 * m10, 1.75 * m10),
+      ("2_click_to_purchase", 1L, 2 * m10, 2 * m10, 2 * m10),
+      ("3_view_to_purchase", 1L, 3 * m10, 3 * m10, 3 * m10)), got.mkString(", "))
+
+    // corpus: per-transition quantiles equal an in-scala exact
+    // interpolating percentile over the independently staged deltas
+    val rows = SparkEntry.queries("q222_funnel_time_to_convert")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def interp(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, e) => u -> e.map(_._3).min }
+    val t2 = ev.filter(e => e._2 == "click" && t1.contains(e._1) && e._3 >= t1(e._1))
+      .groupBy(_._1).map { case (u, e) => u -> e.map(_._3).min }
+    val t3 = ev.filter(e => e._2 == "purchase" && t2.contains(e._1) && e._3 >= t2(e._1))
+      .groupBy(_._1).map { case (u, e) => u -> e.map(_._3).min }
+    val legs = Map(
+      "1_view_to_click" -> t2.map { case (u, t) => (t - t1(u)).toDouble }.toSeq,
+      "2_click_to_purchase" -> t3.map { case (u, t) => (t - t2(u)).toDouble }.toSeq,
+      "3_view_to_purchase" -> t3.map { case (u, t) => (t - t1(u)).toDouble }.toSeq)
+    legs.foreach { case (name, ds) =>
+      assert(ds.nonEmpty, s"degenerate corpus: no $name conversions")
+      val (n, p25, p50, p75) = rows(name)
+      assert(n == ds.size.toLong, s"$name count")
+      assert(p25 == interp(ds, 0.25) && p50 == interp(ds, 0.5) &&
+        p75 == interp(ds, 0.75), s"$name quantiles drifted")
+    }
+  }
+
   test("q216/q217: corpus reports equal scalar brute forces") {
     val ev = Tables.events(spark, d)
       .select("user_id", "event_id", "ts", "event_type").collect()

@@ -71,4 +71,29 @@ class ImageHashSpec extends AnyFunSuite {
     assert(corpus.size == nImages, s"${corpus.size} rows vs $nImages image docs")
     assert(corpus.map(_._5).distinct.size > 1)
   }
+
+  test("q221: pigeonhole pairs equal the brute-force hamming<=3 graph; cross-container dups pair at 0") {
+    // hand fixture: ids 0/1 = same bytes under BMP vs PPM (hamming 0),
+    // id 3 = descending ramp (hamming 64 from the ascending pair)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dhash3").toString
+    write(dir, Seq((0L, ramp(desc = false)), (1L, ramp(desc = false)),
+      (3L, ramp(desc = true))))
+    val pairs = ops.ImageHash.queries("q221_image_neardup_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((0L, 1L, 0)), s"expected only the cross-container dup: $pairs")
+
+    // corpus: the pigeonhole join must find EXACTLY the brute-force
+    // hamming<=3 pairs (no bucket exceeds the cap at this SF, so the
+    // 4-chunk guarantee makes the candidate set complete)
+    val d = "/root/testdata/sf0.001"
+    val hashes = run(d).map(r => (r._1, r._5))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= ops.ImageHash.HammingMax
+    } yield (ia, ib, h)).sorted
+    val got = ops.ImageHash.queries("q221_image_neardup_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(got == brute, s"pigeonhole vs brute force: ${got.size} vs ${brute.size}")
+    assert(brute.nonEmpty, "degenerate: no near-dup image pairs at this SF")
+  }
 }

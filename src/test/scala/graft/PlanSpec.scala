@@ -272,6 +272,7 @@ class PlanSpec extends AnyFunSuite {
       "q109_dim_snapshot",           // 1-row as-of cutoff fold
       "q113_dedup_incremental",      // 1-row ingest-cutoff fold
       "q114_token_budget_plan",      // 1-row corpus-total fold
+      "q220_sketch_error_report",    // 1-row Σtokens fold (MG bound)
       "q115_bm25_retrieval",         // 1-row corpus stats + tiny query side
       "q117_ann_recall_report",      // 1-row hit/total aggregates crossed
       "q15_date_dim_gen",            // the cross-product generator op itself

@@ -15,7 +15,7 @@ object ProfQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_PROF_SF_DIR", "/root/testdata/sf0.1")
     graft.Bench.exec(graft.SparkEntry.queries("q16_dim_region")(spark, d))
     for (q <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
