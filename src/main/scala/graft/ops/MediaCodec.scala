@@ -183,36 +183,52 @@ object MediaCodec {
   /** Shared image statistics: per-channel means, luma mean/std, aspect,
     * non-black fraction, mean horizontal luma gradient — all from the
     * decoded pixels.
+    *
+    * INTEGER-CORED (r18): every accumulator is an exact Long over raw
+    * byte sums — Σr, Σg, Σb, Σ(r+g+b), Σ(r+g+b)², Σ|Δrow(r+g+b)|,
+    * non-black count — and the 8 doubles derive from them in one fixed
+    * expression each (luma = (r+g+b)/3 enters as s1/3.0, its square as
+    * s2/9.0, the gradient as g3/3.0). That makes every feature
+    * accumulation-ORDER-FREE and hence SQL-replayable bit-for-bit: the
+    * oracle computes the same integer SUMs over exploded pixels and
+    * the identical double formulas (the earlier float accumulation of
+    * per-pixel (r+g+b)/3.0 depended on loop order, which no SQL SUM
+    * reproduces). Overflow: s2 ≤ n·765² — safe under int64 past 10^13
+    * pixels. All 8 stay within a float ulp of the old values (exact
+    * rational identities; only the fp evaluation point moved), and the
+    * narrowing to Float happens ONCE per feature, from the double.
     */
   private def imageFeatures(w: Int, h: Int,
                             rgb: (Int, Int) => (Int, Int, Int)): Array[Float] = {
-    var sr = 0.0; var sg = 0.0; var sb = 0.0
-    var sum = 0.0; var sumSq = 0.0; var grad = 0.0
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var s1 = 0L; var s2 = 0L; var g3 = 0L
     var nonZero = 0L
     var row = 0
     while (row < h) {
       var col = 0
-      var prevLuma = 0.0
+      var prev = 0L
       while (col < w) {
         val (r, g, b) = rgb(row, col)
         sr += r; sg += g; sb += b
-        val luma = (r + g + b) / 3.0
-        sum += luma; sumSq += luma * luma
-        if (r != 0 || g != 0 || b != 0) nonZero += 1
-        if (col > 0) grad += math.abs(luma - prevLuma)
-        prevLuma = luma
+        val l3 = (r + g + b).toLong
+        s1 += l3; s2 += l3 * l3
+        if (l3 != 0) nonZero += 1
+        if (col > 0) g3 += math.abs(l3 - prev)
+        prev = l3
         col += 1
       }
       row += 1
     }
     val n = w.toLong * h
-    val mean = sum / n
-    val variance = math.max(0.0, sumSq / n - mean * mean)
+    val mean = s1 / 3.0 / n
+    val variance = math.max(0.0, s2 / 9.0 / n - mean * mean)
     Array(
-      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (sr.toDouble / n / 255.0).toFloat,
+      (sg.toDouble / n / 255.0).toFloat,
+      (sb.toDouble / n / 255.0).toFloat,
       (mean / 255.0).toFloat, (math.sqrt(variance) / 255.0).toFloat,
-      w.toFloat / (w + h), nonZero.toFloat / n,
-      (if (w > 1) grad / ((n - h) * 255.0) else 0.0).toFloat)
+      (w.toDouble / (w + h)).toFloat, (nonZero.toDouble / n).toFloat,
+      (if (w > 1) g3 / 3.0 / ((n - h) * 255.0) else 0.0).toFloat)
   }
 
   // ---------------------------------------------------------------- WAV
@@ -296,34 +312,42 @@ object MediaCodec {
       (i0, i1)
     }
 
+  /** WAV statistics, INTEGER-CORED like [[imageFeatures]] (r18): Long
+    * sums over the raw 16-bit samples k (s = k/32768 enters as
+    * sk/32768.0, s² as sk2/32768²), so every accumulation is exact and
+    * order-free and the 8 doubles are single fixed expressions the SQL
+    * oracle replays bit-for-bit. Overflow: sk2 ≤ n·2³⁰ — safe past
+    * 10⁹ samples per payload.
+    */
   def decodeWav(p: Array[Byte]): Decoded = {
     val pcm = parseWav(p)
     val channels = pcm.channels
     val sampleRate = pcm.sampleRate
     val nSamples = pcm.nSamples
-    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var diff = 0.0
+    var sk = 0L; var sk2 = 0L; var peakK = 0L; var diffK = 0L
     var zc = 0L
-    var prev = 0.0
+    var prev = 0L
     var i = 0
     while (i < nSamples) {
-      val s = pcm.sample(i)
-      sum += s; sumSq += s * s
-      if (math.abs(s) > peak) peak = math.abs(s)
+      val k = math.round(pcm.sample(i) * 32768.0) // exact: dyadic round-trip
+      sk += k; sk2 += k * k
+      if (math.abs(k) > peakK) peakK = math.abs(k)
       if (i > 0) {
-        if ((s >= 0) != (prev >= 0)) zc += 1
-        diff += math.abs(s - prev)
+        if ((k >= 0) != (prev >= 0)) zc += 1
+        diffK += math.abs(k - prev)
       }
-      prev = s
+      prev = k
       i += 1
     }
     val n = math.max(nSamples, 1).toDouble
     val frames = nSamples / channels
     Decoded(frames, channels, Array(
-      (sum / n).toFloat, math.sqrt(sumSq / n).toFloat,
-      (zc / n).toFloat, peak.toFloat,
+      (sk / 32768.0 / n).toFloat,
+      (math.sqrt(sk2 / 1073741824.0 / n)).toFloat,
+      (zc / n).toFloat, (peakK / 32768.0).toFloat,
       math.min(1.0, frames / math.max(sampleRate, 1).toDouble).toFloat,
-      sampleRate / 48000f, channels.toFloat,
-      (if (nSamples > 1) diff / (nSamples - 1) else 0.0).toFloat))
+      (sampleRate / 48000.0).toFloat, channels.toFloat,
+      (if (nSamples > 1) diffK / 32768.0 / (nSamples - 1) else 0.0).toFloat))
   }
 
   /** Exact integer gray grid over an image raster: per (gridRows ×
@@ -407,18 +431,21 @@ object MediaCodec {
       while (gx < grid) {
         val c0 = gx * r.w / grid
         val c1 = math.max(c0 + 1, (gx + 1) * r.w / grid)
-        var sum = 0.0
+        // exact integer Σ(R+G+B) per block (the imageFeatures r18 rule):
+        // order-free, so the SQL oracle's SUM replays the cell exactly
+        var s = 0L
         var row = r0
         while (row < r1) {
           var col = c0
           while (col < c1) {
             val (red, green, blue) = r.rgb(row, col)
-            sum += (red + green + blue) / 3.0
+            s += red + green + blue
             col += 1
           }
           row += 1
         }
-        out(gy * grid + gx) = (sum / ((r1 - r0).toLong * (c1 - c0) * 255.0)).toFloat
+        out(gy * grid + gx) =
+          (s / 3.0 / ((r1 - r0).toLong * (c1 - c0) * 255.0)).toFloat
         gx += 1
       }
       gy += 1

@@ -98,61 +98,50 @@ object Multimodal {
       }
   }
 
-  /** Where the q138/q139 expected-digest fixtures live (generated once by
-    * [[graft.tools.GenMultimodalFixture]] from the sf0.01 engine output
-    * and committed; the DuckDB oracle reads them for the feature digests).
-    * Resolved relative to the working directory (sbt runs from the repo
-    * root) so a checkout elsewhere still finds them; override with
-    * -Dgraft.fixtures.dir for a non-root working directory.
+  /** q138: the q35 decode pipeline with EVERY decoded column
+    * driver-checked — doc_id, mime, container geometry, and all 8
+    * content features rounded to 6 decimals as wide columns. TRUE
+    * cross-engine oracle since r18 (the q213/q212 convention,
+    * upgraded from the fixture-pinned digest): the feature cores are
+    * integer-exact Long sums ([[MediaCodec]] r18 rewrite) derived into
+    * doubles by one fixed expression each, so DuckDB re-derives every
+    * feature bit-for-bit from the text bytes via the encoder contracts
+    * — pixel channels for BMP/PPM, PCM samples for WAV — with the same
+    * REAL narrowing. The engine runs the real container parse; the
+    * oracle runs the contract; a parser OR statistics regression
+    * breaks the hash on the exact column it touched.
     */
-  val FixtureDir: String = sys.props.get("graft.fixtures.dir").getOrElse(
-    new java.io.File(sys.props.getOrElse("user.dir", "."), "tools/fixtures")
-      .getAbsolutePath)
-
-  /** q138: the q35 decode pipeline collapsed to one digest per media row
-    * — doc_id, mime, container geometry, and an md5 over ALL 8 content
-    * features rounded to 3 decimals (q35's presentation shows only f0;
-    * the digest pins the whole vector). This is the oracle-checkable
-    * twin of q35, HYBRID by column: mime and the container geometry
-    * (n_bytes, width, height) are derived independently in SQL from the
-    * encoder contracts — true cross-engine checks — while the content
-    * feature digest, which isn't portable SQL, is REGRESSION-PINNED
-    * against a pre-computed expected-digest parquet (generated once by
-    * GenMultimodalFixture at sf0.01, the driver's verify SF). Semantic
-    * correctness of the parsers is pinned independently by
-    * MultimodalSpec's hand-computed container fixtures.
-    */
-  private[graft] def decodeDigest(s: SparkSession, d: String): DataFrame = {
+  private[graft] def decodeFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     asMedia(s, d)
       .mapPartitions(decodePartition)
       .toDF()
-      .select(col("doc_id"), col("mime"), col("n_bytes"),
-        col("width"), col("height"),
-        md5(concat_ws(",",
-          transform(col("feature"),
-            x => round(x.cast("double"), 3).cast("string"))).cast("binary"))
-          .as("feature_sig"))
+      .select(col("doc_id") +: col("mime") +: col("n_bytes") +:
+        col("width") +: col("height") +:
+        (0 until 8).map(i =>
+          round(element_at(col("feature"), i + 1).cast("double"), 6)
+            .as(s"f${i}_r")): _*)
       .orderBy("doc_id")
   }
 
-  /** q139: q53's 16-cell thumbnail digested the same way. */
-  private[graft] def thumbnailDigest(s: SparkSession, d: String): DataFrame = {
+  /** q139: q53's 16-cell thumbnail, every cell a rounded column with
+    * the same true contract-replay oracle as q138.
+    */
+  private[graft] def thumbnailCells(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     asMedia(s, d)
       .mapPartitions(thumbnailPartition(4))
       .toDF()
-      .select(col("doc_id"), col("mime"),
-        md5(concat_ws(",",
-          transform(col("thumb"),
-            x => round(x.cast("double"), 3).cast("string"))).cast("binary"))
-          .as("thumb_sig"))
+      .select(col("doc_id") +: col("mime") +:
+        (0 until 16).map(i =>
+          round(element_at(col("thumb"), i + 1).cast("double"), 6)
+            .as(s"t${i}_r")): _*)
       .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_multimodal_decode_digest" -> ((s, d) => decodeDigest(s, d)),
-    "q139_multimodal_thumb_digest" -> ((s, d) => thumbnailDigest(s, d)),
+    "q138_multimodal_decode_digest" -> ((s, d) => decodeFeatures(s, d)),
+    "q139_multimodal_thumb_digest" -> ((s, d) => thumbnailCells(s, d)),
     // binary-column metadata scan: byte length + digest (oracle-checkable)
     "q34_multimodal_meta" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -197,6 +186,53 @@ object Multimodal {
     })
   )
 
+  /** Shared oracle CTEs: per-image-doc geometry + per-pixel channels
+    * (r, g, b from content bytes 3i..3i+2, zero-padded, with the
+    * row-lagged luma for the gradient), and per-WAV-doc PCM samples
+    * with their lag. The q212/q213 byte-extraction idioms verbatim.
+    */
+  private def mediaOracleCtes: String =
+    s"""WITH img AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 3 AS fmt, hex(CAST(text AS BLOB)) AS hx,
+       |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+       |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
+       |  FROM documents WHERE doc_id % 3 < 2
+       |), geo AS MATERIALIZED (
+       |  SELECT doc_id, fmt, hx, n, w,
+       |         GREATEST(1, CAST(CEIL(n / (3.0 * w)) AS BIGINT)) AS h
+       |  FROM img
+       |), px AS MATERIALIZED (
+       |  SELECT doc_id, i // w AS prow, i % w AS pcol,
+       |         CASE WHEN 3 * i < n THEN
+       |           ('0x' || substr(hx, CAST(6 * i + 1 AS INTEGER), 2))::BIGINT ELSE 0 END AS r,
+       |         CASE WHEN 3 * i + 1 < n THEN
+       |           ('0x' || substr(hx, CAST(6 * i + 3 AS INTEGER), 2))::BIGINT ELSE 0 END AS g,
+       |         CASE WHEN 3 * i + 2 < n THEN
+       |           ('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2))::BIGINT ELSE 0 END AS b
+       |  FROM (SELECT doc_id, hx, n, w,
+       |               CAST(unnest(range(w * h)) AS BIGINT) AS i FROM geo)
+       |), wav AS MATERIALIZED (
+       |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), sam AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |         (('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2))::BIGINT - 128)
+       |           * 256 AS k
+       |  FROM (SELECT doc_id, hx, CAST(unnest(range(n)) AS BIGINT) AS i FROM wav)
+       |)""".stripMargin
+
+  /** ROUND(REAL-narrowed, 6) — the engine's `.toFloat` then
+    * `round(cast(double), 6)` replayed: widening REAL → DOUBLE is
+    * exact, so both engines round the identical double.
+    */
+  private def r6(expr: String): String =
+    s"ROUND(CAST(CAST($expr AS REAL) AS DOUBLE), 6)"
+
+  // q138/q139: TRUE contract-replay oracles since r18 (no fixtures).
+  // Every feature derives from exact integer sums over the contract-
+  // derived pixels/samples, in the same fixed double expressions the
+  // integer-cored MediaCodec uses — see decodeFeatures' scaladoc.
   val oracleSql: Map[String, String] = Map(
     "q34_multimodal_meta" ->
       """SELECT doc_id,
@@ -205,53 +241,117 @@ object Multimodal {
         |       md5(text) AS checksum
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    // q138/q139: the pixel/sample FEATURE digests aren't portable SQL —
-    // those columns are REGRESSION-PINNED against the committed fixture
-    // parquet (generated by GenMultimodalFixture from the sf0.01 engine
-    // output; regenerate + recommit if the decoders legitimately
-    // change). Everything else — mime, container byte size, and the
-    // header geometry — is derived INDEPENDENTLY here from the encoder
-    // contracts (Multimodal.asMedia round-robin; MediaCodec.geometry's
-    // near-square w = ceil(sqrt(n/3)), h = ceil(n/3w); BMP = 54 + padded
-    // stride × h; PPM = 9 + digit widths + 3wh; WAV = 44 + 2n with one
-    // 16-bit mono sample per content byte), so a header/geometry bug is
-    // caught by true cross-engine math and only the content statistics
-    // lean on the fixture.
+
     "q138_multimodal_decode_digest" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, doc_id % 3 AS fmt,
-         |         octet_length(CAST(text AS BLOB)) AS n,
-         |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
-         |  FROM documents
-         |), geo AS (
-         |  SELECT doc_id, fmt, n, w,
-         |         GREATEST(1, CAST(CEIL(n / (3.0 * w)) AS BIGINT)) AS h
-         |  FROM g
+      s"""$mediaOracleCtes, isum AS MATERIALIZED (
+         |  SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
+         |         SUM(r + g + b) AS s1,
+         |         SUM((r + g + b) * (r + g + b)) AS s2,
+         |         SUM(CASE WHEN r + g + b <> 0 THEN 1 ELSE 0 END) AS nz,
+         |         SUM(CASE WHEN prev3 IS NULL THEN 0
+         |                  ELSE ABS(r + g + b - prev3) END) AS g3
+         |  FROM (SELECT *, lag(r + g + b) OVER (
+         |                    PARTITION BY doc_id, prow ORDER BY pcol) AS prev3
+         |        FROM px)
+         |  GROUP BY doc_id
+         |), wsum AS MATERIALIZED (
+         |  SELECT doc_id, SUM(k) AS sk, SUM(k * k) AS sk2,
+         |         MAX(ABS(k)) AS peak,
+         |         SUM(CASE WHEN prev IS NULL THEN 0
+         |                  WHEN (k >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS zc,
+         |         SUM(CASE WHEN prev IS NULL THEN 0 ELSE ABS(k - prev) END) AS dk
+         |  FROM (SELECT doc_id, k,
+         |               lag(k) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |        FROM sam)
+         |  GROUP BY doc_id
          |)
-         |SELECT g.doc_id,
-         |       CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
-         |                  WHEN 1 THEN '${MediaCodec.PpmMime}'
-         |                  ELSE '${MediaCodec.WavMime}' END AS mime,
-         |       CAST(CASE g.fmt
-         |         WHEN 0 THEN 54 + (((g.w * 3 + 3) // 4) * 4) * g.h
-         |         WHEN 1 THEN 9 + length(CAST(g.w AS VARCHAR))
-         |                      + length(CAST(g.h AS VARCHAR)) + 3 * g.w * g.h
-         |         ELSE 44 + 2 * g.n END AS INTEGER) AS n_bytes,
-         |       CAST(CASE g.fmt WHEN 2 THEN g.n ELSE g.w END AS INTEGER) AS width,
-         |       CAST(CASE g.fmt WHEN 2 THEN 1 ELSE g.h END AS INTEGER) AS height,
-         |       f.feature_sig
-         |FROM geo g
-         |JOIN read_parquet('$FixtureDir/q138_expected.parquet') f USING (doc_id)
-         |ORDER BY g.doc_id""".stripMargin,
+         |SELECT geo.doc_id,
+         |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
+         |       CAST(CASE geo.fmt
+         |         WHEN 0 THEN 54 + (((geo.w * 3 + 3) // 4) * 4) * geo.h
+         |         ELSE 9 + length(CAST(geo.w AS VARCHAR))
+         |              + length(CAST(geo.h AS VARCHAR)) + 3 * geo.w * geo.h
+         |         END AS INTEGER) AS n_bytes,
+         |       CAST(geo.w AS INTEGER) AS width,
+         |       CAST(geo.h AS INTEGER) AS height,
+         |       ${r6("i.sr / (geo.w * geo.h) / 255.0")} AS f0_r,
+         |       ${r6("i.sg / (geo.w * geo.h) / 255.0")} AS f1_r,
+         |       ${r6("i.sb / (geo.w * geo.h) / 255.0")} AS f2_r,
+         |       ${r6("i.s1 / 3.0 / (geo.w * geo.h) / 255.0")} AS f3_r,
+         |       ${r6("sqrt(GREATEST(0.0, i.s2 / 9.0 / (geo.w * geo.h) - " +
+                "(i.s1 / 3.0 / (geo.w * geo.h)) * (i.s1 / 3.0 / (geo.w * geo.h)))) / 255.0")} AS f4_r,
+         |       ${r6("CAST(geo.w AS DOUBLE) / (geo.w + geo.h)")} AS f5_r,
+         |       ${r6("i.nz / (geo.w * geo.h)")} AS f6_r,
+         |       ${r6("CASE WHEN geo.w > 1 THEN i.g3 / 3.0 / " +
+                "((geo.w * geo.h - geo.h) * 255.0) ELSE 0.0 END")} AS f7_r
+         |FROM geo JOIN isum i USING (doc_id)
+         |UNION ALL
+         |SELECT w.doc_id, '${MediaCodec.WavMime}' AS mime,
+         |       CAST(44 + 2 * w.n AS INTEGER) AS n_bytes,
+         |       CAST(w.n AS INTEGER) AS width, 1 AS height,
+         |       ${r6("ws.sk / 32768.0 / w.n")} AS f0_r,
+         |       ${r6("sqrt(ws.sk2 / 1073741824.0 / w.n)")} AS f1_r,
+         |       ${r6("ws.zc / w.n")} AS f2_r,
+         |       ${r6("ws.peak / 32768.0")} AS f3_r,
+         |       ${r6("LEAST(1.0, w.n / 8000.0)")} AS f4_r,
+         |       ${r6("8000 / 48000.0")} AS f5_r,
+         |       ${r6("1.0")} AS f6_r,
+         |       ${r6("CASE WHEN w.n > 1 THEN ws.dk / 32768.0 / (w.n - 1) " +
+                "ELSE 0.0 END")} AS f7_r
+         |FROM wav w JOIN wsum ws USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q139_multimodal_thumb_digest" ->
-      s"""SELECT d.doc_id,
-         |       CASE d.doc_id % 3 WHEN 0 THEN '${MediaCodec.BmpMime}'
-         |                         WHEN 1 THEN '${MediaCodec.PpmMime}'
-         |                         ELSE '${MediaCodec.WavMime}' END AS mime,
-         |       f.thumb_sig
-         |FROM documents d
-         |JOIN read_parquet('$FixtureDir/q139_expected.parquet') f USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+      s"""$mediaOracleCtes, cells AS MATERIALIZED (
+         |  SELECT doc_id, gy, gx,
+         |         gy * h // 4 AS r0, GREATEST(gy * h // 4 + 1, (gy + 1) * h // 4) AS r1,
+         |         gx * w // 4 AS c0, GREATEST(gx * w // 4 + 1, (gx + 1) * w // 4) AS c1
+         |  FROM geo,
+         |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gy),
+         |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gx)
+         |), cellpx AS MATERIALIZED (
+         |  SELECT doc_id, gy, gx, cnt, prow,
+         |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
+         |  FROM (SELECT doc_id, gy, gx, c0, c1,
+         |               (r1 - r0) * (c1 - c0) AS cnt,
+         |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
+         |        FROM cells)
+         |), icell AS MATERIALIZED (
+         |  SELECT cp.doc_id, CAST(cp.gy * 4 + cp.gx AS INTEGER) AS cell,
+         |         ${r6("SUM(p.r + p.g + p.b) / 3.0 / (MIN(cp.cnt) * 255.0)")} AS v
+         |  FROM cellpx cp
+         |  JOIN px p ON p.doc_id = cp.doc_id AND p.prow = cp.prow
+         |           AND p.pcol = cp.pcol
+         |  GROUP BY cp.doc_id, cp.gy, cp.gx
+         |), wwin AS MATERIALIZED (
+         |  SELECT doc_id, n, CAST(c AS INTEGER) AS cell,
+         |         c * n // 16 AS i0,
+         |         GREATEST(c * n // 16 + 1, (c + 1) * n // 16) AS i1
+         |  FROM (SELECT doc_id, n, CAST(unnest(range(16)) AS BIGINT) AS c
+         |        FROM wav)
+         |), wcell AS MATERIALIZED (
+         |  SELECT ww.doc_id, ww.cell,
+         |         ${r6("(SUM(ABS(s.k)) / 32768.0) / (ww.i1 - ww.i0)")} AS v
+         |  FROM wwin ww
+         |  JOIN sam s ON s.doc_id = ww.doc_id AND s.i >= ww.i0 AND s.i < ww.i1
+         |  GROUP BY ww.doc_id, ww.cell, ww.i1, ww.i0
+         |), allcells AS (
+         |  SELECT i.doc_id,
+         |         CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
+         |         i.cell, i.v
+         |  FROM icell i JOIN geo g USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, '${MediaCodec.WavMime}', cell, v FROM wcell
+         |)
+         |SELECT doc_id, mime,
+         |       ${(0 until 16).map(i =>
+                  s"MAX(CASE WHEN cell = $i THEN v END) AS t${i}_r")
+                  .mkString(",\n         |       ")}
+         |FROM allcells
+         |GROUP BY doc_id, mime
+         |ORDER BY doc_id""".stripMargin
   )
 
   val rowsOnly: Set[String] =

@@ -232,20 +232,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.filter(col("width") < 1 || col("height") < 1 || col("n_bytes") <= 0).isEmpty)
   }
 
-  test("q138/q139 digests match the committed expected-digest fixtures at sf0.01") {
-    // the same compare the driver's DuckDB oracle runs (it reads these
-    // files verbatim) — failing HERE means the decoders changed: either
-    // fix the regression or, if deliberate, re-run GenMultimodalFixture
-    // and recommit alongside the decoder change
-    val d = "/root/testdata/sf0.01"
-    for ((q, fixture) <- Seq(
-        "q138_multimodal_decode_digest" -> "q138_expected.parquet",
-        "q139_multimodal_thumb_digest" -> "q139_expected.parquet")) {
-      val got = Multimodal.queries(q)(spark, d).collect().map(_.toSeq)
-      val exp = spark.read.parquet(s"${Multimodal.FixtureDir}/$fixture")
-        .orderBy("doc_id").collect().map(_.toSeq)
-      assert(got.length == exp.length, s"$q row count vs fixture")
-      assert(got.toSeq == exp.toSeq, s"$q diverged from the committed fixture")
+  test("q138 features re-derive bit-for-bit from content bytes via the encoder contracts") {
+    // an in-Scala replay of the ORACLE's contract math (bytes -> near-
+    // square geometry -> zero-padded RGB grid / PCM -> integer sums ->
+    // fixed double formulas), independent of MediaCodec's container
+    // parsers: the engine decodes real BMP/PPM/WAV files, this recompute
+    // never sees a container byte, and the two must agree exactly —
+    // the same claim the DuckDB oracle checks at sf0.01, pinned here on
+    // the corpus at sf0.001 for every doc and every feature column.
+    val d = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Multimodal.queries("q138_multimodal_decode_digest")(spark, d)
+      .collect()
+    assert(out.length == texts.size)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length
+      def bAt(j: Int): Long = if (j < n) (bytes(j) & 0xFF).toLong else 0L
+      val exp: Seq[Double] = (id % 3) match {
+        case 2 => // WAV contract: k = ((b & 0xFF) - 128) * 256
+          val k = (0 until n).map(j => (bAt(j) - 128) * 256)
+          val zc = (1 until n).count(j => (k(j) >= 0) != (k(j - 1) >= 0))
+          val dk = (1 until n).map(j => math.abs(k(j) - k(j - 1))).sum
+          Seq(k.sum / 32768.0 / n,
+            math.sqrt(k.map(x => x * x).sum / 1073741824.0 / n),
+            zc.toDouble / n, k.map(math.abs).max / 32768.0,
+            math.min(1.0, n / 8000.0), 8000 / 48000.0, 1.0,
+            if (n > 1) dk / 32768.0 / (n - 1) else 0.0)
+        case _ => // image contract: near-square grid over RGB triples
+          val w = math.max(1, math.ceil(math.sqrt(n / 3.0)).toInt)
+          val h = math.max(1, math.ceil(n / (3.0 * w)).toInt)
+          val np = w.toLong * h
+          def l3(i: Long): Long = bAt((3 * i).toInt) + bAt((3 * i + 1).toInt) +
+            bAt((3 * i + 2).toInt)
+          val sums = (0L until np).map(l3)
+          val sr = (0L until np).map(i => bAt((3 * i).toInt)).sum
+          val sg = (0L until np).map(i => bAt((3 * i + 1).toInt)).sum
+          val sb = (0L until np).map(i => bAt((3 * i + 2).toInt)).sum
+          val s1 = sums.sum; val s2 = sums.map(x => x * x).sum
+          val nz = sums.count(_ != 0L).toLong
+          val g3 = (0L until np).filter(_ % w != 0)
+            .map(i => math.abs(l3(i) - l3(i - 1))).sum
+          val mean = s1 / 3.0 / np
+          Seq(sr.toDouble / np / 255.0, sg.toDouble / np / 255.0,
+            sb.toDouble / np / 255.0, mean / 255.0,
+            math.sqrt(math.max(0.0, s2 / 9.0 / np - mean * mean)) / 255.0,
+            w.toDouble / (w + h), nz.toDouble / np,
+            if (w > 1) g3 / 3.0 / ((np - h) * 255.0) else 0.0)
+      }
+      (0 until 8).foreach { i =>
+        val got = row.getDouble(5 + i)
+        val want = round6(exp(i).toFloat.toDouble)
+        assert(got == want, s"doc $id f${i}_r: engine $got vs contract $want")
+      }
     }
   }
 }
