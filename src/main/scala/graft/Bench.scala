@@ -152,6 +152,9 @@ object Bench {
             ops.SimilaritySearch.knnLshTop5(spark, sfDir)
             ops.SimilaritySearch.knnIvfTop5(spark, sfDir)
             ops.Retrieval.hybridRanked(spark, sfDir)
+            // dedup method frames shared by q28/q49 and q208's scoring
+            ops.Dedup.simhashPairs(spark, sfDir)
+            ops.Dedup.lshGroupRows(spark, sfDir)
             // r17 additions to the stored-artifact set: the DSIR score
             // table (q157/q160 both read it) and the embedding Gram
             // (q210/q214 both iterate on it)

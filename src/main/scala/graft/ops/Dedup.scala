@@ -295,24 +295,9 @@ object Dedup {
       minhashLshPairs(s, d, threshold = 0.2).orderBy("doc_a", "doc_b")),
 
     // SimHash near-dup: hamming<=3 via 4x16-bit pigeonhole chunks
-    "q28_dedup_simhash" -> ((s, d) => {
-      val sigs = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        simhash(tokens(col("text"))).as("sig")).localCheckpoint()
-      val chunks = sigs.select(col("doc_id"), col("lang"), col("sig"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sig"), 16 * c).bitwiseAND(0xFFFFL).as("cval"))): _*)).as("cc"))
-        .select(col("doc_id"), col("lang"), col("sig"), col("cc.chunk"), col("cc.cval"))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // (presents the FrameMemo'd pair frame — q208 scores the same one)
+    "q28_dedup_simhash" -> ((s, d) =>
+      simhashPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // per-source duplication burden — the rollup a curator reads to
     // decide which FEED to de-weight (q145 shows cross-source pair
@@ -500,6 +485,42 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** q28's SimHash pair frame as a FrameMemo stored artifact (the r18
+    * q117/q208 contract: method result frames build once, priced in
+    * Bench's shared_build; the registered q28 presents it, q208 scores
+    * the identical frame so the two can never drift).
+    */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "simhashPairs") {
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        simhash(tokens(col("text"))).as("sig")).localCheckpoint()
+      val chunks = sigs.select(col("doc_id"), col("lang"), col("sig"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), 16 * c).bitwiseAND(0xFFFFL).as("cval"))): _*)).as("cc"))
+        .select(col("doc_id"), col("lang"), col("sig"), col("cc.chunk"), col("cc.cval"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }
+
+  /** q49's LSH component group rows, FrameMemo'd for the same reason —
+    * the iterative pointer-jumping component run happens once per
+    * (session, dir), not once per consumer (q49 presents, q208 scores).
+    */
+  private[graft] def lshGroupRows(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "lshGroupRows") {
+      dedupComponents(minhashLshPairs(s, d, threshold = 0.2))
+        .groupBy(col("label").as("keep_doc_id"))
+        .agg(count(lit(1)).as("group_size"),
+          max(col("doc_id")).as("max_member"))
+    }
+
   val componentQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-dup groups: jaccard pairs -> connected components -> canonical
     // keep id + member count per group. Oracle-checked: the pair SQL is
@@ -602,14 +623,8 @@ object Dedup {
     // correctness anchor, this is the plan you would actually run on a
     // full corpus. Rows-only (xxhash64 signatures aren't portable SQL);
     // RecallSpec gates its groups against q47's exact-pair groups.
-    "q49_dedup_groups_lsh" -> ((s, d) => {
-      val pairs = minhashLshPairs(s, d, threshold = 0.2)
-      dedupComponents(pairs)
-        .groupBy(col("label").as("keep_doc_id"))
-        .agg(count(lit(1)).as("group_size"),
-          max(col("doc_id")).as("max_member"))
-        .orderBy("keep_doc_id")
-    }))
+    "q49_dedup_groups_lsh" -> ((s, d) =>
+      lshGroupRows(s, d).orderBy("keep_doc_id")))
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ componentQueries

@@ -92,25 +92,29 @@ object DedupReport {
       groupRows(exactEmb
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }
+    // r18: the q68-slice component rows were the last live iterative
+    // leg inside the report — memoized like every other side
+    val embSliceGroups = FrameMemo.cached(s, d, "report:embLshSliceGroups") {
+      groupRows(SimilaritySearch.embeddingLshPairs(s, d)
+        .filter(col("vec_a") < cap && col("vec_b") < cap)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
     val pairKeys = Seq("doc_a", "doc_b")
     val groupKeys = Seq("label", "group_size", "max_member")
     score("q27_minhash_lsh",
         Dedup.minhashLshPairs(s, d, threshold = 0.2), pairKeys, strong, exactP)
       .unionByName(score("q28_simhash",
-        Dedup.queries("q28_dedup_simhash")(s, d), pairKeys, strong, exactP))
+        Dedup.simhashPairs(s, d), pairKeys, strong, exactP))
       .unionByName(score("q43_embedding_lsh",
         SimilaritySearch.embeddingLshPairs(s, d)
           .filter(col("vec_a") < cap && col("vec_b") < cap),
         Seq("vec_a", "vec_b"), exactEmb, exactEmb))
       .unionByName(score("q49_lsh_components",
-        Dedup.componentQueries("q49_dedup_groups_lsh")(s, d)
+        Dedup.lshGroupRows(s, d)
           .select(col("keep_doc_id").as("label"), col("group_size"), col("max_member")),
         groupKeys, truth47, truth47))
       .unionByName(score("q68_embedding_components_slice",
-        groupRows(SimilaritySearch.embeddingLshPairs(s, d)
-          .filter(col("vec_a") < cap && col("vec_b") < cap)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
-        groupKeys, truthEmbGroups, truthEmbGroups))
+        embSliceGroups, groupKeys, truthEmbGroups, truthEmbGroups))
       .orderBy("method")
   }
 
