@@ -153,9 +153,8 @@ object Multimodal {
 
     // full decode pipeline through the typed mapPartitions boundary:
     // genuine BMP/PPM/WAV containers parsed back to header dimensions +
-    // content features. Rows-only: the container geometry/stats aren't
-    // expressible in portable SQL (MultimodalSpec pins the parsers on
-    // hand-written fixtures instead).
+    // content features. Oracle-matched since r18 (was rows-only): the
+    // integer-cored features made f0 contract-replayable like q138.
     "q35_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       asMedia(s, d)
@@ -163,23 +162,25 @@ object Multimodal {
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"),
           col("width"), col("height"),
-          round(element_at(col("feature"), 1), 3).as("f0"))
+          round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
         .orderBy("doc_id")
     }),
 
     // resize (images: 4×4 box filter) / frame-sample (audio: 16 equal
     // windows) to a fixed 16-cell summary — the downsampling stage a
     // media pipeline runs after decode, through the same partition-local
-    // batch boundary. Rows-only like q35.
+    // batch boundary. Oracle-matched since r18: cells are exact-integer
+    // block sums and the mean is a fixed left-assoc fold over the
+    // REAL-narrowed cells, both SQL-replayable.
     "q53_multimodal_thumbnail" -> ((s, d) => {
       import s.implicits._
       asMedia(s, d)
         .mapPartitions(thumbnailPartition(4))
         .toDF()
         .select(col("doc_id"), col("mime"),
-          round(element_at(col("thumb"), 1), 3).as("t00"),
-          round(element_at(col("thumb"), 6), 3).as("t11"),
-          round(element_at(col("thumb"), 16), 3).as("t33"),
+          round(element_at(col("thumb"), 1).cast("double"), 3).as("t00"),
+          round(element_at(col("thumb"), 6).cast("double"), 3).as("t11"),
+          round(element_at(col("thumb"), 16).cast("double"), 3).as("t33"),
           round(aggregate(col("thumb"), lit(0.0d),
             (acc, x) => acc + x.cast("double")) / 16.0d, 3).as("thumb_mean"))
         .orderBy("doc_id")
@@ -303,57 +304,111 @@ object Multimodal {
          |ORDER BY doc_id""".stripMargin,
 
     "q139_multimodal_thumb_digest" ->
-      s"""$mediaOracleCtes, cells AS MATERIALIZED (
-         |  SELECT doc_id, gy, gx,
-         |         gy * h // 4 AS r0, GREATEST(gy * h // 4 + 1, (gy + 1) * h // 4) AS r1,
-         |         gx * w // 4 AS c0, GREATEST(gx * w // 4 + 1, (gx + 1) * w // 4) AS c1
-         |  FROM geo,
-         |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gy),
-         |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gx)
-         |), cellpx AS MATERIALIZED (
-         |  SELECT doc_id, gy, gx, cnt, prow,
-         |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
-         |  FROM (SELECT doc_id, gy, gx, c0, c1,
-         |               (r1 - r0) * (c1 - c0) AS cnt,
-         |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
-         |        FROM cells)
-         |), icell AS MATERIALIZED (
-         |  SELECT cp.doc_id, CAST(cp.gy * 4 + cp.gx AS INTEGER) AS cell,
-         |         ${r6("SUM(p.r + p.g + p.b) / 3.0 / (MIN(cp.cnt) * 255.0)")} AS v
-         |  FROM cellpx cp
-         |  JOIN px p ON p.doc_id = cp.doc_id AND p.prow = cp.prow
-         |           AND p.pcol = cp.pcol
-         |  GROUP BY cp.doc_id, cp.gy, cp.gx
-         |), wwin AS MATERIALIZED (
-         |  SELECT doc_id, n, CAST(c AS INTEGER) AS cell,
-         |         c * n // 16 AS i0,
-         |         GREATEST(c * n // 16 + 1, (c + 1) * n // 16) AS i1
-         |  FROM (SELECT doc_id, n, CAST(unnest(range(16)) AS BIGINT) AS c
-         |        FROM wav)
-         |), wcell AS MATERIALIZED (
-         |  SELECT ww.doc_id, ww.cell,
-         |         ${r6("(SUM(ABS(s.k)) / 32768.0) / (ww.i1 - ww.i0)")} AS v
-         |  FROM wwin ww
-         |  JOIN sam s ON s.doc_id = ww.doc_id AND s.i >= ww.i0 AND s.i < ww.i1
-         |  GROUP BY ww.doc_id, ww.cell, ww.i1, ww.i0
-         |), allcells AS (
-         |  SELECT i.doc_id,
-         |         CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
-         |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
-         |         i.cell, i.v
-         |  FROM icell i JOIN geo g USING (doc_id)
-         |  UNION ALL
-         |  SELECT doc_id, '${MediaCodec.WavMime}', cell, v FROM wcell
-         |)
+      s"""$thumbCellCtes
          |SELECT doc_id, mime,
          |       ${(0 until 16).map(i =>
-                  s"MAX(CASE WHEN cell = $i THEN v END) AS t${i}_r")
+                  r6(s"MAX(CASE WHEN cell = $i THEN v END)") + s" AS t${i}_r")
                   .mkString(",\n         |       ")}
          |FROM allcells
          |GROUP BY doc_id, mime
+         |ORDER BY doc_id""".stripMargin,
+
+    // q35: the q138 feature machinery restricted to f0 (mean channel /
+    // sample level), over ALL THREE container formats
+    "q35_multimodal_decode" ->
+      s"""$mediaOracleCtes, isum AS MATERIALIZED (
+         |  SELECT doc_id, SUM(r) AS sr FROM px GROUP BY doc_id
+         |), wsum AS MATERIALIZED (
+         |  SELECT doc_id, SUM(k) AS sk FROM sam GROUP BY doc_id
+         |)
+         |SELECT geo.doc_id,
+         |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+         |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
+         |       CAST(CASE geo.fmt
+         |         WHEN 0 THEN 54 + (((geo.w * 3 + 3) // 4) * 4) * geo.h
+         |         ELSE 9 + length(CAST(geo.w AS VARCHAR))
+         |              + length(CAST(geo.h AS VARCHAR)) + 3 * geo.w * geo.h
+         |         END AS INTEGER) AS n_bytes,
+         |       CAST(geo.w AS INTEGER) AS width,
+         |       CAST(geo.h AS INTEGER) AS height,
+         |       ROUND(CAST(CAST(i.sr / (geo.w * geo.h) / 255.0 AS REAL) AS DOUBLE), 3) AS f0
+         |FROM geo JOIN isum i USING (doc_id)
+         |UNION ALL
+         |SELECT w.doc_id, '${MediaCodec.WavMime}' AS mime,
+         |       CAST(44 + 2 * w.n AS INTEGER) AS n_bytes,
+         |       CAST(w.n AS INTEGER) AS width, 1 AS height,
+         |       ROUND(CAST(CAST(ws.sk / 32768.0 / w.n AS REAL) AS DOUBLE), 3) AS f0
+         |FROM wav w JOIN wsum ws USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q53: three sampled cells + the thumb mean — the mean replays the
+    // engine's left-assoc fold over the REAL-narrowed cells exactly
+    // (0.0 + v0 + v1 + ... parses left-associative; REAL→DOUBLE
+    // promotion per addend is the engine's x.cast("double"))
+    "q53_multimodal_thumbnail" ->
+      s"""$thumbCellCtes, piv AS (
+         |  SELECT doc_id, mime,
+         |         ${(0 until 16).map(i =>
+                    s"CAST(MAX(CASE WHEN cell = $i THEN v END) AS REAL) AS v$i")
+                    .mkString(",\n         |         ")}
+         |  FROM allcells GROUP BY doc_id, mime
+         |)
+         |SELECT doc_id, mime,
+         |       ROUND(CAST(v0 AS DOUBLE), 3) AS t00,
+         |       ROUND(CAST(v5 AS DOUBLE), 3) AS t11,
+         |       ROUND(CAST(v15 AS DOUBLE), 3) AS t33,
+         |       ROUND((CAST(0.0 AS DOUBLE) ${(0 until 16).map(i => s"+ v$i").mkString(" ")}) / 16.0, 3)
+         |         AS thumb_mean
+         |FROM piv
          |ORDER BY doc_id""".stripMargin
   )
 
-  val rowsOnly: Set[String] =
-    Set("q35_multimodal_decode", "q53_multimodal_thumbnail")
+  /** The 16-cell thumbnail values (RAW doubles, pre-narrowing) for both
+    * container families — shared by the q139 and q53 oracles.
+    */
+  private def thumbCellCtes: String =
+    s"""$mediaOracleCtes, cells AS MATERIALIZED (
+       |  SELECT doc_id, gy, gx,
+       |         gy * h // 4 AS r0, GREATEST(gy * h // 4 + 1, (gy + 1) * h // 4) AS r1,
+       |         gx * w // 4 AS c0, GREATEST(gx * w // 4 + 1, (gx + 1) * w // 4) AS c1
+       |  FROM geo,
+       |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gy),
+       |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gx)
+       |), cellpx AS MATERIALIZED (
+       |  SELECT doc_id, gy, gx, cnt, prow,
+       |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
+       |  FROM (SELECT doc_id, gy, gx, c0, c1,
+       |               (r1 - r0) * (c1 - c0) AS cnt,
+       |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
+       |        FROM cells)
+       |), icell AS MATERIALIZED (
+       |  SELECT cp.doc_id, CAST(cp.gy * 4 + cp.gx AS INTEGER) AS cell,
+       |         SUM(p.r + p.g + p.b) / 3.0 / (MIN(cp.cnt) * 255.0) AS v
+       |  FROM cellpx cp
+       |  JOIN px p ON p.doc_id = cp.doc_id AND p.prow = cp.prow
+       |           AND p.pcol = cp.pcol
+       |  GROUP BY cp.doc_id, cp.gy, cp.gx
+       |), wwin AS MATERIALIZED (
+       |  SELECT doc_id, n, CAST(c AS INTEGER) AS cell,
+       |         c * n // 16 AS i0,
+       |         GREATEST(c * n // 16 + 1, (c + 1) * n // 16) AS i1
+       |  FROM (SELECT doc_id, n, CAST(unnest(range(16)) AS BIGINT) AS c
+       |        FROM wav)
+       |), wcell AS MATERIALIZED (
+       |  SELECT ww.doc_id, ww.cell,
+       |         (SUM(ABS(s.k)) / 32768.0) / (ww.i1 - ww.i0) AS v
+       |  FROM wwin ww
+       |  JOIN sam s ON s.doc_id = ww.doc_id AND s.i >= ww.i0 AND s.i < ww.i1
+       |  GROUP BY ww.doc_id, ww.cell, ww.i1, ww.i0
+       |), allcells AS (
+       |  SELECT i.doc_id,
+       |         CASE g.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
+       |                    ELSE '${MediaCodec.PpmMime}' END AS mime,
+       |         i.cell, i.v
+       |  FROM icell i JOIN geo g USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, '${MediaCodec.WavMime}', cell, v FROM wcell
+       |)""".stripMargin
+
+  val rowsOnly: Set[String] = Set.empty
 }
