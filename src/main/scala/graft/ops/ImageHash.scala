@@ -125,64 +125,22 @@ object ImageHash {
         .orderBy("doc_a", "doc_b")
     }))
 
-  /** Full encoder-contract replay (the q213 discipline): geometry from
-    * the near-square contract, pixel lumas from the text BLOB's hex,
-    * grid blocks from the windowBounds floor/clamp arithmetic, bits
-    * from the identical integer cross-multiplication. `cellpx` fans
-    * out per-cell pixel INDICES only (integers) and joins the luma
+  /** The contract-replay CTE chain: the SHARED image contract + grid
+    * replay ([[Multimodal.imageContractCtes]] / [[Multimodal.gridCtes]]
+    * — one SQL definition of the encoder contract across q35/q138/q53/
+    * q139/q212/q221), then the dHash-specific cell sums and bits. Cell
+    * luma is Σ(r+g+b) over the channel table; `cellpx` fans out
+    * per-cell pixel INDICES only (integers) and joins the channel
     * table by index, so the hex string is copied once per pixel (the
-    * q213 `sam` shape), never once per cell-pixel.
-    */
-  /** The shared contract-replay CTE chain (img → geo → px → cells →
-    * cellpx → cellsum → bits): per image doc, geometry + the 64-bit
-    * dhash rebuilt from the text bytes. q212's oracle presents it;
-    * q221's oracle runs the pigeonhole pair join over it.
+    * q213 `sam` shape), never once per cell-pixel. q212's oracle
+    * presents it; q221's oracle runs the pigeonhole pair join over it.
     */
   private def dhashOracleCtes: String =
-      s"""WITH img AS MATERIALIZED (
-         |  SELECT doc_id, doc_id % 3 AS fmt, hex(CAST(text AS BLOB)) AS hx,
-         |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
-         |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
-         |  FROM documents WHERE doc_id % 3 < 2
-         |), geo AS MATERIALIZED (
-         |  SELECT doc_id, fmt, hx, n, w,
-         |         GREATEST(1, CAST(CEIL(n / (3.0 * w)) AS BIGINT)) AS h
-         |  FROM img
-         |), px AS MATERIALIZED (
-         |  -- luma of pixel i: content bytes 3i..3i+2 (RGB), zero-padded
-         |  -- past n — both encoders pad the raster with zero bytes
-         |  SELECT doc_id, i // w AS prow, i % w AS pcol,
-         |         (CASE WHEN 3 * i < n THEN
-         |            ('0x' || substr(hx, CAST(6 * i + 1 AS INTEGER), 2))::BIGINT ELSE 0 END
-         |        + CASE WHEN 3 * i + 1 < n THEN
-         |            ('0x' || substr(hx, CAST(6 * i + 3 AS INTEGER), 2))::BIGINT ELSE 0 END
-         |        + CASE WHEN 3 * i + 2 < n THEN
-         |            ('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2))::BIGINT ELSE 0 END) AS luma
-         |  FROM (SELECT doc_id, hx, n, w,
-         |               CAST(unnest(range(w * h)) AS BIGINT) AS i FROM geo)
-         |), cells AS MATERIALIZED (
-         |  -- ${GridRows}x$GridCols grid: floor partition per axis with the
-         |  -- never-empty clamp (MediaCodec.windowBounds, // = floor on
-         |  -- nonnegative operands)
-         |  SELECT doc_id, gy, gx,
-         |         gy * h // $GridRows AS r0,
-         |         GREATEST(gy * h // $GridRows + 1, (gy + 1) * h // $GridRows) AS r1,
-         |         gx * w // $GridCols AS c0,
-         |         GREATEST(gx * w // $GridCols + 1, (gx + 1) * w // $GridCols) AS c1
-         |  FROM geo,
-         |       (SELECT CAST(unnest(range($GridRows)) AS BIGINT) AS gy),
-         |       (SELECT CAST(unnest(range($GridCols)) AS BIGINT) AS gx)
-         |), cellpx AS MATERIALIZED (
-         |  SELECT doc_id, gy, gx, cnt, prow,
-         |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
-         |  FROM (SELECT doc_id, gy, gx, c0, c1,
-         |               (r1 - r0) * (c1 - c0) AS cnt,
-         |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
-         |        FROM cells)
-         |), cellsum AS MATERIALIZED (
+      s"""WITH ${Multimodal.imageContractCtes},
+         |${Multimodal.gridCtes(GridRows, GridCols)}, cellsum AS MATERIALIZED (
          |  SELECT cp.doc_id, cp.gy, cp.gx,
          |         CAST(MIN(cp.cnt) AS BIGINT) AS cnt,
-         |         CAST(SUM(p.luma) AS BIGINT) AS s
+         |         CAST(SUM(p.r + p.g + p.b) AS BIGINT) AS s
          |  FROM cellpx cp
          |  JOIN px p ON p.doc_id = cp.doc_id AND p.prow = cp.prow
          |           AND p.pcol = cp.pcol

@@ -187,13 +187,15 @@ object Multimodal {
     })
   )
 
-  /** Shared oracle CTEs: per-image-doc geometry + per-pixel channels
-    * (r, g, b from content bytes 3i..3i+2, zero-padded, with the
-    * row-lagged luma for the gradient), and per-WAV-doc PCM samples
-    * with their lag. The q212/q213 byte-extraction idioms verbatim.
+  /** THE image encoder contract in SQL, defined once for every oracle
+    * that replays it (q35/q138/q53/q139 here; q212/q221 in ImageHash):
+    * per image doc the near-square geometry, and per pixel the r/g/b
+    * channel bytes (content bytes 3i..3i+2, zero-padded past n — both
+    * encoders pad the raster with zero bytes). The q213 hex-substr
+    * byte-extraction idiom.
     */
-  private def mediaOracleCtes: String =
-    s"""WITH img AS MATERIALIZED (
+  private[ops] def imageContractCtes: String =
+    s"""img AS MATERIALIZED (
        |  SELECT doc_id, doc_id % 3 AS fmt, hex(CAST(text AS BLOB)) AS hx,
        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
        |         GREATEST(1, CAST(CEIL(SQRT(octet_length(CAST(text AS BLOB)) / 3.0)) AS BIGINT)) AS w
@@ -212,7 +214,13 @@ object Multimodal {
        |           ('0x' || substr(hx, CAST(6 * i + 5 AS INTEGER), 2))::BIGINT ELSE 0 END AS b
        |  FROM (SELECT doc_id, hx, n, w,
        |               CAST(unnest(range(w * h)) AS BIGINT) AS i FROM geo)
-       |), wav AS MATERIALIZED (
+       |)""".stripMargin
+
+  /** The WAV encoder contract: per doc the PCM samples
+    * k = ((byte & 0xFF) − 128)·256, one per content byte.
+    */
+  private def wavContractCtes: String =
+    s"""wav AS MATERIALIZED (
        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
        |  FROM documents WHERE doc_id % 3 = 2
@@ -221,6 +229,32 @@ object Multimodal {
        |         (('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2))::BIGINT - 128)
        |           * 256 AS k
        |  FROM (SELECT doc_id, hx, CAST(unnest(range(n)) AS BIGINT) AS i FROM wav)
+       |)""".stripMargin
+
+  private def mediaOracleCtes: String =
+    s"WITH $imageContractCtes, $wavContractCtes"
+
+  /** The windowBounds floor/clamp grid replay (cells + per-cell pixel
+    * indices), parameterized by grid shape — ONE definition for the
+    * 4×4 thumbnails here and ImageHash's 8×9 dHash grid.
+    */
+  private[ops] def gridCtes(gridRows: Int, gridCols: Int): String =
+    s"""cells AS MATERIALIZED (
+       |  SELECT doc_id, gy, gx,
+       |         gy * h // $gridRows AS r0,
+       |         GREATEST(gy * h // $gridRows + 1, (gy + 1) * h // $gridRows) AS r1,
+       |         gx * w // $gridCols AS c0,
+       |         GREATEST(gx * w // $gridCols + 1, (gx + 1) * w // $gridCols) AS c1
+       |  FROM geo,
+       |       (SELECT CAST(unnest(range($gridRows)) AS BIGINT) AS gy),
+       |       (SELECT CAST(unnest(range($gridCols)) AS BIGINT) AS gx)
+       |), cellpx AS MATERIALIZED (
+       |  SELECT doc_id, gy, gx, cnt, prow,
+       |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
+       |  FROM (SELECT doc_id, gy, gx, c0, c1,
+       |               (r1 - r0) * (c1 - c0) AS cnt,
+       |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
+       |        FROM cells)
        |)""".stripMargin
 
   /** ROUND(REAL-narrowed, 6) — the engine's `.toFloat` then
@@ -243,6 +277,13 @@ object Multimodal {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // the WAV branches below LEFT-join their sample aggregates and clamp
+    // denominators with GREATEST(n, 1): an EMPTY-text WAV doc still gets
+    // an engine row (44-byte header, n = max(0,1) = 1 in every divisor,
+    // all-zero stats), so the oracle must emit it too rather than drop
+    // it through an inner join on the empty sample set — the q213 oracle
+    // filters such docs because ITS engine side emits nothing (flatMap),
+    // but q35/q138/q53/q139's does
     "q138_multimodal_decode_digest" ->
       s"""$mediaOracleCtes, isum AS MATERIALIZED (
          |  SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb,
@@ -256,15 +297,16 @@ object Multimodal {
          |        FROM px)
          |  GROUP BY doc_id
          |), wsum AS MATERIALIZED (
-         |  SELECT doc_id, SUM(k) AS sk, SUM(k * k) AS sk2,
-         |         MAX(ABS(k)) AS peak,
-         |         SUM(CASE WHEN prev IS NULL THEN 0
-         |                  WHEN (k >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS zc,
-         |         SUM(CASE WHEN prev IS NULL THEN 0 ELSE ABS(k - prev) END) AS dk
-         |  FROM (SELECT doc_id, k,
-         |               lag(k) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-         |        FROM sam)
-         |  GROUP BY doc_id
+         |  SELECT w.doc_id, COALESCE(SUM(k), 0) AS sk, COALESCE(SUM(k * k), 0) AS sk2,
+         |         COALESCE(MAX(ABS(k)), 0) AS peak,
+         |         COALESCE(SUM(CASE WHEN prev IS NULL THEN 0
+         |                  WHEN (k >= 0) <> (prev >= 0) THEN 1 ELSE 0 END), 0) AS zc,
+         |         COALESCE(SUM(CASE WHEN prev IS NULL THEN 0 ELSE ABS(k - prev) END), 0) AS dk
+         |  FROM wav w LEFT JOIN (
+         |    SELECT doc_id, k,
+         |           lag(k) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |    FROM sam) s USING (doc_id)
+         |  GROUP BY w.doc_id
          |)
          |SELECT geo.doc_id,
          |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
@@ -291,9 +333,9 @@ object Multimodal {
          |SELECT w.doc_id, '${MediaCodec.WavMime}' AS mime,
          |       CAST(44 + 2 * w.n AS INTEGER) AS n_bytes,
          |       CAST(w.n AS INTEGER) AS width, 1 AS height,
-         |       ${r6("ws.sk / 32768.0 / w.n")} AS f0_r,
-         |       ${r6("sqrt(ws.sk2 / 1073741824.0 / w.n)")} AS f1_r,
-         |       ${r6("ws.zc / w.n")} AS f2_r,
+         |       ${r6("ws.sk / 32768.0 / GREATEST(w.n, 1)")} AS f0_r,
+         |       ${r6("sqrt(ws.sk2 / 1073741824.0 / GREATEST(w.n, 1))")} AS f1_r,
+         |       ${r6("ws.zc / GREATEST(w.n, 1)")} AS f2_r,
          |       ${r6("ws.peak / 32768.0")} AS f3_r,
          |       ${r6("LEAST(1.0, w.n / 8000.0)")} AS f4_r,
          |       ${r6("8000 / 48000.0")} AS f5_r,
@@ -319,7 +361,8 @@ object Multimodal {
       s"""$mediaOracleCtes, isum AS MATERIALIZED (
          |  SELECT doc_id, SUM(r) AS sr FROM px GROUP BY doc_id
          |), wsum AS MATERIALIZED (
-         |  SELECT doc_id, SUM(k) AS sk FROM sam GROUP BY doc_id
+         |  SELECT w.doc_id, COALESCE(SUM(k), 0) AS sk
+         |  FROM wav w LEFT JOIN sam USING (doc_id) GROUP BY w.doc_id
          |)
          |SELECT geo.doc_id,
          |       CASE geo.fmt WHEN 0 THEN '${MediaCodec.BmpMime}'
@@ -337,7 +380,7 @@ object Multimodal {
          |SELECT w.doc_id, '${MediaCodec.WavMime}' AS mime,
          |       CAST(44 + 2 * w.n AS INTEGER) AS n_bytes,
          |       CAST(w.n AS INTEGER) AS width, 1 AS height,
-         |       ROUND(CAST(CAST(ws.sk / 32768.0 / w.n AS REAL) AS DOUBLE), 3) AS f0
+         |       ROUND(CAST(CAST(ws.sk / 32768.0 / GREATEST(w.n, 1) AS REAL) AS DOUBLE), 3) AS f0
          |FROM wav w JOIN wsum ws USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
@@ -367,21 +410,7 @@ object Multimodal {
     * container families — shared by the q139 and q53 oracles.
     */
   private def thumbCellCtes: String =
-    s"""$mediaOracleCtes, cells AS MATERIALIZED (
-       |  SELECT doc_id, gy, gx,
-       |         gy * h // 4 AS r0, GREATEST(gy * h // 4 + 1, (gy + 1) * h // 4) AS r1,
-       |         gx * w // 4 AS c0, GREATEST(gx * w // 4 + 1, (gx + 1) * w // 4) AS c1
-       |  FROM geo,
-       |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gy),
-       |       (SELECT CAST(unnest(range(4)) AS BIGINT) AS gx)
-       |), cellpx AS MATERIALIZED (
-       |  SELECT doc_id, gy, gx, cnt, prow,
-       |         CAST(unnest(range(c0, c1)) AS BIGINT) AS pcol
-       |  FROM (SELECT doc_id, gy, gx, c0, c1,
-       |               (r1 - r0) * (c1 - c0) AS cnt,
-       |               CAST(unnest(range(r0, r1)) AS BIGINT) AS prow
-       |        FROM cells)
-       |), icell AS MATERIALIZED (
+    s"""$mediaOracleCtes, ${gridCtes(4, 4)}, icell AS MATERIALIZED (
        |  SELECT cp.doc_id, CAST(cp.gy * 4 + cp.gx AS INTEGER) AS cell,
        |         SUM(p.r + p.g + p.b) / 3.0 / (MIN(cp.cnt) * 255.0) AS v
        |  FROM cellpx cp
@@ -395,10 +424,13 @@ object Multimodal {
        |  FROM (SELECT doc_id, n, CAST(unnest(range(16)) AS BIGINT) AS c
        |        FROM wav)
        |), wcell AS MATERIALIZED (
+       |  -- LEFT join + COALESCE: an empty-content WAV doc's windows have
+       |  -- no samples; the engine (windowMeans n==0 path) emits 16 zero
+       |  -- cells for it, so the oracle must too
        |  SELECT ww.doc_id, ww.cell,
-       |         (SUM(ABS(s.k)) / 32768.0) / (ww.i1 - ww.i0) AS v
+       |         (COALESCE(SUM(ABS(s.k)), 0) / 32768.0) / (ww.i1 - ww.i0) AS v
        |  FROM wwin ww
-       |  JOIN sam s ON s.doc_id = ww.doc_id AND s.i >= ww.i0 AND s.i < ww.i1
+       |  LEFT JOIN sam s ON s.doc_id = ww.doc_id AND s.i >= ww.i0 AND s.i < ww.i1
        |  GROUP BY ww.doc_id, ww.cell, ww.i1, ww.i0
        |), allcells AS (
        |  SELECT i.doc_id,

@@ -232,6 +232,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.filter(col("width") < 1 || col("height") < 1 || col("n_bytes") <= 0).isEmpty)
   }
 
+  test("q139 thumbnail cells re-derive bit-for-bit from content bytes via the encoder contracts") {
+    // the q138 container-blind replay, for the 16-cell thumbnails: block
+    // bounds by the windowBounds floor/clamp rule, exact integer block
+    // sums, the same fixed double formulas — engine (real containers)
+    // and contract (raw bytes) must agree on every corpus doc and cell
+    val d = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Multimodal.queries("q139_multimodal_thumb_digest")(spark, d).collect()
+    assert(out.length == texts.size)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bounds(n: Int, cells: Int): IndexedSeq[(Int, Int)] =
+      (0 until cells).map { c =>
+        val i0 = (c.toLong * n / cells).toInt
+        (i0, math.max(i0 + 1, ((c + 1).toLong * n / cells).toInt))
+      }
+    out.foreach { row =>
+      val id = row.getLong(0)
+      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = bytes.length
+      def bAt(j: Long): Long = if (j < n) (bytes(j.toInt) & 0xFF).toLong else 0L
+      val exp: Seq[Double] = (id % 3) match {
+        case 2 =>
+          val k = (0 until n).map(j => (bAt(j) - 128) * 256)
+          bounds(n, 16).map { case (i0, i1) =>
+            if (n == 0) 0.0
+            else (i0 until i1).map(i => math.abs(k(i))).sum / 32768.0 / (i1 - i0)
+          }
+        case _ =>
+          val w = math.max(1, math.ceil(math.sqrt(n / 3.0)).toInt)
+          val h = math.max(1, math.ceil(n / (3.0 * w)).toInt)
+          def l3(i: Long): Long = bAt(3 * i) + bAt(3 * i + 1) + bAt(3 * i + 2)
+          val rows = bounds(h, 4); val cols = bounds(w, 4)
+          for (gy <- 0 until 4; gx <- 0 until 4) yield {
+            val (r0, r1) = rows(gy); val (c0, c1) = cols(gx)
+            val s = (for (r <- r0 until r1; c <- c0 until c1)
+              yield l3(r.toLong * w + c)).sum
+            s / 3.0 / ((r1 - r0).toLong * (c1 - c0) * 255.0)
+          }
+      }
+      (0 until 16).foreach { i =>
+        val got = row.getDouble(2 + i)
+        val want = round6(exp(i).toFloat.toDouble)
+        assert(got == want, s"doc $id t${i}_r: engine $got vs contract $want")
+      }
+    }
+  }
+
+  test("q138/q139: empty-content docs still get rows (all-zero stats, clamped geometry)") {
+    // the zero-length edge the oracle's LEFT JOIN + GREATEST clamps
+    // exist for: the encoders emit a bare header, the engine emits a
+    // row — never a dropped doc
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-empty").toString
+    Seq((0L, ""), (1L, ""), (2L, ""), (3L, "abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), lit(0L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feats = Multimodal.queries("q138_multimodal_decode_digest")(spark, dir)
+      .collect()
+    assert(feats.length == 4, "empty docs must not be dropped")
+    val wav = feats.find(_.getLong(0) == 2L).get
+    assert(wav.getInt(2) == 44 && wav.getInt(3) == 0 && wav.getInt(4) == 1)
+    // content stats zero; f5/f6 are container constants (rate, channels)
+    Seq(0, 1, 2, 3, 4, 7).foreach(i =>
+      assert(wav.getDouble(5 + i) == 0.0, s"f$i"))
+    assert(wav.getDouble(5 + 5) == 0.166667 && wav.getDouble(5 + 6) == 1.0)
+    val bmp = feats.find(_.getLong(0) == 0L).get
+    assert(bmp.getInt(3) == 1 && bmp.getInt(4) == 1, "empty image clamps to 1x1")
+    val thumbs = Multimodal.queries("q139_multimodal_thumb_digest")(spark, dir)
+      .collect()
+    assert(thumbs.length == 4)
+    val wavT = thumbs.find(_.getLong(0) == 2L).get
+    (0 until 16).foreach(i => assert(wavT.getDouble(2 + i) == 0.0, s"t$i"))
+  }
+
   test("q138 features re-derive bit-for-bit from content bytes via the encoder contracts") {
     // an in-Scala replay of the ORACLE's contract math (bytes -> near-
     // square geometry -> zero-padded RGB grid / PCM -> integer sums ->
