@@ -129,44 +129,62 @@ object Bench {
     // consumer rebuilds per run (billed in their own medians), and the
     // note would falsely claim amortization. Report the failure as its
     // own marker instead; the root cause still surfaces as query errors.
+    // The build set runs as PARALLEL chains (r18): each chain orders its
+    // internal artifact dependencies (a memo build may read an earlier
+    // memo in the same chain), chains are mutually independent, and the
+    // Spark scheduler interleaves their jobs across the 32 cores a
+    // single sequential build chain left mostly idle (measured 45 s
+    // sequential → the slowest chain's wall-clock in parallel). A race
+    // on a cross-chain memo (FrameMemo putIfAbsent) at worst builds
+    // twice and keeps one — never a wrong result. Any chain failure →
+    // the same shared_build FAILED marker as before.
     val (sharedBuildSec, sharedBuildFailed) =
       if (!ops.FrameMemo.memoizable(sfDir)) (0.0, false)
       else {
         val tB = System.nanoTime()
-        val ok =
-          try {
-            ops.SimilaritySearch.knnGraphLsh(spark, sfDir)   // + LSH pair frame
+        val chains: Seq[() => Unit] = Seq(
+          // ANN graphs + anchors + method frames (ordered: the top5
+          // frames and hybrid read the memoized anchors/pair frame)
+          () => {
+            ops.SimilaritySearch.knnGraphLsh(spark, sfDir) // + LSH pair frame
             ops.SimilaritySearch.knnGraphExact(spark, sfDir)
-            ops.SimilaritySearch.knnExactTop5(spark, sfDir)  // q30/q117 anchor
-            ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
-            ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
-            // PQ model + codes + IVF-PQ index (q147/q148/q117/q151
-            // consumers); ivfPqSearch also memoizes its RESULT frame
-            // (r18) so q148's medians measure a checkpoint read and
-            // q117 scores the stored frame
-            exec(ops.PqOps.pqCodes(spark, sfDir))
-            ops.PqOps.ivfPqSearch(spark, sfDir)
-            // r18: the remaining q117 method frames — each ANN method's
-            // top-k result list for the pinned anchor queries is a
-            // stored evaluation artifact; the report does scoring only
+            ops.SimilaritySearch.knnExactTop5(spark, sfDir) // q30/q117 anchor
             ops.SimilaritySearch.knnLshTop5(spark, sfDir)
             ops.SimilaritySearch.knnIvfTop5(spark, sfDir)
             ops.Retrieval.hybridRanked(spark, sfDir)
-            // dedup method frames shared by q28/q49 and q208's scoring
-            ops.Dedup.simhashPairs(spark, sfDir)
+          },
+          // text dedup: pair graphs, then the component/method frames
+          // q28/q49/q208 read
+          () => {
+            ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
+            ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.lshGroupRows(spark, sfDir)
-            // r17 additions to the stored-artifact set: the DSIR score
-            // table (q157/q160 both read it) and the embedding Gram
-            // (q210/q214 both iterate on it)
+            ops.Dedup.simhashPairs(spark, sfDir)
+          },
+          // PQ model + codes + IVF-PQ index + memoized search frame
+          () => {
+            exec(ops.PqOps.pqCodes(spark, sfDir))
+            ops.PqOps.ivfPqSearch(spark, sfDir)
+          },
+          // DSIR score table + the embedding Gram (q157/q160, q210/q214)
+          () => {
             ops.Dsir.importanceScores(spark, sfDir)
             ops.PowerIteration.gramOf(spark, sfDir)
-            // r18: the corpus gram/fingerprint asset set — the raw
-            // (doc_id, p, h) stream, its df-capped posting frame
-            // (q171/q174's diagonal-run input, read twice per query),
-            // and the winnowed fingerprint table (q155's input)
+          },
+          // the corpus gram/fingerprint asset set: raw stream first,
+          // then its df-capped postings and the winnowed fingerprints
+          () => {
             ops.Winnowing.gramFrame(spark, sfDir)
             ops.ExactSubstr.keptGrams(spark, sfDir)
             ops.Winnowing.fingerprints(spark, sfDir)
+          })
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val ok =
+          try {
+            Await.result(
+              Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
             true
           } catch { case _: Throwable => false }
         val sec = (System.nanoTime() - tB) / 1e9
