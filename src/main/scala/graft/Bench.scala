@@ -92,14 +92,41 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** (1-min, 5-min) system load average from /proc/loadavg — the r18
+    * verdict's "measured, not inferred" machine-busyness evidence:
+    * three rounds of driver-vs-quiet bench disputes (q174 8 s vs 1 s
+    * with identical code) were only adjudicable from per-run arrays and
+    * plausibility arguments; a load sample before and after the timed
+    * loop makes a contended session self-identifying in the committed
+    * evidence. None on non-Linux / unreadable proc (bench still runs).
+    */
+  private[graft] def loadAvg(): Option[(Double, Double)] =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.US_ASCII).split("\\s+")
+      Some((parts(0).toDouble, parts(1).toDouble))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // clamp: 0/negative would leave `times` empty and the median index out of bounds
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // 2x cores, NOT 1x (r19): partitions = cpus schedules every stage as
+    // exactly one task wave, so one core stolen by another process
+    // stretches the whole stage end-to-end — the mechanism behind three
+    // rounds of 3-8x driver-session inflations on the heavy gram/shingle
+    // stages (r18 verdict "What's wrong #1"). At 2x, a late task's slot
+    // picks up the next pending task instead of idling (rebalance
+    // headroom), AQE coalesces the small stages back to wave size, and
+    // the quiet-session cost is noise-level (A/B in SCALING.md §"Bench
+    // robustness"). Env-overridable for re-running the A/B.
+    val shufflePartitions = sys.env.getOrElse(
+      "SPARK_GRAFT_SHUFFLE_PARTITIONS", (cpus.toInt * 2).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -181,23 +208,39 @@ object Bench {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val ok =
-          try {
-            Await.result(
-              Future.sequence(chains.map(c => Future(c()))), Duration.Inf)
-            true
-          } catch { case _: Throwable => false }
+        // each chain is awaited through its own .recover, NOT
+        // Future.sequence: sequence fails fast on the first chain error,
+        // which would start timeQueries while surviving chains still run
+        // build jobs on the shared scheduler (their work would inflate the
+        // first timed queries' runs_sec) and stamp sharedBuildSec at first
+        // failure instead of when work actually stops. Mapping through
+        // recover makes every future terminal-complete, so the awaits
+        // drain ALL chains before the timed loop begins.
+        val settled = chains
+          .map(c => Future(c()).map(_ => true).recover { case _: Throwable => false })
+          .map(f => Await.result(f, Duration.Inf))
+        val ok = settled.forall(identity)
         val sec = (System.nanoTime() - tB) / 1e9
         if (ok) (sec, false) else (0.0, true)
       }
+    // focused re-runs for plan iteration / the contention A/B: a
+    // comma-separated list of query-name prefixes (e.g. "q174,q179")
+    // restricts the timed set. NEVER set by the driver — round evidence
+    // is always the full registry ("nq" on the line records the size).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val timedSet = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter { case (k, _) => ks.exists(k.startsWith) })
+    val loadPre = loadAvg()
     val residPre = blockResidency(spark)
-    val results = timeQueries(spark, sfDir, SparkEntry.queries, runs)
+    val results = timeQueries(spark, sfDir, timedSet, runs)
     val residPost = blockResidency(spark)
+    val loadPost = loadAvg()
     java.nio.file.Files.write(java.nio.file.Paths.get(DetailFile),
-      renderDetail(results, sfDir, runs, sharedBuildSec)
+      renderDetail(results, sfDir, runs, sharedBuildSec,
+        loadPre, loadPost, shufflePartitions.toInt)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed,
-      Some((residPre, residPost))))
+      Some((residPre, residPost)), (loadPre, loadPost)))
     spark.stop()
     val failed = results.collect { case (k, Left(_)) => k }
     if (failed.nonEmpty) {
@@ -221,7 +264,8 @@ object Bench {
                  sfDir: String, runs: Int,
                  sharedBuildSec: Double = 0.0,
                  sharedBuildFailed: Boolean = false,
-                 residency: Option[((Int, Long), (Int, Long))] = None): String = {
+                 residency: Option[((Int, Long), (Int, Long))] = None,
+                 load: (Option[(Double, Double)], Option[(Double, Double)]) = (None, None)): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     // DECISECONDS below 10 s, WHOLE seconds above: run-to-run noise is
     // ~30%, so finer digits were pure noise that cost line width × every
@@ -287,7 +331,16 @@ object Bench {
     val residJson = residency.map { case ((n0, m0), (n1, m1)) =>
       s""","blk":[[$n0,$m0],[$n1,$m1]]"""
     }.getOrElse("")
-    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","nq":${results.size},"queries":$qs$buildJson$residJson$errJson,"sf":"${sfDir.split('/').last}","note":"$note"}"""
+    // 1-min loadavg sampled before/after the timed loop (~19 chars,
+    // budgeted in BenchHarnessSpec) — the machine-busyness evidence that
+    // turns a "driver session read 3-8x slower" dispute into a one-line
+    // diagnosis. Full (1m, 5m) pairs go to BENCH_DETAIL.
+    val loadJson = (load._1, load._2) match {
+      case (Some((a, _)), Some((b, _))) =>
+        s""","load":[${ms(a)},${ms(b)}]"""
+      case _ => ""
+    }
+    s"""{"metric":"total","value":${ms(totalAll)},"unit":"sec","nq":${results.size},"queries":$qs$buildJson$residJson$loadJson$errJson,"sf":"${sfDir.split('/').last}","note":"$note"}"""
   }
 
   /** Per-query entries kept on the stdout line (slowest first by time);
@@ -319,7 +372,10 @@ object Bench {
 
   private[graft] def renderDetail(results: Seq[(String, Either[String, Seq[Double]])],
                                   sfDir: String, runs: Int,
-                                  sharedBuildSec: Double): String = {
+                                  sharedBuildSec: Double,
+                                  loadPre: Option[(Double, Double)] = None,
+                                  loadPost: Option[(Double, Double)] = None,
+                                  shufflePartitions: Int = 0): String = {
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
       "%.2f", java.lang.Double.valueOf(v))
     // runs_sec is the RAW array in execution order (median derived) —
@@ -331,10 +387,19 @@ object Bench {
       .mkString(",\n")
     val errs = results.collect { case (k, Left(e)) =>
       s"""    "$k": "${jsonEscape(e)}"""" }.mkString(",\n")
+    // loadavg (1m, 5m) before/after the timed loop: null when
+    // unavailable. A post-loop 5-min load far above ~the wave width
+    // tells the reader THIS session's medians carry machine contention,
+    // without a replay session (the r16-r18 adjudication gap).
+    def loadJson(l: Option[(Double, Double)]): String =
+      l.map { case (a, b) => s"[${ms(a)}, ${ms(b)}]" }.getOrElse("null")
     s"""{
        |  "sf": "${sfDir.split('/').last}",
        |  "runs": $runs,
        |  "shared_build_sec": ${ms(sharedBuildSec)},
+       |  "loadavg_pre": ${loadJson(loadPre)},
+       |  "loadavg_post": ${loadJson(loadPost)},
+       |  "shuffle_partitions": $shufflePartitions,
        |  "queries": {
        |$qs
        |  },

@@ -56,7 +56,15 @@ object FrameMemo {
       else {
         val built = build.localCheckpoint()
         val raced = memo.putIfAbsent(k, built)
-        if (raced != null) raced else built
+        if (raced != null) {
+          // losing a cross-chain race (reachable since Bench's parallel
+          // build chains, r18): nothing will ever read the losing frame,
+          // but its eager localCheckpoint blocks would stay block-store
+          // resident for the session and silently pad the bench line's
+          // `blk` residency figures — release them now.
+          org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(built)
+          raced
+        } else built
       }
     }
 }

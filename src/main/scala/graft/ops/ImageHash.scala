@@ -46,6 +46,17 @@ object ImageHash {
   /** 64-bit dHash from exact integer grid sums; bit k = r·8 + c. */
   private[graft] def dHash64(mime: String, payload: Array[Byte]): Long = {
     val (sums, counts) = MediaCodec.grayGridSums(mime, payload, GridRows, GridCols)
+    // overflow GUARD, not just audit (the buildGram rule, PowerIteration):
+    // the comparison below cross-multiplies sum·count; sums ≤ 765·count,
+    // so the product is ~765·count² and a JVM Long would WRAP silently
+    // past ~1e8 pixels/cell while the DuckDB oracle's BIGINT errors —
+    // the engines would diverge instead of failing together. Fail loudly
+    // while the exact per-image bound still has an order of headroom.
+    val bound = BigInt(sums.max) * BigInt(counts.max)
+    require(bound * 10 <= BigInt(Long.MaxValue),
+      s"dHash cell int64 ceiling: max cell sum ${sums.max} x max cell count " +
+        s"${counts.max} leaves <10x headroom on the sum·count cross-multiply " +
+        "— image too large for the exact integer compare, downscale upstream")
     var h = 0L
     var r = 0
     while (r < GridRows) {

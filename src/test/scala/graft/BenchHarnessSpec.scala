@@ -79,15 +79,35 @@ class BenchHarnessSpec extends AnyFunSuite {
     // render as at most Shown short keys + an "errx" overflow count
     val allBad = keys.map(k => k -> (Left("boom"): Either[String, Seq[Double]]))
     for (results <- Seq(allGood, allBad)) {
-      // worst-case residency width: hundreds of RDDs, 6-digit MiB
+      // worst-case residency width: hundreds of RDDs, 6-digit MiB;
+      // worst-case load width: 3-char ms() renders per sample
       val line = Bench.renderLine(results, "/root/testdata/sf0.1", runs = 3,
-        residency = Some(((999, 999999L), (999, 999999L))))
+        residency = Some(((999, 999999L), (999, 999999L))),
+        load = (Some((999.0, 999.0)), Some((999.0, 999.0))))
       assert(!line.contains("\n"), "must be a single line")
       assert(line.length <= 1880,
         s"bench JSON line is ${line.length} chars; the harness captures only the " +
           "last ~2000 incl. sbt trailer — shorten keys/note or drop precision")
       assert(line.contains(s""""nq":${keys.size}"""))
     }
+  }
+
+  test("loadavg evidence renders on the line and in the detail doc") {
+    // the field that settles driver-vs-quiet contention disputes: pre /
+    // post 1-min samples on the line, full (1m, 5m) pairs in the detail
+    val results = Seq("q01_x" -> (Right(Seq(1.0)): Either[String, Seq[Double]]))
+    val withLoad = Bench.renderLine(results, "/sf", runs = 3,
+      load = (Some((1.5, 0.5)), Some((2.0, 1.0))))
+    assert(withLoad.contains(""""load":[1.5,2.0]"""))
+    // absent samples (non-Linux) must not emit a phantom field
+    assert(!Bench.renderLine(results, "/sf", runs = 3).contains("\"load\""))
+    val detail = Bench.renderDetail(results, "/sf", runs = 3, sharedBuildSec = 0.0,
+      loadPre = Some((1.5, 0.5)), loadPost = None, shufflePartitions = 64)
+    assert(detail.contains(""""loadavg_pre": [1.50, 0.50]"""))
+    assert(detail.contains(""""loadavg_post": null"""))
+    assert(detail.contains(""""shuffle_partitions": 64"""))
+    // on the Linux build machines the live sampler must return a value
+    assert(Bench.loadAvg().exists { case (a, b) => a >= 0.0 && b >= 0.0 })
   }
 
   test("the line keeps the slowest queries; the detail doc keeps all") {
