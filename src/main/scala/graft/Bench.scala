@@ -204,6 +204,14 @@ object Bench {
             ops.Winnowing.gramFrame(spark, sfDir)
             ops.ExactSubstr.keptGrams(spark, sfDir)
             ops.Winnowing.fingerprints(spark, sfDir)
+          },
+          // the word-shingle digest asset set (r19): per-n (split,
+          // digest) membership tables + the 3-gram df table — read by
+          // q179/q180/q219 instead of re-exploding the corpus per call
+          () => {
+            ops.NoveltyCurve.Ns.foreach(n =>
+              ops.ShingleStore.splitGrams(spark, sfDir, n))
+            ops.ShingleStore.df3(spark, sfDir)
           })
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration

@@ -331,10 +331,10 @@ object Dedup {
     // (digest) count shuffle into a ≤64-row report; md5 digests only
     // in exchanges (q66 rule).
     "q219_shingle_df_profile" -> ((s, d) => {
-      val df = Tables.documents(s, d)
-        .select(explode(shingles(col("text"), 3)).as("sh"))
-        .select(md5(col("sh").cast("binary")).as("sd"))
-        .groupBy("sd").agg(count(lit(1)).as("df"))
+      // reads the stored (digest, df) artifact (ShingleStore.df3, r19)
+      // — the profile is then a ≤64-row bucket agg over a checkpointed
+      // frame, not a fresh corpus explosion per call
+      val df = ShingleStore.df3(s, d)
       df.groupBy(length(bin(col("df"))).cast("int").as("df_bucket"))
         .agg(count(lit(1)).as("n_types"),
           sum(col("df")).as("n_postings"),

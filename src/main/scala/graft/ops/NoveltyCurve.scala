@@ -2,8 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
-import graft.functions.TextFunctions.shingles
 
 /** n-gram novelty curve between the held-out and training splits —
   * the memorization-risk statistic an eval team reads before trusting
@@ -39,18 +37,18 @@ object NoveltyCurve {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_novelty_curve" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select((Sampling.splitOf(col("doc_id")) === "test").as("is_test"),
-          col("text"))
+      // reads the stored split-membership flag artifacts (ShingleStore,
+      // r19): the five corpus explosions this query used to pay per
+      // invocation are now one shared_build-priced build per n, and the
+      // per-n novelty statistic is ONE single-scan aggregate over the
+      // checkpointed flag frame — no distinct, no join left in steady
+      // state. Semantics unchanged: "seen" = test grams also present
+      // anywhere outside the test split (train + validation), as before.
       val perN = Ns.map { n =>
-        val grams = docs
-          .select(col("is_test"), explode(shingles(col("text"), n)).as("g"))
-          .select(col("is_test"), md5(col("g").cast("binary")).as("gd"))
-        val test = grams.filter(col("is_test")).select("gd").distinct()
-        val train = grams.filter(!col("is_test")).select("gd").distinct()
-          .withColumn("hit", lit(1L))
-        test.join(train, Seq("gd"), "left")
-          .agg(count(lit(1)).as("test_distinct"), count(col("hit")).as("seen"))
+        ShingleStore.splitGrams(s, d, n)
+          .agg(count(when(col("in_test"), 1)).as("test_distinct"),
+            count(when(col("in_test") &&
+              (col("in_train") || col("in_validation")), 1)).as("seen"))
           .select(lit(n).as("n"), col("test_distinct"), col("seen"),
             expr("CASE WHEN test_distinct = 0 THEN 0" +
               " ELSE (test_distinct - seen) * 1000000 DIV test_distinct END")
@@ -70,30 +68,30 @@ object NoveltyCurve {
     // a 6-row literal spine so absent splits report 0 by convention
     // rather than dropping rows.
     "q180_split_overlap_matrix" -> ((s, d) => {
-      import s.implicits._
-      val grams = Tables.documents(s, d)
-        .select(Sampling.splitOf(col("doc_id")).as("split"),
-          explode(shingles(col("text"), 5)).as("g"))
-        .select(col("split"), md5(col("g").cast("binary")).as("gd"))
-        .distinct().localCheckpoint()
+      // the stored n=5 split-membership flag artifact (ShingleStore,
+      // r19): with per-digest flags, "distinct 5-grams of `split` also
+      // present in `other`" is count(in_split AND in_other) — the whole
+      // matrix is ONE single-scan aggregate (9 counters) reshaped into
+      // the 6-row spine, replacing the digest self-join entirely. An
+      // absent split's counters are naturally 0, preserving the spine
+      // convention (rows never drop).
       val spine = Seq("train", "validation", "test")
-      val pairs = (for (a <- spine; b <- spine if a != b) yield (a, b))
-        .toDF("split", "other")
-      val shared = grams.as("x")
-        .join(grams.as("y"),
-          col("x.gd") === col("y.gd") && col("x.split") =!= col("y.split"))
-        .groupBy(col("x.split").as("split"), col("y.split").as("other"))
-        .agg(count(lit(1)).as("shared"))
-      val totals = grams.groupBy("split").agg(count(lit(1)).as("n_distinct"))
-      pairs
-        .join(totals, Seq("split"), "left")
-        .join(shared, Seq("split", "other"), "left")
-        .na.fill(0L, Seq("n_distinct", "shared"))
+      val flag = spine.map(x => x -> col(s"in_$x")).toMap
+      val aggCols =
+        spine.map(a => count(when(flag(a), 1)).as(s"n_$a")) ++
+          (for (a <- spine; b <- spine if a != b)
+            yield count(when(flag(a) && flag(b), 1)).as(s"sh_${a}_$b"))
+      val totals = ShingleStore.splitGrams(s, d, 5)
+        .agg(aggCols.head, aggCols.tail: _*)
+      val rows = for (a <- spine; b <- spine if a != b)
+        yield struct(lit(a).as("split"), lit(b).as("other"),
+          col(s"n_$a").as("n_distinct"), col(s"sh_${a}_$b").as("shared"))
+      totals.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.split").as("split"), col("r.other").as("other"),
+          col("r.n_distinct").as("n_distinct"), col("r.shared").as("shared"))
         .withColumn("shared_ppm",
           expr("CASE WHEN n_distinct = 0 THEN 0" +
             " ELSE shared * 1000000 DIV n_distinct END"))
-        .select(col("split"), col("other"), col("n_distinct"),
-          col("shared"), col("shared_ppm"))
         .orderBy("split", "other")
     }))
 
