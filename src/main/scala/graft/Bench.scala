@@ -187,6 +187,8 @@ object Bench {
             ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.lshGroupRows(spark, sfDir)
             ops.Dedup.simhashPairs(spark, sfDir)
+            // q221/q225's visual pair frame (reads no other memo)
+            ops.ImageHash.dhashPairs(spark, sfDir)
           },
           // PQ model + codes + IVF-PQ index + memoized search frame
           () => {
@@ -204,6 +206,11 @@ object Bench {
             ops.Winnowing.gramFrame(spark, sfDir)
             ops.ExactSubstr.keptGrams(spark, sfDir)
             ops.Winnowing.fingerprints(spark, sfDir)
+            // the q224 snapshot-maintenance assets: the stored base
+            // manifest + the from-scratch audit totals (reads the
+            // gramFrame memo built above — same-chain ordering)
+            ops.ArtifactDelta.baseManifest(spark, sfDir)
+            ops.ArtifactDelta.scratchTotals(spark, sfDir)
           },
           // the word-shingle digest asset set (r19): per-n (split,
           // digest) membership tables + the 3-gram df table — read by

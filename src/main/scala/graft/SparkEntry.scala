@@ -111,7 +111,10 @@ object SparkEntry {
     m(ops.AudioFeatures.queries, ops.AudioFeatures.oracleSql, ops.AudioFeatures.rowsOnly),
     m(ops.CommonDirection.queries, ops.CommonDirection.oracleSql, ops.CommonDirection.rowsOnly),
     m(ops.EventSequences.queries, ops.EventSequences.oracleSql, ops.EventSequences.rowsOnly),
-    m(ops.SketchReport.queries, ops.SketchReport.oracleSql, ops.SketchReport.rowsOnly)
+    m(ops.SketchReport.queries, ops.SketchReport.oracleSql, ops.SketchReport.rowsOnly),
+    m(ops.SignatureContract.queries, ops.SignatureContract.oracleSql, ops.SignatureContract.rowsOnly),
+    m(ops.ArtifactDelta.queries, ops.ArtifactDelta.oracleSql, ops.ArtifactDelta.rowsOnly),
+    m(ops.CrossModalDedup.queries, ops.CrossModalDedup.oracleSql, ops.CrossModalDedup.rowsOnly)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -13,6 +13,12 @@ private[expressions] object SketchTypeCheck {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$name requires array<string>, got ${other.catalogString}")
     }
+  def arrayOfLong(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<bigint>, got ${other.catalogString}")
+    }
 }
 
 /** Sketch signatures as single-pass native expressions. The HOF
@@ -165,5 +171,50 @@ case class SimHash(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
+
+/** `width`-bit SimHash over PRE-HASHED tokens (array<long>): bit b set
+  * iff Σ over elements of ((h >>> b) & 1 ? +1 : −1) > 0, for b < width.
+  * [[SimHash]]'s vote/pack machinery factored over an explicit hash
+  * column, so a DuckDB oracle can replay it bit-for-bit with portable
+  * hashes (q223's 48-bit md5-prefix contract) and a differential spec
+  * can pin `SimHash(toks) == SimHashBits(transform(toks, xxhash64), 64)`
+  * — which is what upgrades q28's rows-only signature from
+  * spec-gated to driver-hash-gated. SimHash itself stays the
+  * single-pass internal-hash fast path (no per-row hash-array
+  * materialization in q28's hot loop).
+  */
+case class SimHashBits(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchTypeCheck.arrayOfLong(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](width)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < width) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < width) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashBits =
     copy(child = c)
 }

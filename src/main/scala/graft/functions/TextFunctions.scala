@@ -100,8 +100,27 @@ object TextFunctions {
     * (xxhash64), so rows-only checked.
     */
   def fingerprint(text: Column): Column = {
-    val p = 2038074743L
+    val p = FoldPrime
     aggregate(tokens(text), lit(0L), (acc, w) =>
       pmod(acc * 31L + pmod(xxhash64(w), lit(p)), lit(p)))
   }
+
+  /** Modulus shared by [[fingerprint]] and [[foldFp]] — a prime just
+    * below 2³¹, so acc·31 + h stays far below Long.Max under ANSI
+    * arithmetic and the fold never overflows.
+    */
+  private[graft] val FoldPrime = 2038074743L
+
+  /** [[fingerprint]]'s rolling fold factored over PRE-HASHED tokens
+    * (array<long>): fold(acc·31 + (h mod p)) mod p. The generic form a
+    * DuckDB oracle replays with portable hashes (q223's md5-48
+    * contract) and q223's consistency column compares against the
+    * inline-xxhash64 registered form — the bridge that upgrades q24's
+    * rows-only fingerprint from spec-gated to driver-hash-gated.
+    * pmod(h, p) handles negative hashes (xxhash64); nonneg hashes pass
+    * through unchanged, matching plain `%` in the oracle.
+    */
+  def foldFp(hashes: Column): Column =
+    aggregate(hashes, lit(0L), (acc, h) =>
+      pmod(acc * 31L + pmod(h, lit(FoldPrime)), lit(FoldPrime)))
 }

@@ -637,7 +637,7 @@ object Dedup {
     */
   private def pairCtes(threshold: String): String = PairCtes0
     .replace("__T__", threshold)
-  private def PairCtes: String = pairCtes("0.2")
+  private[graft] def PairCtes: String = pairCtes("0.2")
   private val PairCtes0 =
     """sets AS (
       |  SELECT doc_id, lang,
@@ -825,7 +825,11 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin
   )
 
-  /** xxhash64-signature ops — not expressible in portable SQL. */
+  /** xxhash64-signature ops — not expressible in portable SQL. All
+    * three are driver-hash-gated regardless: recall/precision vs exact
+    * twins via q208, and q28's vote/pack signature machinery
+    * bit-for-bit via q223's md5-48 contract replay (r19).
+    */
   val rowsOnly: Set[String] =
     Set("q27_dedup_minhash_lsh", "q28_dedup_simhash", "q49_dedup_groups_lsh")
 }

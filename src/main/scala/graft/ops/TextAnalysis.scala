@@ -606,6 +606,9 @@ object TextAnalysis {
 
   /** Hash-based ops with no portable SQL equivalent (q52's LSH canon
     * rides xxhash64 signatures; gated against q50 in CurationLshSpec).
+    * q24's fold machinery is driver-hash-gated by q223's md5-48
+    * contract replay + fast-path-equivalence verdict (r19); q73's
+    * accuracy envelope by q220.
     */
   val rowsOnly: Set[String] =
     Set("q24_fingerprint", "q52_corpus_curation_lsh", "q73_top_tokens_sketch")
