@@ -219,6 +219,10 @@ object Bench {
             ops.NoveltyCurve.Ns.foreach(n =>
               ops.ShingleStore.splitGrams(spark, sfDir, n))
             ops.ShingleStore.df3(spark, sfDir)
+            // the r19 q220-variance fix: quality scores + the vocab
+            // count table as stored columns (read by q98/q220)
+            ops.CorpusReports.qualityScored(spark, sfDir)
+            ops.TextAnalysis.tokenCounts(spark, sfDir)
           })
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration

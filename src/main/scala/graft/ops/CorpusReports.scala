@@ -36,10 +36,19 @@ object CorpusReports {
     * also the population q220's GK rank gate counts against.
     */
   private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        qualityScore(col("text")).as("quality"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // FrameMemo stored artifact (r19): the per-doc quality-score column
+    // a production pipeline persists next to the corpus (the DSIR-score
+    // treatment, r17). Computed THREE times per q220 invocation before
+    // (the pop frame twice in the GK rank section + once under the
+    // sketch) and once per q98 — under machine load those repeated
+    // corpus passes were q220's 2x amplification driver (SCALING.md
+    // §"q220 variance"). ~32 B/doc checkpointed.
+    FrameMemo.cached(s, d, "qualityScored") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+    }
 
   /** q98's per-language GK decile-cut sketch (lang, cuts[9], records) —
     * q98 buckets with it, q220 rank-gates each cut.

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions.tokens
 
 /** q220: SKETCH ERROR REPORT — the q117/q208 move applied to the
   * approximate-aggregate family. The four sketch queries (q61 HLL
@@ -56,11 +55,15 @@ object SketchReport {
     */
   private[graft] def gkSection(label: String, pop: DataFrame, sk: DataFrame,
                                qs: Seq[Double], labels: Seq[String]): DataFrame = {
-    // pop feeds both the rank-window count and the exact percentile as
-    // plain recomputed scans — measured FASTER than localCheckpointing
-    // the projection (eager sequential materialization of 4 section
-    // inputs beat the saved recompute by ~25%: the sections' jobs
-    // otherwise overlap in the scheduler)
+    // pop feeds both the rank-window count and the exact percentile.
+    // The QUIET-session trade (r18): plain recomputed scans beat
+    // eagerly localCheckpointing the projection by ~25% (the sections'
+    // jobs overlap in the scheduler). The LOAD trade (r19): repeated
+    // CORPUS-EXPRESSION passes amplify 2x under machine contention, so
+    // the expensive quality pop arrives via the memoized qualityScored
+    // artifact (its scan here is a cheap columnar re-read), while the
+    // price pop stays a plain 2-column lineitem scan — measured A/B in
+    // SCALING.md §"q220 variance".
     val est = sk.select(col("grp"), col("records"),
       posexplode(col("cuts")).as(Seq("qi", "est")))
     val ranks = est.join(pop, Seq("grp"))
@@ -92,12 +95,13 @@ object SketchReport {
           col("distinct_users") * HllBandPct).as("within"))
 
     // q73 MG: every GUARANTEED survivor (count·(k+1) > Σtokens) must be
-    // in the merged sketch, undercounted by at most Σtokens/(k+1)
+    // in the merged sketch, undercounted by at most Σtokens/(k+1).
+    // Exact side reads the STORED token-count table (r19) — Σtokens is
+    // its own sum, so the corpus token explosion never runs here.
     val kp1 = TextAnalysis.MgSketchK + 1
-    val toks = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("token"))
-    val mg = toks.groupBy("token").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_tok"))))
+    val counts = TextAnalysis.tokenCounts(s, d)
+    val mg = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("n_tok"))))
       .filter(col("n") * kp1 > col("n_tok"))
       .join(TextAnalysis.mgMergedTokens(s, d), Seq("token"), "left")
       .select(lit("q73_mg_k64").as("sketch"),

@@ -28,6 +28,19 @@ object TextAnalysis {
       .agg(graft.functions.FreqSketch.merge(MgSketchK)(col("sk")).as("merged"))
       .select(explode(col("merged")).as(Seq("token", "est_count")))
 
+  /** The exact corpus token-count table (token, n) as a FrameMemo
+    * stored artifact (r19) — the vocabulary-frequency asset every
+    * corpus store persists. q220's Misra-Gries gate read the token
+    * explosion TWICE per run (counts + the Σ total); it now reads this
+    * checkpointed vocab-sized frame and derives the total from it.
+    */
+  private[graft] def tokenCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.FrameMemo.cached(s, d, "tokenCounts") {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }
+
   /** The fixed q115 retrieval query — terms from the corpus vocabulary
     * so tf/df are non-degenerate at every SF. */
   val BM25QueryTerms: Seq[String] = Seq("spark", "join", "window")
