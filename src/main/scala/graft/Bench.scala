@@ -254,7 +254,12 @@ object Bench {
     val results = timeQueries(spark, sfDir, timedSet, runs)
     val residPost = blockResidency(spark)
     val loadPost = loadAvg()
-    java.nio.file.Files.write(java.nio.file.Paths.get(DetailFile),
+    // a BENCH_ONLY subset run writes its detail to a SIDE file:
+    // BENCH_DETAIL.json is committed round evidence covering the full
+    // registry (RegistryDocsSpec pins it), and a focused iteration run
+    // must never clobber it with a partial map
+    val detailPath = if (only.isEmpty) DetailFile else DetailFile + ".subset"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       renderDetail(results, sfDir, runs, sharedBuildSec,
         loadPre, loadPost, shufflePartitions.toInt)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -320,8 +320,11 @@ class PlanSpec extends AnyFunSuite {
       "q208_dedup_recall_report",    // 1-row truth-count folds crossed per
                                      // family + the q29 capped exact anchor
                                      // it scores against (both shapes above)
-      "q216_event_funnel")           // 1-row stage-1 base fold crossed onto
+      "q216_event_funnel",           // 1-row stage-1 base fold crossed onto
                                      // the 3-row stage report (q114 shape)
+      "q224_artifact_delta_merge")   // four 1-row total folds crossed into
+                                     // the single report row (q114 shape:
+                                     // delta/base/merged/scratch totals)
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
