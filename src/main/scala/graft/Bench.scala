@@ -223,6 +223,15 @@ object Bench {
             // count table as stored columns (read by q98/q220)
             ops.CorpusReports.qualityScored(spark, sfDir)
             ops.TextAnalysis.tokenCounts(spark, sfDir)
+          },
+          // the r19 curation/decontamination asset set: scored docs
+          // (q50/q52/q69), the 5-gram posting + doc catalog
+          // (q65/q66/q69/q163), per-doc repetition signals (q64/q69)
+          () => {
+            ops.TextAnalysis.scoredDocs(spark, sfDir)
+            ops.CorpusSignals.fiveGramMeta(spark, sfDir)
+            ops.CorpusSignals.fiveGramPosting(spark, sfDir)
+            ops.CorpusSignals.repetitionSignals(spark, sfDir)
           })
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration

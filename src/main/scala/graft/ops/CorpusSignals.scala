@@ -68,8 +68,37 @@ object CorpusSignals {
       .withColumn("n_grams", size(col("sh")))
       .withColumn("is_test", isTestSplit(col("doc_id")))
 
+  /** Per-doc 5-gram metadata (doc_id, lang, is_test, n_grams) as a
+    * FrameMemo stored artifact (r19 sweep #3) — the doc-catalog side of
+    * the decontamination asset; no gram arrays, ~30 B/doc.
+    */
+  private[graft] def fiveGramMeta(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "fiveGramMeta") {
+      fiveGramDocs(s, d).select("doc_id", "lang", "is_test", "n_grams")
+    }
+
+  /** The doc-grain 5-gram digest posting (doc_id, is_test, gd) as a
+    * FrameMemo stored artifact (r19 sweep #3) — THE decontamination
+    * posting table (the Lee et al. stored asset) that q65/q66/q69/q163
+    * each rebuilt per invocation before: one corpus explosion at build,
+    * then every consumer is posting-sized filters/joins over the
+    * checkpointed 40-byte rows.
+    */
+  private[graft] def fiveGramPosting(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "fiveGramPosting") {
+      val docs = fiveGramDocs(s, d)
+      docs.filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("is_test"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), col("is_test"), gramDigest(col("g")).as("gd"))
+    }
+
   /** q64's per-doc repetition signals, unsorted (q69 joins the flag). */
-  private[graft] def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+  private[graft] def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    // FrameMemo stored artifact (r19 sweep #3): q64 presents it, q69's
+    // cascade joins the flag — one two-pass build per snapshot
+    FrameMemo.cached(s, d, "repSignals")(buildRepetitionSignals(s, d))
+
+  private def buildRepetitionSignals(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(
       col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"),
@@ -219,16 +248,16 @@ object CorpusSignals {
     * geometry). */
   private[graft] def decontaminateBloom(s: SparkSession, d: String,
                                         bits: Int): DataFrame = {
-    val docs = fiveGramDocs(s, d)
-    val testGrams = gramPosting(docs.filter(col("is_test")))
+    val posting = fiveGramPosting(s, d)
+    val testGrams = posting.filter(col("is_test"))
       .select("gd").distinct()
     val bm = bloomBitmap(testGrams, bits)
-    val train = docs.filter(!col("is_test"))
-    val overlap = gramPosting(train)
+    val overlap = posting.filter(!col("is_test"))
       .filter(bloomHit(col("gd"), bm))
       .join(broadcast(testGrams), Seq("gd"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    train.select(col("doc_id"), col("lang"), col("n_grams"))
+    fiveGramMeta(s, d).filter(!col("is_test"))
+      .select(col("doc_id"), col("lang"), col("n_grams"))
       .join(overlap, Seq("doc_id"), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
@@ -269,16 +298,16 @@ object CorpusSignals {
     // fraction. shingles() emits distinct grams per doc, so the gram
     // digest's plain count IS its document frequency.
     "q65_boilerplate_ngrams" -> ((s, d) => {
-      val docs = fiveGramDocs(s, d)
-      // materialized once: the df aggregation and the per-doc join both
-      // read it; 40-byte (doc_id, digest) rows, never the gram strings
-      val posting = gramPosting(docs).localCheckpoint()
+      // the stored posting artifact (r19): the df aggregation and the
+      // per-doc join both read the checkpointed 40-byte rows — no
+      // per-call explosion or localCheckpoint
+      val posting = fiveGramPosting(s, d)
       val boiler = posting.groupBy("gd").agg(count(lit(1)).as("df"))
         .filter(col("df") >= BoilerplateMinDf)
         .select("gd")
       val perDoc = posting.join(boiler, Seq("gd"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-      docs.select(col("doc_id"), col("lang"), col("n_grams"))
+      fiveGramMeta(s, d).select(col("doc_id"), col("lang"), col("n_grams"))
         .join(perDoc, Seq("doc_id"), "left")
         .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
         .withColumn("boiler_frac",
@@ -293,14 +322,17 @@ object CorpusSignals {
     // is tiny next to the corpus); the train side is then a narrow scan
     // + broadcast semi-join — no shuffle until the per-doc count.
     "q66_decontaminate" -> ((s, d) => {
-      val docs = fiveGramDocs(s, d)
-      val testGrams = gramPosting(docs.filter(col("is_test")))
+      // both sides read the stored posting artifact (r19): the test
+      // side collapses to distinct digests and broadcasts, the train
+      // side is a filter over the same checkpointed rows
+      val posting = fiveGramPosting(s, d)
+      val testGrams = posting.filter(col("is_test"))
         .select("gd").distinct()
-      val train = docs.filter(!col("is_test"))
-      val overlap = gramPosting(train)
+      val overlap = posting.filter(!col("is_test"))
         .join(broadcast(testGrams), Seq("gd"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      train.select(col("doc_id"), col("lang"), col("n_grams"))
+      fiveGramMeta(s, d).filter(!col("is_test"))
+        .select(col("doc_id"), col("lang"), col("n_grams"))
         .join(overlap, Seq("doc_id"), "left")
         .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
         .withColumn("contaminated", (col("n_overlap") > 0).cast("int"))
@@ -363,20 +395,23 @@ object CorpusSignals {
     // duplicate). Scale shape: narrow scoring; exchanges carry ids,
     // scores, digests, and hashes — never the documents.
     "q69_corpus_curation_guarded" -> ((s, d) => {
-      val docs = fiveGramDocs(s, d)
-      val train = docs.filter(!col("is_test"))
+      // every corpus-scale input arrives as a stored artifact (r19):
+      // scored docs, the 5-gram posting/meta, repetition signals — the
+      // cascade itself is filters/joins over checkpointed frames
+      val train = fiveGramMeta(s, d).filter(!col("is_test"))
       val trainScored = TextAnalysis.scoredDocs(s, d)
         .join(train.select("doc_id", "n_grams"), Seq("doc_id"))
       // contamination flag (q66's broadcast shape, flag only)
-      val testGrams = gramPosting(docs.filter(col("is_test")))
+      val allPosting = fiveGramPosting(s, d)
+      val testGrams = allPosting.filter(col("is_test"))
         .select("gd").distinct()
-      val contaminated = gramPosting(train)
+      val posting = allPosting.filter(!col("is_test"))
+      val contaminated = posting
         .join(broadcast(testGrams), Seq("gd"))
         .select("doc_id").distinct()
         .withColumn("contaminated", lit(1))
       // boilerplate fraction among train docs (q65's digest shape; df
       // counted over the post-exclusion corpus — what training sees)
-      val posting = gramPosting(train).localCheckpoint()
       val boiler = posting.groupBy("gd").agg(count(lit(1)).as("df"))
         .filter(col("df") >= BoilerplateMinDf)
         .select("gd")

@@ -281,11 +281,16 @@ object TextAnalysis {
   )
 
   /** doc_id, lang, quality, predicted language, content digest — the
-    * narrow per-row scoring stage shared by q50 and q52. The text is
-    * projected away here: everything downstream shuffles (ids, scores,
-    * digest) only, never the documents.
+    * narrow per-row scoring stage shared by q50, q52 and q69. The text
+    * is projected away here: everything downstream shuffles (ids,
+    * scores, digest) only, never the documents. FrameMemo stored
+    * artifact (r19 sweep #3): the scored-corpus table every curation
+    * consumer reads — built once per snapshot, ~60 B/doc checkpointed.
     */
-  private[graft] def scoredDocs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def scoredDocs(s: SparkSession, d: String): DataFrame =
+    graft.ops.FrameMemo.cached(s, d, "scoredDocs")(buildScoredDocs(s, d))
+
+  private def buildScoredDocs(s: SparkSession, d: String): DataFrame = {
     val scored = Tables.documents(s, d).select(
       (Seq(col("doc_id"), col("lang"), col("text"),
         qualityScore(col("text")).as("quality")) ++
