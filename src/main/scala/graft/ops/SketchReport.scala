@@ -64,17 +64,20 @@ object SketchReport {
     // artifact (its scan here is a cheap columnar re-read), while the
     // price pop stays a plain 2-column lineitem scan — measured A/B in
     // SCALING.md §"q220 variance".
-    val est = sk.select(col("grp"), col("records"),
+    // contract: sk = (grp, cuts array, records, tol) — `tol` is the
+    // sketch family's own rank tolerance (GK: records/accuracy + 1;
+    // MRL: its self-certified err + maxWeight accounting, r19)
+    val est = sk.select(col("grp"), col("records"), col("tol"),
       posexplode(col("cuts")).as(Seq("qi", "est")))
     val ranks = est.join(pop, Seq("grp"))
-      .groupBy("grp", "qi", "est", "records")
+      .groupBy("grp", "qi", "est", "records", "tol")
       .agg(count(when(col("v") < col("est"), 1)).as("cnt_lt"),
         count(when(col("v") <= col("est"), 1)).as("cnt_le"))
     val exact = pop.groupBy("grp")
       .agg(expr(s"percentile(v, array(${qs.map(_ + "D").mkString(",")}))").as("eps"))
       .select(col("grp"), posexplode(col("eps")).as(Seq("qi", "exact_p")))
     val target = element_at(typedLit(qs), col("qi") + 1) * col("records")
-    val tol = col("records").cast("double") / GkAccuracy + 1.0
+    val tol = col("tol")
     ranks.join(exact, Seq("grp", "qi"))
       .select(lit(label).as("sketch"),
         concat(col("grp"), lit(":"),
@@ -110,26 +113,69 @@ object SketchReport {
         (col("est_count").isNotNull && col("est_count") <= col("n") &&
           (col("n") - col("est_count")) * kp1 <= col("n_tok")).as("within"))
 
-    val gkPrices = gkSection("q51_gk_prices_acc10k",
-      Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
-        col("l_extendedprice").cast("double").as("v")),
+    val gkTol = col("records").cast("double") / GkAccuracy + 1.0
+    val prices = Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+      col("l_extendedprice").cast("double").as("v"))
+    val gkPrices = gkSection("q51_gk_prices_acc10k", prices,
       EventsOps.priceQuantileSketch(s, d)
-        .select(col("l_returnflag").as("grp"), col("ps").as("cuts"), col("records")),
+        .select(col("l_returnflag").as("grp"), col("ps").as("cuts"),
+          col("records"), gkTol.as("tol")),
       Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
 
     val gkQuality = gkSection("q98_gk_quality_acc10k",
       CorpusReports.qualityScored(s, d)
         .select(col("lang").as("grp"), col("quality").as("v")),
       CorpusReports.qualityCutSketch(s, d)
-        .select(col("lang").as("grp"), col("cuts"), col("records")),
+        .select(col("lang").as("grp"), col("cuts"), col("records"),
+          gkTol.as("tol")),
       (1 to 9).map(_ / 10.0), (1 to 9).map("d" + _))
 
+    // q226 MRL vs the SAME exact price quantiles: the mergeable family
+    // gated by its own self-certified tolerance (err + maxWeight, +1
+    // for the lt/le boundary convention)
+    val gkMrl = gkSection("q226_mrl_k1024", prices,
+      mrlPriceSketch(s, d).select(col("grp"), col("cuts"), col("records"),
+        (col("tol") + 1).cast("double").as("tol")),
+      Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+
     hll.unionByName(mg).unionByName(gkPrices).unionByName(gkQuality)
+      .unionByName(gkMrl)
       .orderBy("sketch", "item")
   }
 
+  /** q226's per-returnflag MRL price sketch: (grp, cuts, records, tol)
+    * — tol is the sketch's own compaction-error accounting.
+    */
+  private[graft] def mrlPriceSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(graft.functions.MrlSketch(MrlK, Seq(0.25, 0.5, 0.75))(
+        col("l_extendedprice").cast("double")).as("sk"))
+      .select(col("grp"), col("sk._1").as("cuts"),
+        col("sk._2").as("records"), col("sk._3").as("tol"))
+
+  /** MRL buffer capacity: 1024 doubles/level ⇒ self-certified rank
+    * tolerance ≈ n·levels/k — ~1% of n at the bench SFs, and the gate
+    * reads the sketch's exact accounting either way.
+    */
+  private[graft] val MrlK = 1024
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q220_sketch_error_report" -> ((s, d) => report(s, d)))
+    "q220_sketch_error_report" -> ((s, d) => report(s, d)),
+
+    // the mergeable quantile summary itself (the store-per-slice form:
+    // per returnflag, the quantile cuts + records + the self-certified
+    // tolerance). Values are partitioning-dependent within the
+    // guarantee (deterministic GIVEN a merge tree, but Spark picks the
+    // tree) -> rows-only; q220's q226 rows hash-gate the guarantee.
+    "q226_mrl_quantiles" -> ((s, d) =>
+      mrlPriceSketch(s, d)
+        .select(col("grp"), col("records"), col("tol"),
+          posexplode(col("cuts")).as(Seq("qi", "cut")))
+        .select(col("grp"),
+          element_at(typedLit(Seq("p25", "p50", "p75")), col("qi") + 1).as("q"),
+          col("cut"), col("records"), col("tol"))
+        .orderBy("grp", "q")))
 
   /** The exact sides replayed in SQL; every `within` asserted TRUE —
     * the oracle's claim IS the guarantee.
@@ -169,6 +215,13 @@ object SketchReport {
          |        FROM prices GROUP BY grp),
          |       (SELECT unnest([1, 2, 3]) AS i)
          |  UNION ALL
+         |  SELECT 'q226_mrl_k1024',
+         |         grp || ':' || ['p25','p50','p75'][i],
+         |         ROUND(qs[i], 6), TRUE
+         |  FROM (SELECT grp, quantile_cont(v, [0.25, 0.5, 0.75]) AS qs
+         |        FROM prices GROUP BY grp),
+         |       (SELECT unnest([1, 2, 3]) AS i)
+         |  UNION ALL
          |  SELECT 'q98_gk_quality_acc10k',
          |         grp || ':' || ['d1','d2','d3','d4','d5','d6','d7','d8','d9'][i],
          |         ROUND(qs[i], 6), TRUE
@@ -179,5 +232,9 @@ object SketchReport {
          |)
          |ORDER BY sketch, item""".stripMargin)
 
-  val rowsOnly: Set[String] = Set.empty
+  /** The MRL cuts are deterministic GIVEN a merge tree, but Spark picks
+    * the tree — rows-only; its guarantee is hash-gated by q220's
+    * q226_mrl_k1024 rows (exact sides SQL-replayed, within TRUE).
+    */
+  val rowsOnly: Set[String] = Set("q226_mrl_quantiles")
 }

@@ -18,11 +18,13 @@ class SketchReportSpec extends AnyFunSuite {
   test("every section is populated and every estimate is in envelope") {
     val bySketch = rows.groupBy(_._1).view.mapValues(_.length).toMap
     assert(bySketch.keySet == Set("q61_hll_lgk12", "q73_mg_k64",
-      "q51_gk_prices_acc10k", "q98_gk_quality_acc10k"),
+      "q51_gk_prices_acc10k", "q98_gk_quality_acc10k", "q226_mrl_k1024"),
       s"sections: $bySketch")
     // 3 cuts x |flags|, 9 cuts x |langs|; HLL = days + ALL; MG >= 1
     assert(bySketch("q51_gk_prices_acc10k") % 3 == 0 &&
       bySketch("q51_gk_prices_acc10k") >= 3)
+    // the MRL section gates the same price population and cut set
+    assert(bySketch("q226_mrl_k1024") == bySketch("q51_gk_prices_acc10k"))
     assert(bySketch("q98_gk_quality_acc10k") % 9 == 0 &&
       bySketch("q98_gk_quality_acc10k") >= 9)
     assert(bySketch("q61_hll_lgk12") >= 2, "needs >= 1 day + the ALL row")
@@ -57,7 +59,9 @@ class SketchReportSpec extends AnyFunSuite {
     // -> TRUE. Proves `within` is estimate-sensitive, not vacuous.
     val pop = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val verdict = (cut: Double) => ops.SketchReport.gkSection("t",
-      pop, Seq(("g", Seq(cut), 1000L)).toDF("grp", "cuts", "records"),
+      pop, Seq(("g", Seq(cut), 1000L)).toDF("grp", "cuts", "records")
+        .withColumn("tol",
+          col("records").cast("double") / ops.SketchReport.GkAccuracy + 1.0),
       Seq(0.5), Seq("p50")).collect().head
     val badRow = verdict(900.0)
     assert(!badRow.getBoolean(3), s"gate must trip: $badRow")
