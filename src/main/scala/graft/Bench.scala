@@ -135,10 +135,6 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Logs.silenceTinyWindowWarning() // AFTER setLogLevel: setAllLevels would clobber it
     Logs.silenceCheckpointReleaseWarning()
-    // untimed warmup: JVM/codegen/session init should not be charged to
-    // whichever query happens to run first
-    try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
-    catch { case _: Throwable => () }
     // shared-artifact pre-build, timed and reported SEPARATELY: the
     // FrameMemo edge lists (LSH pairs, both k-NN graphs, jaccard/minhash
     // pair graphs) are built once and read by many queries, so inside
@@ -165,44 +161,54 @@ object Bench {
     // on a cross-chain memo (FrameMemo putIfAbsent) at worst builds
     // twice and keeps one — never a wrong result. Any chain failure →
     // the same shared_build FAILED marker as before.
-    val (sharedBuildSec, sharedBuildFailed) =
-      if (!ops.FrameMemo.memoizable(sfDir)) (0.0, false)
+    val (sharedBuildSec, sharedBuildFailed, chainSecs) =
+      if (!ops.FrameMemo.memoizable(sfDir)) (0.0, false, Seq.empty[(String, Double)])
       else {
         val tB = System.nanoTime()
-        val chains: Seq[() => Unit] = Seq(
+        // NAMED chains, each timed on its own (r19 verdict #1): the one
+        // scalar shared_build folded 25+ artifact builds across 7
+        // parallel chains, so a 9x-inflated build round (218 s driver vs
+        // 24.6 s committed) could not be attributed to a chain from
+        // committed evidence. Per-chain wall times go to BENCH_DETAIL
+        // ("shared_build_chains") and the slowest chain's name to the
+        // stdout line ("sbc"). Chain wall-clock overlaps (they run in
+        // parallel), so Σ chains ≥ shared_build_sec by design — the map
+        // answers "WHICH chain was slow", the scalar "how long did the
+        // build window stall the session".
+        val chains: Seq[(String, () => Unit)] = Seq(
           // ANN graphs + anchors + method frames (ordered: the top5
           // frames and hybrid read the memoized anchors/pair frame)
-          () => {
+          "ann" -> (() => {
             ops.SimilaritySearch.knnGraphLsh(spark, sfDir) // + LSH pair frame
             ops.SimilaritySearch.knnGraphExact(spark, sfDir)
             ops.SimilaritySearch.knnExactTop5(spark, sfDir) // q30/q117 anchor
             ops.SimilaritySearch.knnLshTop5(spark, sfDir)
             ops.SimilaritySearch.knnIvfTop5(spark, sfDir)
             ops.Retrieval.hybridRanked(spark, sfDir)
-          },
+          }),
           // text dedup: pair graphs, then the component/method frames
           // q28/q49/q208 read
-          () => {
+          "dedup" -> (() => {
             ops.Dedup.jaccardPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.minhashLshPairs(spark, sfDir, threshold = 0.2)
             ops.Dedup.lshGroupRows(spark, sfDir)
             ops.Dedup.simhashPairs(spark, sfDir)
             // q221/q225's visual pair frame (reads no other memo)
             ops.ImageHash.dhashPairs(spark, sfDir)
-          },
+          }),
           // PQ model + codes + IVF-PQ index + memoized search frame
-          () => {
+          "pq" -> (() => {
             exec(ops.PqOps.pqCodes(spark, sfDir))
             ops.PqOps.ivfPqSearch(spark, sfDir)
-          },
+          }),
           // DSIR score table + the embedding Gram (q157/q160, q210/q214)
-          () => {
+          "dsir_gram" -> (() => {
             ops.Dsir.importanceScores(spark, sfDir)
             ops.PowerIteration.gramOf(spark, sfDir)
-          },
+          }),
           // the corpus gram/fingerprint asset set: raw stream first,
           // then its df-capped postings and the winnowed fingerprints
-          () => {
+          "chargram" -> (() => {
             ops.Winnowing.gramFrame(spark, sfDir)
             ops.ExactSubstr.keptGrams(spark, sfDir)
             ops.Winnowing.fingerprints(spark, sfDir)
@@ -211,11 +217,11 @@ object Bench {
             // gramFrame memo built above — same-chain ordering)
             ops.ArtifactDelta.baseManifest(spark, sfDir)
             ops.ArtifactDelta.scratchTotals(spark, sfDir)
-          },
+          }),
           // the word-shingle digest asset set (r19): per-n (split,
           // digest) membership tables + the 3-gram df table — read by
           // q179/q180/q219 instead of re-exploding the corpus per call
-          () => {
+          "shingle" -> (() => {
             ops.NoveltyCurve.Ns.foreach(n =>
               ops.ShingleStore.splitGrams(spark, sfDir, n))
             ops.ShingleStore.df3(spark, sfDir)
@@ -223,16 +229,16 @@ object Bench {
             // count table as stored columns (read by q98/q220)
             ops.CorpusReports.qualityScored(spark, sfDir)
             ops.TextAnalysis.tokenCounts(spark, sfDir)
-          },
+          }),
           // the r19 curation/decontamination asset set: scored docs
           // (q50/q52/q69), the 5-gram posting + doc catalog
           // (q65/q66/q69/q163), per-doc repetition signals (q64/q69)
-          () => {
+          "curation" -> (() => {
             ops.TextAnalysis.scoredDocs(spark, sfDir)
             ops.CorpusSignals.fiveGramMeta(spark, sfDir)
             ops.CorpusSignals.fiveGramPosting(spark, sfDir)
             ops.CorpusSignals.repetitionSignals(spark, sfDir)
-          })
+          }))
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
@@ -244,20 +250,47 @@ object Bench {
         // failure instead of when work actually stops. Mapping through
         // recover makes every future terminal-complete, so the awaits
         // drain ALL chains before the timed loop begins.
-        val settled = chains
-          .map(c => Future(c()).map(_ => true).recover { case _: Throwable => false })
+        val settled: Seq[Either[String, (String, Double)]] = chains
+          .map { case (name, c) => Future {
+            val t0 = System.nanoTime()
+            c()
+            name -> (System.nanoTime() - t0) / 1e9
+          }.map(Right(_): Either[String, (String, Double)])
+            .recover { case _: Throwable => Left(name) } }
           .map(f => Await.result(f, Duration.Inf))
-        val ok = settled.forall(identity)
+        val ok = settled.forall(_.isRight)
         val sec = (System.nanoTime() - tB) / 1e9
-        if (ok) (sec, false) else (0.0, true)
+        if (ok) (sec, false, settled.collect { case Right(ns) => ns })
+        else (0.0, true, Seq.empty[(String, Double)])
       }
+    // untimed warmup AFTER the shared build (r19 verdict #4): it used to
+    // run first, so the first timed queries (q01/q02 in sorted order)
+    // inherited whatever residual IO/JIT tail the 7-chain build left —
+    // the driver's q02 showed monotonically decreasing [9.54, 7.23,
+    // 3.56] run arrays from exactly this adjacency. Placed here it
+    // absorbs both session init AND the build's tail before anything is
+    // timed.
+    try SparkEntry.queries.get("q16_dim_region").foreach(fn => exec(fn(spark, sfDir)))
+    catch { case _: Throwable => () }
     // focused re-runs for plan iteration / the contention A/B: a
-    // comma-separated list of query-name prefixes (e.g. "q174,q179")
-    // restricts the timed set. NEVER set by the driver — round evidence
-    // is always the full registry ("nq" on the line records the size).
+    // comma-separated list of query names (full, or the qNN stem before
+    // the first underscore — "q22" selects q22_*, NOT q220-q226; bare
+    // startsWith matching silently over-selected exactly that way, r19
+    // ADVICE). NEVER set by the driver — round evidence is always the
+    // full registry ("nq" on the line records the size).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val timedSet = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.filter { case (k, _) => ks.exists(k.startsWith) })
+      SparkEntry.queries.filter { case (k, _) =>
+        ks.exists(p => k == p || k.startsWith(p + "_")) })
+    // a filter that selects nothing is a typo, and timing zero queries
+    // would silently write an empty .subset detail file — fail loudly
+    if (only.isDefined && timedSet.isEmpty) {
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY=" +
+        s"${only.get.mkString(",")} selected no queries; " +
+        "names must match a full query name or its qNN stem")
+      spark.stop()
+      sys.exit(2)
+    }
     val loadPre = loadAvg()
     val residPre = blockResidency(spark)
     val results = timeQueries(spark, sfDir, timedSet, runs)
@@ -270,10 +303,11 @@ object Bench {
     val detailPath = if (only.isEmpty) DetailFile else DetailFile + ".subset"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       renderDetail(results, sfDir, runs, sharedBuildSec,
-        loadPre, loadPost, shufflePartitions.toInt)
+        loadPre, loadPost, shufflePartitions.toInt, chainSecs)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed,
-      Some((residPre, residPost)), (loadPre, loadPost)))
+      Some((residPre, residPost)), (loadPre, loadPost),
+      chainSecs.sortBy(-_._2).headOption.map(_._1)))
     spark.stop()
     val failed = results.collect { case (k, Left(_)) => k }
     if (failed.nonEmpty) {
@@ -298,7 +332,8 @@ object Bench {
                  sharedBuildSec: Double = 0.0,
                  sharedBuildFailed: Boolean = false,
                  residency: Option[((Int, Long), (Int, Long))] = None,
-                 load: (Option[(Double, Double)], Option[(Double, Double)]) = (None, None)): String = {
+                 load: (Option[(Double, Double)], Option[(Double, Double)]) = (None, None),
+                 slowestChain: Option[String] = None): String = {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     // DECISECONDS below 10 s, WHOLE seconds above: run-to-run noise is
     // ~30%, so finer digits were pure noise that cost line width × every
@@ -355,9 +390,14 @@ object Bench {
     // amortized build = what a full pass actually costs) and also broken
     // out so a build regression is visible on its own
     val totalAll = total + sharedBuildSec
+    // "sbc" = slowest build chain's name (~16 chars, budgeted in
+    // BenchHarnessSpec): the one-word answer to "which chain stalled
+    // this session's build window" — per-chain seconds in BENCH_DETAIL
     val buildJson =
       if (sharedBuildFailed) ""","shared_build_error":true"""
-      else if (sharedBuildSec > 0) s""","shared_build":${ms(sharedBuildSec)}"""
+      else if (sharedBuildSec > 0)
+        s""","shared_build":${ms(sharedBuildSec)}""" +
+          slowestChain.fold("")(n => s""","sbc":"$n"""")
       else ""
     // block-store residency [cachedRDDs, MiB] before/after the timed
     // loop — ~36 chars, budgeted in BenchHarnessSpec's width model
@@ -408,7 +448,8 @@ object Bench {
                                   sharedBuildSec: Double,
                                   loadPre: Option[(Double, Double)] = None,
                                   loadPost: Option[(Double, Double)] = None,
-                                  shufflePartitions: Int = 0): String = {
+                                  shufflePartitions: Int = 0,
+                                  chainSecs: Seq[(String, Double)] = Seq.empty): String = {
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
       "%.2f", java.lang.Double.valueOf(v))
     // runs_sec is the RAW array in execution order (median derived) —
@@ -426,10 +467,17 @@ object Bench {
     // without a replay session (the r16-r18 adjudication gap).
     def loadJson(l: Option[(Double, Double)]): String =
       l.map { case (a, b) => s"[${ms(a)}, ${ms(b)}]" }.getOrElse("null")
+    // per-chain wall times (execution overlaps: the chains run in
+    // parallel, so these attribute WHERE a slow build window went —
+    // they do not sum to shared_build_sec)
+    val chainsJson = chainSecs
+      .map { case (n, t) => s""""${jsonEscape(n)}": ${ms(t)}""" }
+      .mkString("{", ", ", "}")
     s"""{
        |  "sf": "${sfDir.split('/').last}",
        |  "runs": $runs,
        |  "shared_build_sec": ${ms(sharedBuildSec)},
+       |  "shared_build_chains": $chainsJson,
        |  "loadavg_pre": ${loadJson(loadPre)},
        |  "loadavg_post": ${loadJson(loadPost)},
        |  "shuffle_partitions": $shufflePartitions,

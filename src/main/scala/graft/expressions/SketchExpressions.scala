@@ -198,6 +198,13 @@ case class SimHashBits(child: Expression, width: Int)
     val votes = new Array[Int](width)
     var i = 0
     while (i < n) {
+      // a null element is SKIPPED (absent token), never read: ArrayData
+      // .getLong on a null slot silently returns 0, which would cast a
+      // full down-vote on every bit and skew the signature instead of
+      // failing. Current callers (q223's contract gates) never produce
+      // null hashes; this pins the latent case.
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val h = arr.getLong(i)
       var b = 0
       while (b < width) {
@@ -205,6 +212,7 @@ case class SimHashBits(child: Expression, width: Int)
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0

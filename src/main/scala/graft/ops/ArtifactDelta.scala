@@ -93,9 +93,16 @@ object ArtifactDelta {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_artifact_delta_merge" -> ((s, d) => {
-      // per-run work: ONLY the delta build + manifest-sized merges
+      // per-run work: ONLY the delta build + manifest-sized merges.
+      // The delta manifest is materialized ONCE (localCheckpoint): three
+      // branches of the registered plan read it (the broadcast anti-join
+      // id set, mergedTot, deltaTot), and an unmaterialized frame would
+      // re-run the delta gram explosion per branch — 3x the claimed
+      // per-run cost (r19 ADVICE). Blocks are reclaimed by ContextCleaner
+      // on driver GC (Bench collects between queries).
       val delta = manifestOf(
         Tables.documents(s, d).filter(isDelta(col("doc_id"))))
+        .localCheckpoint()
       val base = baseManifest(s, d)
       val merged = mergeManifests(base, delta)
       val mergedTot = merged.agg(

@@ -102,10 +102,9 @@ object Dedup {
     // blocks outlived driver GC and later queries paid in memory pressure.)
     // Set sizes are re-derived as posting counts per doc — shingles() emits
     // distinct shingles, so the count equals size(sh) exactly.
-    val posting = shingleSets(s, d)
+    val posting = FrameMemo.scratch(shingleSets(s, d)
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle")))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val filtered = posting.join(rare.select("shingle"), Seq("shingle"))
@@ -245,9 +244,8 @@ object Dedup {
     // shingle arrays are recomputed for the (small) candidate verification
     // joins below rather than checkpointed, keeping array blocks out of
     // the block store (see jaccardPairs for why that residency matters)
-    val sigs = shingleSets(s, d)
-      .select(col("doc_id"), col("lang"), minhashSignature(col("sh")).as("sig"))
-      .localCheckpoint()
+    val sigs = FrameMemo.scratch(shingleSets(s, d)
+      .select(col("doc_id"), col("lang"), minhashSignature(col("sh")).as("sig")))
     val sets = shingleSets(s, d)
     val bands = sigs.select(col("doc_id"), col("lang"),
       explode(array((0 until 8).map(b =>
@@ -492,9 +490,9 @@ object Dedup {
     */
   private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
     FrameMemo.cached(s, d, "simhashPairs") {
-      val sigs = Tables.documents(s, d).select(
+      val sigs = FrameMemo.scratch(Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
-        simhash(tokens(col("text"))).as("sig")).localCheckpoint()
+        simhash(tokens(col("text"))).as("sig")))
       val chunks = sigs.select(col("doc_id"), col("lang"), col("sig"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

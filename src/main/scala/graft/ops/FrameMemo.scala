@@ -46,22 +46,70 @@ object FrameMemo {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Per-thread stack of build-local scratch registries: each in-flight
+    * `cached` build on this thread pushes a list; [[scratch]] registers
+    * intermediates into the innermost one. A plain ThreadLocal suffices —
+    * builds never migrate threads mid-closure (Bench's chains each run
+    * their whole chain on one Future thread).
+    */
+  private val buildScratch =
+    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[DataFrame]]] {
+      override def initialValue() = new java.util.ArrayDeque[java.util.ArrayList[DataFrame]]()
+    }
+
+  /** A BUILD-LOCAL intermediate checkpoint (the posting list a pair
+    * build self-joins, a signature frame joined twice): materialized
+    * now, and RELEASED as soon as the enclosing [[cached]] build's final
+    * artifact is itself materialized — at that point the artifact's
+    * lineage is cut, so nothing can ever read the intermediate again,
+    * win OR lose. Without this, a build losing a cross-chain race
+    * released only its final frame (r18 fix) while its nested
+    * checkpoints stayed block-store resident for the session (r19
+    * ADVICE) — and even WINNING builds held intermediates forever.
+    * Outside any `cached` build this is a plain localCheckpoint and the
+    * caller manages the lifetime (registered queries that call builder
+    * functions directly keep their semantics).
+    */
+  def scratch(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    val stack = buildScratch.get()
+    if (!stack.isEmpty) stack.peek().add(c)
+    c
+  }
+
+  /** Materialize `build`'s result, releasing every [[scratch]]
+    * intermediate the build registered — on success AND on failure (a
+    * throwing build must not leak its partial chain).
+    */
+  private def materializeReleasingScratch(build: => DataFrame): DataFrame = {
+    val frames = new java.util.ArrayList[DataFrame]()
+    val stack = buildScratch.get()
+    stack.push(frames)
+    try build.localCheckpoint()
+    finally {
+      stack.pop()
+      frames.forEach(f =>
+        org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(f))
+    }
+  }
+
   def cached(s: SparkSession, dir: String, key: String)
             (build: => DataFrame): DataFrame =
-    if (!memoizable(dir)) build.localCheckpoint()
+    if (!memoizable(dir)) materializeReleasingScratch(build)
     else {
       val k = (s, s"$dir|$key")
       val hit = memo.get(k)
       if (hit != null) hit
       else {
-        val built = build.localCheckpoint()
+        val built = materializeReleasingScratch(build)
         val raced = memo.putIfAbsent(k, built)
         if (raced != null) {
           // losing a cross-chain race (reachable since Bench's parallel
           // build chains, r18): nothing will ever read the losing frame,
           // but its eager localCheckpoint blocks would stay block-store
           // resident for the session and silently pad the bench line's
-          // `blk` residency figures — release them now.
+          // `blk` residency figures — release them now (its scratch
+          // intermediates were already released above).
           org.apache.spark.sql.graft.ColumnBridge.releaseCheckpoint(built)
           raced
         } else built

@@ -125,7 +125,7 @@ object ImageHash {
     FrameMemo.cached(s, d, "dhashPairs") {
       import org.apache.spark.sql.functions._
       // one decode pass serves both join sides
-      val sigs = dhashFrame(s, d).select("doc_id", "dhash").localCheckpoint()
+      val sigs = FrameMemo.scratch(dhashFrame(s, d).select("doc_id", "dhash"))
       val chunks = sigs.select(col("doc_id"), col("dhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

@@ -220,8 +220,8 @@ object PqOps {
     def build() = {
       val pts = quantizedPts(s, d)
       val coarse = trainCoarse(pts)
-      val books = trainCodebooks(
-        residualsOf(pts, coarse).select("vec_id", "q").localCheckpoint())
+      val books = trainCodebooks(FrameMemo.scratch(
+        residualsOf(pts, coarse).select("vec_id", "q")))
       (coarse, books)
     }
     if (!FrameMemo.memoizable(d)) build()

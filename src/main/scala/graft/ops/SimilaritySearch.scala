@@ -214,7 +214,7 @@ object SimilaritySearch {
       // localCheckpoint, not cache(): both the query side and the corpus
       // side read it, and checkpoint blocks are freed on GC instead of
       // pinning executor storage for the whole session
-      val assigned = assignClusters(e, centroids).localCheckpoint()
+      val assigned = FrameMemo.scratch(assignClusters(e, centroids))
       val q = probeClusters(e.filter(col("vec_id") < 10), centroids, nprobe = 2)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
       val w5 = Window.partitionBy("query_id")
@@ -285,11 +285,10 @@ object SimilaritySearch {
     // the self-join read it, and at 24 bytes/row it's block-store-cheap
     // (the projection also keeps re-running the 32 hyperplane dot
     // products per vector from happening 4x)
-    val sigs = e.select(col("vec_id"),
+    val sigs = FrameMemo.scratch(e.select(col("vec_id"),
       explode(array((0 until 8).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col("v"), t, 4).as("bucket"))): _*)).as("sig"))
-      .select(col("vec_id"), col("sig.tbl"), col("sig.bucket"))
-      .localCheckpoint()
+      .select(col("vec_id"), col("sig.tbl"), col("sig.bucket")))
     val keepBuckets = sigs.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("pop"))
       .filter(col("pop") <= MaxBucketPopulation)

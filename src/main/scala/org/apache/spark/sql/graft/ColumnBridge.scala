@@ -82,4 +82,17 @@ object ColumnBridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Storage level of the RDD behind a checkpointed frame — the
+    * release-contract specs' observability hook (unpersist flips the
+    * level to NONE synchronously on the RDD object, so "released" is
+    * directly assertable). None for non-checkpoint plans.
+    */
+  def checkpointStorageLevel(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.storage.StorageLevel] =
+    analyzedPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Some(lr.rdd.getStorageLevel)
+      case _ => None
+    }
 }

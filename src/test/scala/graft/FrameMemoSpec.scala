@@ -35,6 +35,43 @@ class FrameMemoSpec extends AnyFunSuite {
     assert(builds == 2)
   }
 
+  test("scratch intermediates are released once the enclosing build materializes") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.storage.StorageLevel
+    // win path: the artifact survives, the build-local intermediate's
+    // blocks do not (r19 ADVICE: losing builds released only their FINAL
+    // frame; nested checkpoints stayed block-store resident — and winning
+    // builds held theirs forever)
+    var inner: org.apache.spark.sql.DataFrame = null
+    val built = FrameMemo.cached(spark, "/root/testdata/sf0.001",
+      s"scratch-spec-${System.nanoTime()}") {
+      inner = FrameMemo.scratch(Seq(1, 2, 3).toDF("x"))
+      inner.select((org.apache.spark.sql.functions.col("x") * 2).as("y"))
+    }
+    assert(built.count() == 3, "artifact must stay readable after scratch release")
+    assert(ColumnBridge.checkpointStorageLevel(inner).contains(StorageLevel.NONE),
+      "build-local intermediate must be unpersisted once the artifact materializes")
+    assert(!ColumnBridge.checkpointStorageLevel(built).contains(StorageLevel.NONE),
+      "the memoized artifact itself must stay resident")
+    // outside any build: plain localCheckpoint, caller owns the lifetime
+    val free = FrameMemo.scratch(Seq(4).toDF("x"))
+    assert(!ColumnBridge.checkpointStorageLevel(free).contains(StorageLevel.NONE))
+    assert(free.count() == 1)
+    ColumnBridge.releaseCheckpoint(free)
+    // a THROWING build must release its scratch chain too
+    var leaky: org.apache.spark.sql.DataFrame = null
+    intercept[RuntimeException] {
+      FrameMemo.cached(spark, "/root/testdata/sf0.001",
+        s"scratch-boom-${System.nanoTime()}") {
+        leaky = FrameMemo.scratch(Seq(5).toDF("x"))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(ColumnBridge.checkpointStorageLevel(leaky).contains(StorageLevel.NONE),
+      "a failed build must not leak its partial scratch chain")
+  }
+
   test("a non-memoizable dir builds fresh each call but still returns a materialized frame") {
     import spark.implicits._
     var builds = 0

@@ -33,6 +33,18 @@ class SignatureContractSpec extends AnyFunSuite {
     assert(one == 0xA5L)
   }
 
+  test("SimHashBits: a null element is skipped, never voted as hash 0") {
+    // [0xA5, null] must equal [0xA5] alone — ArrayData.getLong on a null
+    // slot silently reads 0, which would down-vote every bit (r19
+    // ADVICE latent case). array(h, null-long) types as
+    // array<bigint, containsNull=true>.
+    val withNull = Seq(0xA5L).toDF("h")
+      .select(simhashBits(array(col("h"),
+        lit(null).cast("long")), 8).as("s"))
+      .head().getLong(0)
+    assert(withNull == 0xA5L, "null element must not skew the vote")
+  }
+
   test("foldFp: hand fold, negative hashes pmod'd into range") {
     val p = graft.functions.TextFunctions.FoldPrime
     val hs = Seq(7L, -3L, 123456789L)
