@@ -225,6 +225,12 @@ object Bench {
             ops.NoveltyCurve.Ns.foreach(n =>
               ops.ShingleStore.splitGrams(spark, sfDir, n))
             ops.ShingleStore.df3(spark, sfDir)
+            // the q227 snapshot-maintenance assets (r20): the stored
+            // base split-count manifest + the from-scratch flag-table
+            // audit totals (reads the splitGrams(3) memo built above —
+            // same-chain ordering)
+            ops.ShingleDelta.baseCounts(spark, sfDir)
+            ops.ShingleDelta.scratchFlagTotals(spark, sfDir)
             // the r19 q220-variance fix: quality scores + the vocab
             // count table as stored columns (read by q98/q220)
             ops.CorpusReports.qualityScored(spark, sfDir)
@@ -303,7 +309,10 @@ object Bench {
     val detailPath = if (only.isEmpty) DetailFile else DetailFile + ".subset"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       renderDetail(results, sfDir, runs, sharedBuildSec,
-        loadPre, loadPost, shufflePartitions.toInt, chainSecs)
+        loadPre, loadPost, shufflePartitions.toInt, chainSecs,
+        streaming.StreamingMetrics.snapshot,
+        Some((ops.ArtifactStore.codeFingerprint,
+          ops.ArtifactStore.stats._1, ops.ArtifactStore.stats._2)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(renderLine(results, sfDir, runs, sharedBuildSec, sharedBuildFailed,
       Some((residPre, residPost)), (loadPre, loadPost),
@@ -449,7 +458,9 @@ object Bench {
                                   loadPre: Option[(Double, Double)] = None,
                                   loadPost: Option[(Double, Double)] = None,
                                   shufflePartitions: Int = 0,
-                                  chainSecs: Seq[(String, Double)] = Seq.empty): String = {
+                                  chainSecs: Seq[(String, Double)] = Seq.empty,
+                                  streamingRuns: Map[String, streaming.StreamingMetrics.Run] = Map.empty,
+                                  storeStats: Option[(String, Int, Int)] = None): String = {
     def ms(v: Double): String = String.format(java.util.Locale.ROOT,
       "%.2f", java.lang.Double.valueOf(v))
     // runs_sec is the RAW array in execution order (median derived) —
@@ -473,6 +484,18 @@ object Bench {
     val chainsJson = chainSecs
       .map { case (n, t) => s""""${jsonEscape(n)}": ${ms(t)}""" }
       .mkString("{", ", ", "}")
+    // the streaming family's engine counters from each query's LAST
+    // replay: a slow streaming line with a normal batch count and
+    // commit time is host IO/scheduling (the session-random jitter
+    // victim pattern), proven from this file alone; an abnormal count
+    // names the engine-side cause. trigger_ms is what the engine itself
+    // billed to batch execution — the gap to the run time is harness
+    // start/stop cost.
+    val streamingJson = streamingRuns.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"""    "$k": {"batches": ${r.batches}, "input_rows": ${r.inputRows}, """ +
+        s""""state_commit_ms": ${r.stateCommitMs}, """ +
+        s""""state_update_ms": ${r.stateUpdateMs}, "trigger_ms": ${r.triggerMs}}"""
+    }.mkString(",\n")
     s"""{
        |  "sf": "${sfDir.split('/').last}",
        |  "runs": $runs,
@@ -481,6 +504,12 @@ object Bench {
        |  "loadavg_pre": ${loadJson(loadPre)},
        |  "loadavg_post": ${loadJson(loadPost)},
        |  "shuffle_partitions": $shufflePartitions,
+       |  "artifact_store": ${storeStats.map { case (fp, h, m) =>
+            s"""{"fingerprint": "${jsonEscape(fp)}", "hits": $h, "misses": $m}"""
+          }.getOrElse("null")},
+       |  "streaming": {
+       |$streamingJson
+       |  },
        |  "queries": {
        |$qs
        |  },

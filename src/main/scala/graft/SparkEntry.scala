@@ -114,7 +114,8 @@ object SparkEntry {
     m(ops.SketchReport.queries, ops.SketchReport.oracleSql, ops.SketchReport.rowsOnly),
     m(ops.SignatureContract.queries, ops.SignatureContract.oracleSql, ops.SignatureContract.rowsOnly),
     m(ops.ArtifactDelta.queries, ops.ArtifactDelta.oracleSql, ops.ArtifactDelta.rowsOnly),
-    m(ops.CrossModalDedup.queries, ops.CrossModalDedup.oracleSql, ops.CrossModalDedup.rowsOnly)
+    m(ops.CrossModalDedup.queries, ops.CrossModalDedup.oracleSql, ops.CrossModalDedup.rowsOnly),
+    m(ops.ShingleDelta.queries, ops.ShingleDelta.oracleSql, ops.ShingleDelta.rowsOnly)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -96,9 +96,10 @@ object NoveltyCurve {
     }))
 
   /** DuckDB gram-list comprehension for word n-grams over `w` — the
-    * FiveGramCtes pattern generalized to any n.
+    * FiveGramCtes pattern generalized to any n. private[graft]: q227's
+    * oracle replays the same shingle grain.
     */
-  private def gramList(n: Int): String = {
+  private[graft] def gramList(n: Int): String = {
     val g = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     val hi = if (n == 1) "len(w) + 1" else s"len(w) - ${n - 2}"
     s"list_distinct(CASE WHEN len(w) >= $n THEN [$g FOR i IN range(1, $hi)] ELSE [] END)"

@@ -236,7 +236,8 @@ object EventsStreaming {
     * plain parquet the commit is write-tmp-then-swap.
     */
   def upsertHourlyFact(s: SparkSession, events: DataFrame,
-                       factDir: String): StreamingQuery = {
+                       factDir: String,
+                       checkpointDir: Option[String] = None): StreamingQuery = {
     val totals = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       // decimal-exact like hourlyCounts: the upserted fact is compared
@@ -262,6 +263,7 @@ object EventsStreaming {
         commitSwap(tmpDir, dst)
       }
       .trigger(Trigger.AvailableNow())
+      .options(checkpointDir.map("checkpointLocation" -> _).toMap)
       .start()
   }
 
@@ -302,7 +304,8 @@ object EventsStreaming {
     * — executor state is zero, the gold table itself is the state.
     */
   def incrementalDailyGold(s: SparkSession, events: DataFrame,
-                           goldDir: String): StreamingQuery =
+                           goldDir: String,
+                           checkpointDir: Option[String] = None): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val dst = new java.io.File(goldDir)
@@ -344,6 +347,7 @@ object EventsStreaming {
         }
       }
       .trigger(Trigger.AvailableNow())
+      .options(checkpointDir.map("checkpointLocation" -> _).toMap)
       .start()
 
   /** Batch-id ledger filename inside the gold dir (underscore-prefixed:
@@ -414,6 +418,25 @@ object EventsStreaming {
     * side channel, which is why this returns them instead of the query
     * re-deriving drop counts from data.
     */
+  /** Throwaway checkpoint root for a bounded replay, on tmpfs when the
+    * host has one: every micro-batch commits offset/commit-log files
+    * plus one state delta PER STATE PARTITION to the checkpoint dir, and
+    * the default temp location puts that on the same disk the parquet
+    * scans contend for. The replay is bounded and the sink is memory —
+    * durability of the checkpoint buys nothing here (a production query
+    * puts it on shared storage for exactly-once recovery; these replays
+    * rebuild from zero by design, that's the measured work). Deleted
+    * after the run; None (Spark's default temp dir) when tmpfs is
+    * missing or unwritable.
+    */
+  private[graft] def replayCheckpointDir(name: String): Option[String] =
+    try {
+      val base = java.nio.file.Paths.get("/dev/shm/graft_ckpt")
+      java.nio.file.Files.createDirectories(base)
+      val dir = java.nio.file.Files.createTempDirectory(base, name + "-")
+      Some(dir.toString)
+    } catch { case _: Throwable => None }
+
   def runWithProgress(s: SparkSession, streamed: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Append,
                       statePartitions: Option[Int] = None)
@@ -421,17 +444,27 @@ object EventsStreaming {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     statePartitions.foreach(n => s.conf.set(key, n.toString))
+    val ckpt = replayCheckpointDir(name)
     val progress =
       try {
-        val q: StreamingQuery = streamed.writeStream
+        val writer = streamed.writeStream
           .outputMode(mode)
           .format("memory")
           .queryName(name)
           .trigger(Trigger.AvailableNow())
-          .start()
+        val q: StreamingQuery =
+          ckpt.fold(writer)(c => writer.option("checkpointLocation", c)).start()
         q.awaitTermination()
         q.recentProgress.toSeq
-      } finally s.conf.set(key, saved)
+      } finally {
+        s.conf.set(key, saved)
+        ckpt.foreach(c => new scala.reflect.io.Directory(
+          new java.io.File(c)).deleteRecursively())
+      }
+    // observability registry (BENCH_DETAIL's streaming section): batch
+    // count + state commit time per completed replay, so a slow bench
+    // line self-reports whether the engine did abnormal work
+    StreamingMetrics.record(name, progress)
     (s.table(name), progress)
   }
 }

@@ -343,7 +343,12 @@ object StreamingQueries {
     "q127_stream_gold_additive" -> ((s, d) => {
       val gold = scratchDir("gold", d)
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
-      EventsStreaming.incrementalDailyGold(s, stream, gold).awaitTermination()
+      val ckpt = EventsStreaming.replayCheckpointDir("q127")
+      val q = EventsStreaming.incrementalDailyGold(s, stream, gold, ckpt)
+      try q.awaitTermination()
+      finally ckpt.foreach(c => new scala.reflect.io.Directory(
+        new java.io.File(c)).deleteRecursively())
+      StreamingMetrics.record("q127_stream_gold_additive", q.recentProgress.toSeq)
       s.read.parquet(gold)
         .select(col("day"), col("event_type"),
           col("revenue").cast("double").as("revenue"), col("n_events"))
@@ -359,7 +364,12 @@ object StreamingQueries {
     "q128_stream_fact_upsert" -> ((s, d) => {
       val fact = scratchDir("fact", d)
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
-      EventsStreaming.upsertHourlyFact(s, stream, fact).awaitTermination()
+      val ckpt = EventsStreaming.replayCheckpointDir("q128")
+      val q = EventsStreaming.upsertHourlyFact(s, stream, fact, ckpt)
+      try q.awaitTermination()
+      finally ckpt.foreach(c => new scala.reflect.io.Directory(
+        new java.io.File(c)).deleteRecursively())
+      StreamingMetrics.record("q128_stream_fact_upsert", q.recentProgress.toSeq)
       s.read.parquet(fact)
         .select(col("hour"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value"))

@@ -74,6 +74,22 @@ class BenchHarnessSpec extends AnyFunSuite {
       .contains(""""shared_build_chains": {}"""))
   }
 
+  test("streaming engine counters render in the detail doc") {
+    // the self-diagnosing jitter evidence (r19 verdict #3): batch count
+    // + state commit time per replay, from the engine's own progress
+    val results = Seq("q116_s" -> (Right(Seq(1.0)): Either[String, Seq[Double]]))
+    val detail = Bench.renderDetail(results, "/sf", runs = 3, sharedBuildSec = 0.0,
+      streamingRuns = Map("q116_s" ->
+        streaming.StreamingMetrics.Run(4, 60000L, 123L, 45L, 2000L)))
+    assert(detail.contains(
+      """"q116_s": {"batches": 4, "input_rows": 60000, "state_commit_ms": 123, """ +
+        """"state_update_ms": 45, "trigger_ms": 2000}"""))
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
+    // metric-less runs render an empty section, not invalid JSON
+    assert(Bench.renderDetail(results, "/sf", runs = 3, sharedBuildSec = 0.0)
+      .contains(""""streaming": {"""))
+  }
+
   test("the JSON line fits the capture window at ANY registry size") {
     // The round harness keeps only the last ~2000 chars of stdout, and
     // sbt appends its "[success] Total time ..." trailer after the

@@ -322,9 +322,13 @@ class PlanSpec extends AnyFunSuite {
                                      // it scores against (both shapes above)
       "q216_event_funnel",           // 1-row stage-1 base fold crossed onto
                                      // the 3-row stage report (q114 shape)
-      "q224_artifact_delta_merge")   // four 1-row total folds crossed into
+      "q224_artifact_delta_merge",   // four 1-row total folds crossed into
                                      // the single report row (q114 shape:
                                      // delta/base/merged/scratch totals)
+      "q227_shingle_delta_merge")    // five 1-row total folds (delta docs,
+                                     // base/affected digests, merged +
+                                     // scratch flag fingerprints) crossed
+                                     // into the single report row
     // each of these executes a streaming job just to build its frame,
     // and the plan the sweep would see is only the memory-sink scan —
     // their real (streaming) plans are covered by StreamingSpec's pins
