@@ -154,3 +154,31 @@ object MrlSketch {
   def apply(k: Int, qs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MrlSketch(k, qs), Encoders.scalaDouble)
 }
+
+/** The RAW-BUFFER form of [[MrlSketch]]: same reduce/merge machinery,
+  * but `finish` returns the normalized mergeable buffer itself instead
+  * of quantile cuts — the store-per-slice shape (q61's HLL registers,
+  * q73's MG counters): each slice's sketch is a stored value, and any
+  * later rollup is an explicit [[MrlSketch.merge]], never a rescan.
+  * q228 uses it to make mergeability a driver-hash-gated FACT: two
+  * half-corpus buffers built independently, merged once at the model
+  * edge, gated against the full-corpus exact quantiles.
+  */
+class MrlSketchRaw(k: Int) extends Aggregator[Double, MrlBuf, MrlBuf] {
+  private val inner = new MrlSketch(k, Seq(0.5))
+  override def zero: MrlBuf = inner.zero
+  override def reduce(b: MrlBuf, x: Double): MrlBuf = inner.reduce(b, x)
+  override def merge(a: MrlBuf, b: MrlBuf): MrlBuf = inner.merge(a, b)
+  // merge-with-zero flushes the level-0 insert buffer, so the emitted
+  // value is in canonical leveled form (l0 empty) — stable to persist
+  override def finish(r: MrlBuf): MrlBuf = inner.merge(r, inner.zero)
+  override def bufferEncoder: Encoder[MrlBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MrlBuf]()
+  override def outputEncoder: Encoder[MrlBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MrlBuf]()
+}
+
+object MrlSketchRaw {
+  def apply(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MrlSketchRaw(k), Encoders.scalaDouble)
+}

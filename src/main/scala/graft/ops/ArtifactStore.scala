@@ -50,27 +50,51 @@ object ArtifactStore {
   private[graft] def rootSetting: String =
     rootOverride.getOrElse(sys.env.getOrElse(EnvVar, DefaultRoot))
 
-  /** Artifact keys worth persisting: the top of the measured per-chain
-    * build cost (BENCH_DETAIL shared_build_chains), all bounded,
-    * parquet-clean frames whose content is PARTITION-ORDER-INDEPENDENT —
-    * hash joins, integer counts, and per-row float math only. Artifacts
-    * derived from floating-point AGGREGATIONS (k-means centroids → PQ
-    * codes/IVF index, the Gram matrix) are deliberately excluded: their
-    * low-order bits can vary with the writing session's partitioning,
-    * and a cross-session read must be bit-identical to what this session
-    * would have built. Everything else stays in-session only.
+  /** Artifact keys worth persisting: the FrameMemo artifacts built in
+    * Bench's shared chains, all bounded, parquet-clean frames whose
+    * content is PARTITION-ORDER-INDEPENDENT — hash joins, integer
+    * counts/sums (this repo's integer-exact discipline: q132/q147 Lloyd
+    * rounds, q157 micro-nats, q149's order-pinned float sums), and
+    * per-row float math. Artifacts derived from floating-point
+    * AGGREGATIONS whose summation order Spark chooses are deliberately
+    * excluded — their low-order bits can vary with the WRITING session's
+    * partitioning, and a cross-session read must be bit-identical to
+    * what the reading session would have built. Excluded on those
+    * grounds: knnIvfTop5 (double-mean k-means centroids) and the
+    * embedding Gram / PQ coarse model (driver-side Maps, not frames,
+    * anyway). Everything else stays in-session only.
     */
   private[graft] val PersistKeys: Set[String] = Set(
-    // ann chain: the exact k-NN graph's O(n²/bucket) self-join + the
-    // LSH candidate pair frame it is scored against (per-pair cosines:
-    // per-row arithmetic over the stored vectors, order-independent)
-    "knnGraphExact", "lshCandidatesWithCos",
+    // ann chain: the exact k-NN graph's O(n²/bucket) self-join, the LSH
+    // candidate pair frame, and the derived anchor/method frames
+    // (per-pair cosines are per-row arithmetic over stored vectors;
+    // ranks tie-break on ids)
+    "knnGraphExact", "knnGraphLsh", "knnExactTop5", "knnLshTop5",
+    "lshCandidatesWithCos", "hybridRrfRanked",
     // dedup chain: the shingle/minhash/simhash/dhash pair graphs
-    // (integer hashes, integer intersection counts, one division)
+    // (integer hashes, integer intersection counts, one division) + the
+    // min-based connected-component group rows
     "jaccard:0.2:100", "minhashLsh:0.2", "simhashPairs", "dhashPairs",
-    // chargram chain: the (doc_id, p, h) gram stream every downstream
-    // posting/fingerprint asset re-reads (per-row polynomial hashes)
-    "gramStream")
+    "lshGroupRows",
+    // pq chain: int8-quantized points, exact-integer-Lloyd-trained
+    // codes, the IVF-PQ index + memoized search frame (integer
+    // distances, id tie-breaks)
+    "pq_pts", "pq_codes", "pq_ivf_index", "ivfPqTop5",
+    // dsir: exact-integer micro-nat importance scores
+    "dsirScores",
+    // chargram chain: the (doc_id, p, h) gram stream + its df-capped
+    // and winnowed derivations + the q224 manifest assets (integer
+    // hashes, counts, mod-2^64 fingerprint sums)
+    "gramStream", "gramStreamDf20", "winnowFingerprints",
+    "gramManifestBase", "gramScratchTotals",
+    // shingle chain: split-membership flags, df table, q227 count
+    // manifest + audit totals, the memoized quality/token pops
+    "splitGrams:1", "splitGrams:2", "splitGrams:3", "splitGrams:5",
+    "splitGrams:8", "shingleDf:3", "shingleCountsBase:3",
+    "shingleFlagTotals:3", "qualityScored", "tokenCounts",
+    // curation chain: scored docs (per-row scores), the 5-gram posting
+    // assets, per-doc repetition signals
+    "scoredDocs", "fiveGramMeta", "fiveGramPosting", "repSignals")
 
   /** Store enabled: not turned off, and the code fingerprint resolvable
     * (a null code source — exotic classloader — disables persistence

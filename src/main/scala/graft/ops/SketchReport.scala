@@ -160,8 +160,65 @@ object SketchReport {
     */
   private[graft] val MrlK = 1024
 
+  /** q228's merged-halves sketch: (grp, cuts, records, tol). The two
+    * halves (l_orderkey parity — deterministic, disjoint, covering) are
+    * sketched as INDEPENDENT distributed aggregations producing raw
+    * mergeable buffers; the cross-half rollup is one explicit
+    * [[graft.functions.MrlSketch.merge]] per returnflag at the model
+    * edge (≤ 2·|returnflags| KiB-scale buffers collected — the bounded
+    * collect class). This is the PODS'12 mergeable-summaries claim as
+    * an executed fact rather than a spec assertion: sketches built with
+    * no knowledge of each other, merged once, still inside the merged
+    * sketch's own self-certified tolerance against the full-corpus
+    * exact. At 100 TB the halves are per-partition/per-day stored
+    * sketch values and this merge is the rollup query.
+    */
+  private[graft] def mrlMergedHalves(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(0.25, 0.5, 0.75)
+    val bufs = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("grp"),
+        pmod(col("l_orderkey"), lit(2)).as("half"))
+      .agg(graft.functions.MrlSketchRaw(MrlK)(
+        col("l_extendedprice").cast("double")).as("buf"))
+      .select("grp", "buf")
+      .collect()
+    def bufOf(r: org.apache.spark.sql.Row): graft.functions.MrlBuf = {
+      val b = r.getStruct(1)
+      graft.functions.MrlBuf(
+        b.getAs[scala.collection.Seq[Double]]("l0").toArray,
+        b.getAs[Int]("l0n"),
+        b.getAs[scala.collection.Seq[Double]]("vals").toArray,
+        b.getAs[scala.collection.Seq[Int]]("lvls").toArray,
+        b.getAs[Long]("n"), b.getAs[Long]("err"))
+    }
+    val sk = new graft.functions.MrlSketch(MrlK, qs)
+    val merged = bufs.groupBy(_.getString(0)).toSeq.map { case (grp, rows) =>
+      val buf = rows.map(bufOf).reduce(sk.merge)
+      val (cuts, n, tol) = sk.finish(buf)
+      (grp, cuts, n, tol)
+    }
+    merged.toDF("grp", "cuts", "records", "tol")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_sketch_error_report" -> ((s, d) => report(s, d)),
+
+    // MERGEABILITY AS A DRIVER-HASH-GATED FACT (r19 verdict #6a): two
+    // independently built half-corpus MRL sketches, explicitly merged,
+    // gated against the full-corpus exact quantiles under the MERGED
+    // sketch's own self-certified tolerance. Same gate machinery and
+    // oracle shape as q220's q226 rows.
+    "q228_mrl_merge_gate" -> ((s, d) => {
+      val prices = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("grp"),
+        col("l_extendedprice").cast("double").as("v"))
+      gkSection("q228_mrl_merge_halves", prices,
+        mrlMergedHalves(s, d).select(col("grp"), col("cuts"),
+          col("records"), (col("tol") + 1).cast("double").as("tol")),
+        Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+        .orderBy("sketch", "item")
+    }),
 
     // the mergeable quantile summary itself (the store-per-slice form:
     // per returnflag, the quantile cuts + records + the self-certified
@@ -230,7 +287,20 @@ object SketchReport {
          |        FROM quality GROUP BY grp),
          |       (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS i)
          |)
-         |ORDER BY sketch, item""".stripMargin)
+         |ORDER BY sketch, item""".stripMargin,
+
+    // q228: same exact-side replay as q220's q226 rows — the oracle's
+    // TRUE is the merged sketch's guarantee
+    "q228_mrl_merge_gate" ->
+      """SELECT 'q228_mrl_merge_halves' AS sketch,
+        |       grp || ':' || ['p25','p50','p75'][i] AS item,
+        |       ROUND(qs[i], 6) AS exact_v, TRUE AS within
+        |FROM (SELECT l_returnflag AS grp,
+        |             quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |                           [0.25, 0.5, 0.75]) AS qs
+        |      FROM lineitem GROUP BY grp),
+        |     (SELECT unnest([1, 2, 3]) AS i)
+        |ORDER BY sketch, item""".stripMargin)
 
   /** The MRL cuts are deterministic GIVEN a merge tree, but Spark picks
     * the tree — rows-only; its guarantee is hash-gated by q220's

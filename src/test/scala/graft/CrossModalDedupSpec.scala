@@ -45,4 +45,35 @@ class CrossModalDedupSpec extends AnyFunSuite {
     // conservation: every pair classified exactly once
     assert(got.values.sum == (v ++ t).size.toLong)
   }
+
+  test("q229: resolution counts are the exact verdict algebra over the classed pairs") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q229_crossmodal_curation")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // spine complete, resolution bounded by pair count, ppm consistent
+    assert(rows.keySet == Set("both", "text_only", "visual_only"))
+    rows.foreach { case (cls, (n, res, ppm)) =>
+      assert(res <= n, s"$cls resolved > pairs")
+      val expPpm = if (n == 0) 0L else res * 1000000L / n
+      assert(ppm == expPpm, s"$cls ppm mismatch")
+    }
+    // exact recount: per class, resolved == pairs with >=1 non-keep
+    // verdict, recomputed independently from the stored frames
+    val verd = ops.TextAnalysis.exactVerdicts(spark, d)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v = ops.ImageHash.dhashPairs(spark, d)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = ops.Dedup.jaccardPairs(spark, d, threshold = 0.2)
+      .filter(pmod(col("doc_a"), lit(3)) < 2 && pmod(col("doc_b"), lit(3)) < 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def resolved(ps: Set[(Long, Long)]) =
+      ps.count { case (a, b) => verd(a) != "keep" || verd(b) != "keep" }.toLong
+    assert(rows("both")._2 == resolved(v & t))
+    assert(rows("visual_only")._2 == resolved(v -- t))
+    assert(rows("text_only")._2 == resolved(t -- v))
+  }
 }

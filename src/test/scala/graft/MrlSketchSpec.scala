@@ -74,4 +74,24 @@ class MrlSketchSpec extends AnyFunSuite {
     gate.foreach(r => assert(r.getAs[Boolean]("within"),
       s"MRL gate tripped: ${r.getAs[String]("item")}"))
   }
+
+  test("q228: two independently built half sketches merge inside the merged tolerance") {
+    val d = "/root/testdata/sf0.001"
+    val merged = ops.SketchReport.mrlMergedHalves(spark, d).collect()
+    assert(merged.length == 3, "one merged sketch per returnflag")
+    // records conservation: the merged n must equal the full lineitem
+    // count per returnflag — a dropped half would silently shrink it
+    val exact = graft.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { r =>
+      assert(r.getAs[Long]("records") == exact(r.getAs[String]("grp")),
+        s"merged record count drifted for ${r.getAs[String]("grp")}")
+    }
+    // and the registered gate holds
+    val gate = SparkEntry.queries("q228_mrl_merge_gate")(spark, d).collect()
+    assert(gate.length == 9)
+    gate.foreach(r => assert(r.getAs[Boolean]("within"),
+      s"merged-sketch gate tripped: ${r.getAs[String]("item")}"))
+  }
 }
