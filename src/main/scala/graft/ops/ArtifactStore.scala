@@ -250,9 +250,12 @@ object ArtifactStore {
     }
 
   /** Bounded disk: fp namespaces from previous builds can never be read
-    * again (the fingerprint moved), so drop them on first write. Best
-    * effort; concurrent sessions of the SAME build share one namespace
-    * and are unaffected.
+    * again (the fingerprint moved), so drop them on first write — along
+    * with any `.tmp.<nonce>` staging dirs a CRASHED writer left behind
+    * (they were never renamed into place, so nothing reads them; the
+    * 1-hour age guard keeps a concurrent in-flight writer's staging dir
+    * safe). Best effort; concurrent sessions of the SAME build share one
+    * namespace and are unaffected.
     */
   private def pruneStaleFingerprints(): Unit =
     try {
@@ -267,6 +270,17 @@ object ArtifactStore {
               p.getFileName.toString != keep)
             .foreach(p => new scala.reflect.io.Directory(p.toFile).deleteRecursively())
         } finally stream.close()
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        val walk = Files.walk(root, 3)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.contains(".tmp.") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+            .toSeq // materialize before deleting under the open walk stream
+            .foreach(p => new scala.reflect.io.Directory(p.toFile).deleteRecursively())
+        } finally walk.close()
       }
     } catch { case _: Throwable => () }
 }

@@ -111,4 +111,22 @@ class ArtifactStoreSpec extends AnyFunSuite {
       assert(live.exists(), "the current namespace must survive the prune")
     }
   }
+
+  test("crashed-writer staging dirs are pruned once stale, kept while fresh") {
+    import spark.implicits._
+    withScratchRoot { root =>
+      val ns = new java.io.File(root, s"fp${ArtifactStore.codeFingerprint}/dabc")
+      assert(ns.mkdirs())
+      val old = new java.io.File(ns, "gramStream_x.tmp.deadbeef")
+      val fresh = new java.io.File(ns, "gramStream_x.tmp.cafecafe")
+      assert(old.mkdirs() && fresh.mkdirs())
+      // age the crashed one past the 1-hour guard; leave the other fresh
+      assert(old.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+      // any write triggers the prune pass
+      ArtifactStore.readThrough(spark, "/root/testdata/sf0.001", "tokenCounts")(
+        Seq(1L).toDF("n").localCheckpoint())
+      assert(!old.exists(), "a stale crashed staging dir must be pruned")
+      assert(fresh.exists(), "an in-flight (fresh) staging dir must survive")
+    }
+  }
 }
