@@ -38,7 +38,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ArtifactStore {
 
   private val EnvVar = "SPARK_GRAFT_ARTIFACT_STORE"
-  private val DefaultRoot = "/tmp/graft_artifact_store"
+
+  /** Per-user default root (r20 ADVICE): a FIXED path in world-writable
+    * /tmp lets any local user pre-create it and plant parquet+_SUCCESS
+    * under the current fingerprint — bench/verify would read planted
+    * bytes as trusted artifacts. The user-name suffix plus the ownership
+    * check in [[rootTrusted]] closes that: a root owned by anyone else
+    * disables persistence instead of reading through it.
+    */
+  private val DefaultRoot = "/tmp/graft_artifact_store_" +
+    sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Test hook: redirect the store to a scratch root so specs can
     * exercise the read-through/round-trip/staleness mechanics without
@@ -82,6 +91,18 @@ object ArtifactStore {
     "pq_pts", "pq_codes", "pq_ivf_index", "ivfPqTop5",
     // dsir: exact-integer micro-nat importance scores
     "dsirScores",
+    // the q210/q214 embedding Gram cell frame (r21): exact int64 sums —
+    // regrouping-invariant, so cross-session bit-equality holds by
+    // construction; persisting it removes the dsir_gram chain's only
+    // per-session rebuild
+    "gramCells",
+    // the IVF-PQ trained model (coarse centroids + residual codebooks)
+    // encoded as a (kind, sub, cluster, dim, v) long frame (r21): the
+    // integer-exact Lloyd/codebook updates are deterministic and
+    // partition-order-independent (the q147 oracle hash-gates exactly
+    // that), so the driver-side Map persists as a small keyed file —
+    // r20 verdict #2's "persist the driver-side models" item
+    "pq_model",
     // chargram chain: the (doc_id, p, h) gram stream + its df-capped
     // and winnowed derivations + the q224 manifest assets (integer
     // hashes, counts, mod-2^64 fingerprint sums)
@@ -94,14 +115,51 @@ object ArtifactStore {
     "shingleFlagTotals:3", "qualityScored", "tokenCounts",
     // curation chain: scored docs (per-row scores), the 5-gram posting
     // assets, per-doc repetition signals
-    "scoredDocs", "fiveGramMeta", "fiveGramPosting", "repSignals")
+    "scoredDocs", "fiveGramMeta", "fiveGramPosting", "repSignals",
+    // the trained BPE tokenizer artifact (r21): merge table + final
+    // symbol state, integer/string-exact window algebra — the q135≡q140
+    // oracle gate is the partition-order-independence proof
+    "bpeTrained")
 
-  /** Store enabled: not turned off, and the code fingerprint resolvable
+  /** Store enabled: not turned off, the code fingerprint resolvable
     * (a null code source — exotic classloader — disables persistence
-    * rather than risking an unversioned namespace).
+    * rather than risking an unversioned namespace), and the root
+    * OWNED BY THIS USER ([[rootTrusted]]).
     */
   private[graft] def enabled: Boolean =
-    rootSetting != "off" && codeFingerprint.nonEmpty
+    rootSetting != "off" && codeFingerprint.nonEmpty && rootTrusted(rootSetting)
+
+  /** Ownership gate, memoized per root path: create the root if missing
+    * (0700 where POSIX applies) and accept it only when it is a real
+    * directory (not a symlink — a planted link would redirect writes and
+    * the prune walk) owned by the current user. A pre-created root owned
+    * by another user — the /tmp poisoning vector — disables persistence
+    * with one stderr line rather than trusting foreign parquet bytes.
+    */
+  private val trustMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def rootTrusted(root: String): Boolean =
+    trustMemo.computeIfAbsent(root, r => try {
+      val p = Paths.get(r)
+      if (!Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        try Files.createDirectory(p,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // concurrent session
+          case _: UnsupportedOperationException => Files.createDirectories(p)
+        }
+      }
+      val ok = Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS) && {
+        val owner = Files.getOwner(p).getName
+        val me = sys.props.getOrElse("user.name", "")
+        owner == me || me.isEmpty
+      }
+      if (!ok) System.err.println(s"[artifact-store] root $r is a symlink or " +
+        "owned by another user; persistence disabled for this session")
+      java.lang.Boolean.valueOf(ok)
+    } catch { case _: Throwable => java.lang.Boolean.FALSE })
 
   /** md5 over every .class file on this build's code source, sorted by
     * path — computed once per JVM (~MBs of class bytes, <1 s). Empty
@@ -208,27 +266,76 @@ object ArtifactStore {
       else None
     path match {
       case Some(p) if Files.exists(p.resolve("_SUCCESS")) =>
-        hitCount.incrementAndGet()
         // checkpoint the scan: consumers iterate over FrameMemo frames
         // (the materialized-frame contract), and the read IS the
-        // replaced build cost
-        s.read.parquet(p.toString).localCheckpoint()
+        // replaced build cost. The read can still fail AFTER the
+        // _SUCCESS check — a concurrent newer-build session's prune
+        // deleting this namespace mid-read, or a corrupt entry — and the
+        // documented contract is that store IO NEVER fails a build
+        // (r20 verdict #3): degrade to the rebuild, count it a miss,
+        // and drop the bad entry best-effort so the next session
+        // rebuilds cleanly too.
+        (try {
+          val read = s.read.parquet(p.toString).localCheckpoint()
+          hitCount.incrementAndGet()
+          Some(read)
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[artifact-store] read failed for $p: " +
+              s"${t.getClass.getSimpleName} (rebuilding)")
+            try deleteTreeNoFollow(p) catch { case _: Throwable => () }
+            None
+        }).getOrElse {
+          val built = materialize
+          missCount.incrementAndGet()
+          write(built, p, dir)
+          built
+        }
       case Some(p) =>
         val built = materialize
         missCount.incrementAndGet()
-        write(built, p)
+        write(built, p, dir)
         built
       case None => materialize
     }
   }
 
+  /** Recursive delete that NEVER follows symlinks (r20 ADVICE: a planted
+    * `fp*` symlink must delete the link, not the tree it points at).
+    * scala.reflect.io.Directory.deleteRecursively traverses via
+    * java.io.File.listFiles, which follows directory symlinks.
+    */
+  private[graft] def deleteTreeNoFollow(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val stream = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.foreach(deleteTreeNoFollow)
+      } finally stream.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Name of the per-d-namespace marker recording which SOURCE DIR the
+    * namespace was fingerprinted from — what lets the prune distinguish a
+    * DEAD d-namespace (its source dir re-fingerprints differently: the
+    * driver regenerated testdata at the same path) from a LIVE sibling
+    * (a different SF dir whose fingerprint still matches).
+    */
+  private[graft] val SourceMarker = "_source_dir"
+
   /** Atomic best-effort persist: write to a nonce'd sibling, rename into
     * place (same filesystem — atomic), lose gracefully to a concurrent
     * winner. Any failure leaves the store absent, never half-present.
     */
-  private def write(df: DataFrame, p: Path): Unit =
+  private def write(df: DataFrame, p: Path, sourceDir: String): Unit =
     try {
       Files.createDirectories(p.getParent)
+      val marker = p.getParent.resolve(SourceMarker)
+      if (!Files.exists(marker))
+        try Files.write(marker, Paths.get(sourceDir).toAbsolutePath.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
       val tmp = p.resolveSibling(
         s"${p.getFileName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       df.write.mode("overwrite").parquet(tmp.toString)
@@ -240,7 +347,7 @@ object ArtifactStore {
           // a concurrent session published first (identical content —
           // deterministic builds) or the rename cannot be atomic here:
           // keep the existing/absent state, drop our staging copy
-          new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+          deleteTreeNoFollow(tmp)
       }
       pruneStaleFingerprints()
     } catch {
@@ -257,30 +364,74 @@ object ArtifactStore {
     * safe). Best effort; concurrent sessions of the SAME build share one
     * namespace and are unaffected.
     */
+  /** Newest mtime anywhere within `p`'s tree (NOFOLLOW): a slow in-flight
+    * writer's staging DIR mtime stops updating once its part files exist,
+    * but the files it is still writing carry fresh mtimes — so freshness
+    * must be judged on the tree, not the dir (r20 ADVICE).
+    */
+  private def newestMtime(p: Path): Long =
+    try {
+      var newest = Files.getLastModifiedTime(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val stream = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.foreach(c => newest = math.max(newest, newestMtime(c)))
+        } finally stream.close()
+      }
+      newest
+    } catch { case _: Throwable => Long.MaxValue } // unreadable: treat as fresh
+
   private def pruneStaleFingerprints(): Unit =
     try {
       val root = Paths.get(rootSetting)
       if (Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        val noFollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
         val keep = s"fp$codeFingerprint"
         val stream = Files.list(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala
-            .filter(p => p.getFileName.toString.startsWith("fp") &&
-              p.getFileName.toString != keep)
-            .foreach(p => new scala.reflect.io.Directory(p.toFile).deleteRecursively())
-        } finally stream.close()
+        // symlinks are deleted as LINKS, never traversed (deleteTreeNoFollow)
+        try stream.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("fp") &&
+            p.getFileName.toString != keep)
+          .toSeq
+          .foreach(deleteTreeNoFollow)
+        finally stream.close()
+        // DEAD data namespaces inside the live fingerprint (r20 verdict
+        // #3): regenerated testdata at the same path moves the dataFp, so
+        // the old d-dir can never be read again — recognizable because
+        // its recorded source dir no longer fingerprints to its name.
+        // A missing/foreign-format marker or an unresolvable source dir
+        // (moved testdata root) is left alone: unreadable ≠ provably dead.
+        val fpDir = root.resolve(keep)
+        if (Files.isDirectory(fpDir, noFollow)) {
+          val ds = Files.list(fpDir)
+          try ds.iterator().asScala
+            .filter(p => Files.isDirectory(p, noFollow) &&
+              p.getFileName.toString.startsWith("d"))
+            .toSeq
+            .foreach { p =>
+              val marker = p.resolve(SourceMarker)
+              if (Files.isRegularFile(marker, noFollow)) {
+                val src = new String(Files.readAllBytes(marker),
+                  java.nio.charset.StandardCharsets.UTF_8).trim
+                val current = dataFingerprint(src)
+                if (current.nonEmpty && s"d$current" != p.getFileName.toString)
+                  deleteTreeNoFollow(p)
+              }
+            }
+          finally ds.close()
+        }
         val cutoff = System.currentTimeMillis() - 3600L * 1000
         val walk = Files.walk(root, 3)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala
-            .filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.contains(".tmp.") &&
-              Files.getLastModifiedTime(p).toMillis < cutoff)
-            .toSeq // materialize before deleting under the open walk stream
-            .foreach(p => new scala.reflect.io.Directory(p.toFile).deleteRecursively())
-        } finally walk.close()
+        try walk.iterator().asScala
+          .filter(p => Files.isDirectory(p, noFollow) &&
+            p.getFileName.toString.contains(".tmp."))
+          .toSeq // materialize before deleting under the open walk stream
+          .filter(newestMtime(_) < cutoff)
+          .foreach(deleteTreeNoFollow)
+        finally walk.close()
       }
     } catch { case _: Throwable => () }
 }

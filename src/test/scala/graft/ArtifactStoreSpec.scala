@@ -112,6 +112,89 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt entry degrades to a rebuild (logged miss), never a failed build") {
+    import spark.implicits._
+    withScratchRoot { root =>
+      val dir = "/root/testdata/sf0.001"
+      ArtifactStore.readThrough(spark, dir, "dsirScores")(
+        Seq((1L, 7L)).toDF("doc_id", "s").localCheckpoint())
+      val entry = ArtifactStore.storePath(dir, "dsirScores").get
+      // poison the persisted parquet but leave _SUCCESS: the exists
+      // check passes, the read itself fails — the mid-read-deletion /
+      // corrupt-entry shape the r20 verdict named
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(entry)
+      try parts.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.write(p, Array[Byte](0, 1, 2, 3)))
+      finally parts.close()
+      val (h0, m0) = ArtifactStore.stats
+      var rebuilt = 0
+      val out = ArtifactStore.readThrough(spark, dir, "dsirScores") {
+        rebuilt += 1
+        Seq((1L, 7L)).toDF("doc_id", "s").localCheckpoint()
+      }
+      assert(rebuilt == 1, "corrupt entry must fall back to the build")
+      assert(out.collect().toSeq == Seq(org.apache.spark.sql.Row(1L, 7L)))
+      val (h1, m1) = ArtifactStore.stats
+      assert(h1 == h0 && m1 == m0 + 1, "the degraded read counts as a miss")
+      // and the re-persisted entry serves the NEXT session again
+      var again = 0
+      ArtifactStore.readThrough(spark, dir, "dsirScores") {
+        again += 1; Seq((1L, 7L)).toDF("doc_id", "s").localCheckpoint()
+      }
+      assert(again == 0, "the rebuild must have replaced the bad entry")
+    }
+  }
+
+  test("a dead data namespace (regenerated source) is pruned; live SF siblings survive") {
+    import spark.implicits._
+    withScratchRoot { root =>
+      // live namespace for sf0.001 — marker records its true source
+      ArtifactStore.readThrough(spark, "/root/testdata/sf0.001", "tokenCounts")(
+        Seq(1L).toDF("n").localCheckpoint())
+      val live = ArtifactStore.storePath("/root/testdata/sf0.001", "tokenCounts").get.getParent
+      // a DEAD namespace: its marker claims sf0.01 as source, but its
+      // d-name does not match sf0.01's current fingerprint (testdata
+      // regenerated at the same path between sessions)
+      val fpDir = live.getParent
+      val dead = fpDir.resolve("d0123456789abcdef")
+      java.nio.file.Files.createDirectories(dead)
+      java.nio.file.Files.write(dead.resolve(ArtifactStore.SourceMarker),
+        "/root/testdata/sf0.01".getBytes("UTF-8"))
+      // an unmarked namespace (foreign format): must be left alone
+      val unmarked = fpDir.resolve("dfefefefefefefefe")
+      java.nio.file.Files.createDirectories(unmarked)
+      // any write triggers the prune
+      ArtifactStore.readThrough(spark, "/root/testdata/sf0.001", "qualityScored")(
+        Seq(2L).toDF("n").localCheckpoint())
+      assert(!java.nio.file.Files.exists(dead), "dead d-namespace must be pruned")
+      assert(java.nio.file.Files.exists(live), "live d-namespace must survive")
+      assert(java.nio.file.Files.exists(unmarked), "unmarked dirs are not provably dead")
+    }
+  }
+
+  test("prune deletes a planted fp symlink as a LINK — the target tree is untouched") {
+    import spark.implicits._
+    withScratchRoot { root =>
+      val victim = java.nio.file.Files.createTempDirectory("graft_store_victim")
+      val vfile = victim.resolve("precious.txt")
+      java.nio.file.Files.write(vfile, "keep".getBytes("UTF-8"))
+      try {
+        val link = java.nio.file.Paths.get(root, "fp0000000000000000")
+        java.nio.file.Files.createSymbolicLink(link, victim)
+        ArtifactStore.readThrough(spark, "/root/testdata/sf0.001", "tokenCounts")(
+          Seq(1L).toDF("n").localCheckpoint())
+        assert(!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS), "the link itself is pruned")
+        assert(java.nio.file.Files.exists(vfile),
+          "the symlink TARGET must never be deleted")
+      } finally {
+        new scala.reflect.io.Directory(victim.toFile).deleteRecursively()
+      }
+    }
+  }
+
   test("crashed-writer staging dirs are pruned once stale, kept while fresh") {
     import spark.implicits._
     withScratchRoot { root =>
