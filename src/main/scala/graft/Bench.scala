@@ -161,6 +161,17 @@ object Bench {
     // on a cross-chain memo (FrameMemo putIfAbsent) at worst builds
     // twice and keeps one — never a wrong result. Any chain failure →
     // the same shared_build FAILED marker as before.
+    // tiny untimed SESSION-INIT warmup BEFORE the build window (r20
+    // ADVICE low): since the q16 warmup moved after the build (r19 #4),
+    // shared_build_sec absorbed first-job costs that are session init —
+    // scheduler spin-up, parquet reader, shuffle machinery, codegen
+    // plumbing — not artifact-build work, which skewed cross-round build
+    // comparisons. One small scan+shuffle here pays that once, outside
+    // both the build window and every timed region. The q16 warmup after
+    // the build keeps its original job (absorb the build's tail).
+    try exec(spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count())
+    catch { case _: Throwable => () }
     val (sharedBuildSec, sharedBuildFailed, chainSecs) =
       if (!ops.FrameMemo.memoizable(sfDir)) (0.0, false, Seq.empty[(String, Double)])
       else {
@@ -183,8 +194,18 @@ object Bench {
             ops.SimilaritySearch.knnGraphExact(spark, sfDir)
             ops.SimilaritySearch.knnExactTop5(spark, sfDir) // q30/q117 anchor
             ops.SimilaritySearch.knnLshTop5(spark, sfDir)
-            ops.SimilaritySearch.knnIvfTop5(spark, sfDir)
             ops.Retrieval.hybridRanked(spark, sfDir)
+          }),
+          // the IVF top-5 build on its own chain (r21): it reads no other
+          // ann artifact (k-means + assignment over the raw embeddings),
+          // and it is the one store-EXCLUDED rebuild left in a warm
+          // session (float-mean centroids — ArtifactStore scaladoc), so
+          // in the r20 shape it serialized behind the ann chain's five
+          // warm store reads and set the whole warm build window's wall
+          // (ann 10.2 s vs ≤7 s every other chain). On its own chain the
+          // warm wall is the ivf build alone.
+          "ivf" -> (() => {
+            ops.SimilaritySearch.knnIvfTop5(spark, sfDir)
           }),
           // text dedup: pair graphs, then the component/method frames
           // q28/q49/q208 read
@@ -195,11 +216,16 @@ object Bench {
             ops.Dedup.simhashPairs(spark, sfDir)
             // q221/q225's visual pair frame (reads no other memo)
             ops.ImageHash.dhashPairs(spark, sfDir)
+            // q108's prefix-filtered exact pair frame (r21)
+            ops.Dedup.prefixJaccardPairsStored(spark, sfDir, 4, 5)
           }),
           // PQ model + codes + IVF-PQ index + memoized search frame
           "pq" -> (() => {
             exec(ops.PqOps.pqCodes(spark, sfDir))
             ops.PqOps.ivfPqSearch(spark, sfDir)
+            // q191's cell-bounded kNN edge list (r21; reads the pq_codes
+            // memo built above — same-chain ordering)
+            ops.LabelProp.cellKnn(spark, sfDir)
           }),
           // DSIR score table + the embedding Gram (q157/q160, q210/q214)
           "dsir_gram" -> (() => {
@@ -244,6 +270,14 @@ object Bench {
             ops.CorpusSignals.fiveGramMeta(spark, sfDir)
             ops.CorpusSignals.fiveGramPosting(spark, sfDir)
             ops.CorpusSignals.repetitionSignals(spark, sfDir)
+            // the trained-BPE artifact (r21): q136/q141 read it instead
+            // of re-training per run; q135/q140 still train live.
+            // Placed here (the lightest chain) to keep the cold build's
+            // wall-clock balanced.
+            ops.LmTokenizer.trainedBpe(spark, sfDir)
+            // q153's NB prediction frame (r21): q153 presents it,
+            // q178/q185 derive their eval reports from it
+            ops.NaiveBayes.sourcePredictions(spark, sfDir)
           }))
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration

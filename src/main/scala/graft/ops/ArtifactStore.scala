@@ -85,6 +85,12 @@ object ArtifactStore {
     // min-based connected-component group rows
     "jaccard:0.2:100", "minhashLsh:0.2", "simhashPairs", "dhashPairs",
     "lshGroupRows",
+    // q108's prefix-filtered exact pair frame (r21): integer ids and
+    // counts + one per-row double division — the allowed per-row class
+    "prefixJaccard:4:5",
+    // q191's cell-bounded kNN edge list (r21): integer ids ranked by
+    // exact integer d², ties by id — partition-order-independent
+    "cellKnn:5",
     // pq chain: int8-quantized points, exact-integer-Lloyd-trained
     // codes, the IVF-PQ index + memoized search frame (integer
     // distances, id tie-breaks)
@@ -119,7 +125,11 @@ object ArtifactStore {
     // the trained BPE tokenizer artifact (r21): merge table + final
     // symbol state, integer/string-exact window algebra — the q135≡q140
     // oracle gate is the partition-order-independence proof
-    "bpeTrained")
+    "bpeTrained",
+    // q153's NB prediction frame (r21): micro-nat integer weights,
+    // integer score sums, deterministic tie-breaks — read by q153/q178/
+    // q185
+    "nbPredictions")
 
   /** Store enabled: not turned off, the code fingerprint resolvable
     * (a null code source — exotic classloader — disables persistence

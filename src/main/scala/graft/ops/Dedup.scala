@@ -150,10 +150,12 @@ object Dedup {
   private[graft] def prefixJaccardFrames(s: SparkSession, d: String,
       tNum: Int, tDen: Int, maxDocFreq: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val posting = shingleSets(s, d)
+    // scratch, not bare localCheckpoint (r21): inside the q108 stored-
+    // artifact build this intermediate is released once the pair frame
+    // materializes; outside a cached build it is a plain localCheckpoint
+    val posting = FrameMemo.scratch(shingleSets(s, d)
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("lang"), xxhash64(col("shingle")).as("shingle")))
     val docFreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = posting
       .join(docFreq.filter(col("df") <= maxDocFreq), Seq("shingle"))
@@ -196,6 +198,20 @@ object Dedup {
     * one per-doc window; the verification join touches only candidate
     * docs' token arrays, never the corpus.
     */
+  /** q108's pair frame as a FrameMemo/ArtifactStore artifact (r21) —
+    * the same stored-pair-frame contract its siblings q26 (jaccard),
+    * q27 (minhashLsh) and q28 (simhash) already present: the pair graph
+    * is built once per corpus snapshot (priced in Bench's dedup chain),
+    * and the registered query presents it. Persistable: integer doc
+    * ids/counts plus one per-row double division (the allowed per-row
+    * float class). q108 was the one exact-pair query still paying its
+    * full posting + prefix-join build inside every timed run.
+    */
+  def prefixJaccardPairsStored(s: SparkSession, d: String,
+                               tNum: Int, tDen: Int): DataFrame =
+    FrameMemo.cached(s, d, s"prefixJaccard:$tNum:$tDen")(
+      prefixJaccardPairs(s, d, tNum, tDen))
+
   def prefixJaccardPairs(s: SparkSession, d: String, tNum: Int, tDen: Int,
                          maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val (_, _, docToks, candidates) =
@@ -286,7 +302,7 @@ object Dedup {
     // (t = 4/5): the sub-quadratic path that, unlike LSH, provably
     // misses nothing — so it gets a full oracle, not a recall gate
     "q108_dedup_jaccard_prefix" -> ((s, d) =>
-      prefixJaccardPairs(s, d, tNum = 4, tDen = 5).orderBy("doc_a", "doc_b")),
+      prefixJaccardPairsStored(s, d, tNum = 4, tDen = 5).orderBy("doc_a", "doc_b")),
 
     // MinHash+LSH: 32 perms, 8 bands x 4 rows; verify candidates exactly
     "q27_dedup_minhash_lsh" -> ((s, d) =>

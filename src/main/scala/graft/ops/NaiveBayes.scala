@@ -96,8 +96,23 @@ object NaiveBayes {
       .orderBy("doc_id")
   }
 
+  /** The prediction frame as a FrameMemo/ArtifactStore artifact (r21):
+    * train + inference are integer-exact end-to-end (micro-nat weights,
+    * integer score sums, deterministic tie-breaks — the q153 oracle
+    * hash-gates it), so the frame is partition-order-independent and
+    * buildable once per corpus snapshot. Three consumers (q153 presents
+    * it, q178/q185 derive their confusion-based reports from it) were
+    * each re-running the full train+predict chain inside every timed
+    * run. Priced in Bench's curation chain.
+    */
+  private[graft] def sourcePredictions(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "nbPredictions")(sourceClassifier(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q153_nb_source_classifier" -> ((s, d) => sourceClassifier(s, d)))
+    // re-applies the contract ordering: a store read-back does not
+    // preserve the build plan's sort
+    "q153_nb_source_classifier" -> ((s, d) =>
+      sourcePredictions(s, d).orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q153_nb_source_classifier" ->

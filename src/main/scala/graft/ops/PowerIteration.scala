@@ -88,28 +88,47 @@ object PowerIteration {
     if (!FrameMemo.memoizable(d)) buildGram(s, d)
     else gramMemo.computeIfAbsent((s, d), _ => buildGram(s, d))
 
-  private def buildGram(s: SparkSession, d: String): Map[(Int, Int), Long] = {
-    Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        expr(s"CAST(ROUND(x * $Scale) AS BIGINT)").as("q"))
-      .as("a").join(Tables.embeddings(s, d)
+  /** The Gram CELL frame (i, j, g, n, max|q_i|, max|q_j|) as a FrameMemo
+    * artifact. r21 plan change (guide §2.3/§2.4 "aggregate before you
+    * shuffle / remove shuffles outright"): the r20 shape self-joined the
+    * posexploded point table on vec_id — an Exchange of 2·(n·dim) rows,
+    * a sort-merge join, and n·dim² join-output rows feeding the
+    * aggregate. But both join sides are THE SAME ROW's array, so the
+    * outer product can be generated narrowly inside the scan (two
+    * chained posexplodes over the quantized array) and the only exchange
+    * left is the dim²-key map-side-combined aggregate itself — cell
+    * values are bit-identical (exact integer sums over the identical
+    * multiset of q_i·q_j terms, regrouping-invariant). Plan: 3 Exchanges
+    * + SortMergeJoin → 1 Exchange, no join (plans/r21/q210_*.txt).
+    *
+    * Persistable (r20 verdict #2): every column is an exact integer
+    * aggregate — partition-order-independent — so the cell frame joins
+    * PersistKeys and a warm session replaces the whole build with one
+    * 4096-row parquet read (the dsir_gram chain's rebuild was half the
+    * warm shared-build floor).
+    */
+  private[graft] def gramCells(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "gramCells") {
+      Tables.embeddings(s, d)
         .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          expr(s"CAST(ROUND(x * $Scale) AS BIGINT)").as("q")).as("b"),
-        col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      // overflow GUARD, not just audit: Spark's Long SUM wraps silently at
-      // larger corpora while DuckDB promotes to HUGEINT and errors on the
-      // BIGINT cast — the engines would DIVERGE rather than fail together.
-      // |q·q| ≤ maxQ², so n_vecs·maxQ² bounds every cell; fail loudly
-      // while the bound still has an order of headroom. At sf0.1 the cell
-      // max is ~1e10 (2e8 headroom ×45); a corpus past ~4e17/maxQ² vectors
-      // must re-derive Scale (coarser quantization) before using q210/q214.
-      .agg(sum(col("a.q") * col("b.q")).as("g"), count(lit(1)).as("n"),
-        max(abs(col("a.q"))).as("max_qa"), max(abs(col("b.q"))).as("max_qb"))
+          expr(s"transform(CAST(embedding AS array<double>), " +
+            s"x -> CAST(ROUND(x * $Scale) AS BIGINT))").as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "qa")), col("qs"))
+        .select(col("i"), col("qa"), posexplode(col("qs")).as(Seq("j", "qb")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("qa") * col("qb")).as("g"), count(lit(1)).as("n"),
+          max(abs(col("qa"))).as("max_qa"), max(abs(col("qb"))).as("max_qb"))
+    }
+
+  private def buildGram(s: SparkSession, d: String): Map[(Int, Int), Long] = {
+    // overflow GUARD, not just audit: Spark's Long SUM wraps silently at
+    // larger corpora while DuckDB promotes to HUGEINT and errors on the
+    // BIGINT cast — the engines would DIVERGE rather than fail together.
+    // |q·q| ≤ maxQ², so n_vecs·maxQ² bounds every cell; fail loudly
+    // while the bound still has an order of headroom. At sf0.1 the cell
+    // max is ~1e10 (2e8 headroom ×45); a corpus past ~4e17/maxQ² vectors
+    // must re-derive Scale (coarser quantization) before using q210/q214.
+    gramCells(s, d)
       .collect().map { r =>
         val bound = BigInt(r.getLong(3)) * BigInt(r.getLong(4)) * BigInt(r.getLong(5))
         require(bound * 10 <= BigInt(Long.MaxValue),

@@ -215,15 +215,48 @@ object PqOps {
   private val modelMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (Seq[(Int, Seq[Long])], Seq[Seq[(Int, Seq[Long])]])]()
 
-  private[graft] def modelOf(s: SparkSession, d: String)
-      : (Seq[(Int, Seq[Long])], Seq[Seq[(Int, Seq[Long])]]) = {
-    def build() = {
+  /** The trained model as a (kind, sub, cluster, dim, v) long frame —
+    * kind 0 = coarse centroids (sub pinned 0), kind 1 = residual
+    * codebooks. r21 (verdict #2): training is exact-integer Lloyd /
+    * truncating-division codebook updates — deterministic and
+    * partition-order-independent (the q147 oracle hash-gates the very
+    * same chain) — so the driver-side model persists through
+    * ArtifactStore as a 1.5k-row keyed file, and a warm session's
+    * modelOf is one tiny parquet read instead of CoarseIters + Iters
+    * full training passes. The frame is built FROM the trained model
+    * (collected driver state → parallelize), not by a second training
+    * path, so encode/decode round-trips by construction.
+    */
+  private def modelFrame(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "pq_model") {
       val pts = quantizedPts(s, d)
       val coarse = trainCoarse(pts)
       val books = trainCodebooks(FrameMemo.scratch(
         residualsOf(pts, coarse).select("vec_id", "q")))
-      (coarse, books)
+      import s.implicits._
+      val rows =
+        coarse.flatMap { case (c, vs) =>
+          vs.zipWithIndex.map { case (v, dim) => (0, 0, c, dim, v) } } ++
+        books.zipWithIndex.flatMap { case (cents, sub) =>
+          cents.flatMap { case (c, vs) =>
+            vs.zipWithIndex.map { case (v, dim) => (1, sub, c, dim, v) } } }
+      rows.toDF("kind", "sub", "cluster", "dim", "v")
     }
+
+  private def decodeModel(rows: Array[org.apache.spark.sql.Row])
+      : (Seq[(Int, Seq[Long])], Seq[Seq[(Int, Seq[Long])]]) = {
+    def vecs(rs: Seq[org.apache.spark.sql.Row]): Seq[(Int, Seq[Long])] =
+      rs.groupBy(_.getInt(2)).toSeq.sortBy(_._1).map { case (c, ds) =>
+        (c, ds.sortBy(_.getInt(3)).map(_.getLong(4)).toSeq)
+      }
+    val (coarseRows, bookRows) = rows.toSeq.partition(_.getInt(0) == 0)
+    (vecs(coarseRows),
+      bookRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map(g => vecs(g._2)))
+  }
+
+  private[graft] def modelOf(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Long])], Seq[Seq[(Int, Seq[Long])]]) = {
+    def build() = decodeModel(modelFrame(s, d).collect())
     if (!FrameMemo.memoizable(d)) build()
     else {
       val k = (s.sparkContext.applicationId, d)

@@ -210,7 +210,14 @@ object SimilaritySearch {
   private def buildKnnIvfTop5(s: SparkSession, d: String): DataFrame = {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val centroids = kmeansCentroids(e, k = 16, iters = 2)
+      // materialize the 16-row model once (r21, guide §1.2 "don't compute
+      // things twice"): centroidCandidates COLLECTS its centroid frame,
+      // and both assignClusters (corpus side) and probeClusters (query
+      // side) below would each re-execute the full 2-round Lloyd lineage
+      // — one redundant corpus pass per consumer. scratch-checkpointing
+      // the final centroids runs that lineage exactly once; the two
+      // collects then read 16 materialized rows.
+      val centroids = FrameMemo.scratch(kmeansCentroids(e, k = 16, iters = 2))
       // localCheckpoint, not cache(): both the query side and the corpus
       // side read it, and checkpoint blocks are freed on GC instead of
       // pinning executor storage for the whole session

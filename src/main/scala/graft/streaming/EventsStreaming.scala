@@ -437,6 +437,25 @@ object EventsStreaming {
       Some(dir.toString)
     } catch { case _: Throwable => None }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the previous value after — the statePartitions discipline
+    * (see [[runToMemory]]) for the foreachBatch maintenance queries
+    * (q127/q128), which start their own StreamingQuery instead of going
+    * through runWithProgress. Their Update-mode aggregation otherwise
+    * bakes the session's BATCH shuffle width (2×cores) into the state
+    * store: 64 store instances — and 64 per-batch delta-file commits —
+    * for ~24 hour-grain keys (r21: q128's state_commit_ms summed 12–88 s
+    * across sessions from exactly this). Results are unaffected:
+    * the aggregation is decimal-exact (order-independent) and the merge
+    * is keyed, so only the store/file counts change.
+    */
+  private[streaming] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, saved)
+  }
+
   def runWithProgress(s: SparkSession, streamed: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Append,
                       statePartitions: Option[Int] = None)

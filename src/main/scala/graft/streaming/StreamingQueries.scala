@@ -344,11 +344,16 @@ object StreamingQueries {
       val gold = scratchDir("gold", d)
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val ckpt = EventsStreaming.replayCheckpointDir("q127")
-      val q = EventsStreaming.incrementalDailyGold(s, stream, gold, ckpt)
-      try q.awaitTermination()
-      finally ckpt.foreach(c => new scala.reflect.io.Directory(
-        new java.io.File(c)).deleteRecursively())
-      StreamingMetrics.record("q127_stream_gold_additive", q.recentProgress.toSeq)
+      // state-partition discipline (see withStatePartitions): the
+      // foreachBatch batch aggregation + merge write run at 8, matching
+      // the rest of the streaming family; results are key-exact
+      EventsStreaming.withStatePartitions(s, 8) {
+        val q = EventsStreaming.incrementalDailyGold(s, stream, gold, ckpt)
+        try q.awaitTermination()
+        finally ckpt.foreach(c => new scala.reflect.io.Directory(
+          new java.io.File(c)).deleteRecursively())
+        StreamingMetrics.record("q127_stream_gold_additive", q.recentProgress.toSeq)
+      }
       s.read.parquet(gold)
         .select(col("day"), col("event_type"),
           col("revenue").cast("double").as("revenue"), col("n_events"))
@@ -365,11 +370,17 @@ object StreamingQueries {
       val fact = scratchDir("fact", d)
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val ckpt = EventsStreaming.replayCheckpointDir("q128")
-      val q = EventsStreaming.upsertHourlyFact(s, stream, fact, ckpt)
-      try q.awaitTermination()
-      finally ckpt.foreach(c => new scala.reflect.io.Directory(
-        new java.io.File(c)).deleteRecursively())
-      StreamingMetrics.record("q128_stream_fact_upsert", q.recentProgress.toSeq)
+      // state-partition discipline (see withStatePartitions): the
+      // Update-mode aggregation's state store otherwise inherits the
+      // session's 64 batch shuffle partitions for ~24 hour keys — 64
+      // per-batch store commits where 8 carry the same state
+      EventsStreaming.withStatePartitions(s, 8) {
+        val q = EventsStreaming.upsertHourlyFact(s, stream, fact, ckpt)
+        try q.awaitTermination()
+        finally ckpt.foreach(c => new scala.reflect.io.Directory(
+          new java.io.File(c)).deleteRecursively())
+        StreamingMetrics.record("q128_stream_fact_upsert", q.recentProgress.toSeq)
+      }
       s.read.parquet(fact)
         .select(col("hour"), col("event_type"), col("n"),
           col("total_value").cast("double").as("total_value"))
