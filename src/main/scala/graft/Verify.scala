@@ -47,6 +47,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // store evidence in the correctness session's own output (r21): a
+    // driver correctness run self-reports whether it read warm artifacts
+    // or rebuilt cold — the same fingerprint+hits/misses evidence
+    // BENCH_DETAIL carries, on the "[verify]"-greppable stderr channel
+    // (NOT as a file in outDir: the dump dir stays exactly one entry per
+    // declared query + oracle_sql.json, whatever enumerates it).
+    val (hits, misses) = ops.ArtifactStore.stats
+    System.err.println(s"""[verify] artifact_store {"fingerprint": """ +
+      s""""${ops.ArtifactStore.codeFingerprint}", "hits": $hits, "misses": $misses}""")
     spark.stop()
   }
 }
