@@ -27,10 +27,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sized to the session's CORE COUNT, not a constant (r22, guide §5):
+// local-mode execution memory is shared by every concurrent task, and the
+// historic 8g default left local[32] ~150 MB of execution memory per task
+// slot — heavy sort/join stages spilled under concurrency that local[8]
+// never saw (one mechanism behind 32-core-only slowdowns on a 128 GiB
+// box). 512 MB/core + 4 GB driver slack, floor 8g (so 8-core sessions
+// keep their historical conditions); SPARK_DRIVER_MEM still overrides.
+def graftDefaultHeap: String = {
+  val cores =
+    try sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").trim.toInt
+    catch { case _: NumberFormatException => 32 }
+  s"${math.max(8, 4 + cores / 2)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", graftDefaultHeap)}",
 ) ++
   // ad-hoc forked-JVM flags for perf probes (GC logs, profilers):
   // e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Xlog:gc*:file=/tmp/gc.log"

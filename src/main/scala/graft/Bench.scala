@@ -231,6 +231,10 @@ object Bench {
           "dsir_gram" -> (() => {
             ops.Dsir.importanceScores(spark, sfDir)
             ops.PowerIteration.gramOf(spark, sfDir)
+            // q197's df-capped copy-mass table (r22): reads only
+            // `documents`, no gram-family memo — placed on the lightest
+            // chain to keep the cold build window balanced
+            ops.CopyMass.cappedMass(spark, sfDir)
           }),
           // the corpus gram/fingerprint asset set: raw stream first,
           // then its df-capped postings and the winnowed fingerprints
@@ -238,6 +242,9 @@ object Bench {
             ops.Winnowing.gramFrame(spark, sfDir)
             ops.ExactSubstr.keptGrams(spark, sfDir)
             ops.Winnowing.fingerprints(spark, sfDir)
+            // q155's kept grouped posting (r22; reads the fingerprints
+            // memo built above — same-chain ordering)
+            ops.Winnowing.keptFpPosting(spark, sfDir)
             // the q224 snapshot-maintenance assets: the stored base
             // manifest + the from-scratch audit totals (reads the
             // gramFrame memo built above — same-chain ordering)

@@ -32,8 +32,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scope: only keys in [[PersistKeys]] (the measured top of the build
   * cost, bounded MB-scale frames) and only under FrameMemo's immutable
   * roots. Store IO failures NEVER fail a build — persistence degrades to
-  * the plain in-session memo. Disable with SPARK_GRAFT_ARTIFACT_STORE=off
-  * (or point it at an alternate root).
+  * the plain in-session memo.
+  *
+  * **OFF BY DEFAULT since r22.** The r21 verdict ruled that serving a
+  * PREVIOUS session's computation to a timed bench/verify run is result
+  * caching, not optimization — the driver's measurements must price the
+  * cold compute. With the env unset, every session computes every
+  * artifact from the parquet inputs (the in-session FrameMemo still
+  * builds each once per JVM, priced in Bench's shared_build window,
+  * which is inside the reported total). Opt back in explicitly with
+  * SPARK_GRAFT_ARTIFACT_STORE=on (default root) or =/some/root — the
+  * production posture, where a corpus snapshot's artifacts ARE durable
+  * stored tables; =off also accepted. The fingerprint keying and all
+  * store mechanics are unchanged and remain spec-covered.
   */
 object ArtifactStore {
 
@@ -56,8 +67,16 @@ object ArtifactStore {
     */
   @volatile private[graft] var rootOverride: Option[String] = None
 
+  /** Effective root: the spec override wins; otherwise the env opts IN —
+    * unset or "off"/"" → disabled, "on" → [[DefaultRoot]], anything else
+    * → a custom root path.
+    */
   private[graft] def rootSetting: String =
-    rootOverride.getOrElse(sys.env.getOrElse(EnvVar, DefaultRoot))
+    rootOverride.getOrElse(sys.env.get(EnvVar) match {
+      case None | Some("off") | Some("") => "off"
+      case Some("on")                    => DefaultRoot
+      case Some(path)                    => path
+    })
 
   /** Artifact keys worth persisting: the FrameMemo artifacts built in
     * Bench's shared chains, all bounded, parquet-clean frames whose
@@ -110,18 +129,22 @@ object ArtifactStore {
     // r20 verdict #2's "persist the driver-side models" item
     "pq_model",
     // chargram chain: the (doc_id, p, h) gram stream + its df-capped
-    // and winnowed derivations + the q224 manifest assets (integer
-    // hashes, counts, mod-2^64 fingerprint sums)
-    "gramStream", "gramStreamDf20", "winnowFingerprints",
-    "gramManifestBase", "gramScratchTotals",
+    // grouped posting (sort_array-canonicalized occurrence lists — the
+    // r22 q171/q174 reshape), the winnowed fingerprints + their kept
+    // grouped posting (r22 q155 reshape), and the q224 manifest assets
+    // (integer hashes, counts, mod-2^64 fingerprint sums)
+    "gramStream", "gramPostingDf20", "winnowFingerprints",
+    "winnowKeptPosting", "gramManifestBase", "gramScratchTotals",
     // shingle chain: split-membership flags, df table, q227 count
     // manifest + audit totals, the memoized quality/token pops
     "splitGrams:1", "splitGrams:2", "splitGrams:3", "splitGrams:5",
     "splitGrams:8", "shingleDf:3", "shingleCountsBase:3",
     "shingleFlagTotals:3", "qualityScored", "tokenCounts",
     // curation chain: scored docs (per-row scores), the 5-gram posting
-    // assets, per-doc repetition signals
+    // assets, per-doc repetition signals; q197's df-capped copy-mass
+    // table (r22 — md5 digests + exact integer sums)
     "scoredDocs", "fiveGramMeta", "fiveGramPosting", "repSignals",
+    "copyMassCnt",
     // the trained BPE tokenizer artifact (r21): merge table + final
     // symbol state, integer/string-exact window algebra — the q135≡q140
     // oracle gate is the partition-order-independence proof
@@ -164,7 +187,11 @@ object ArtifactStore {
       val ok = Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS) && {
         val owner = Files.getOwner(p).getName
         val me = sys.props.getOrElse("user.name", "")
-        owner == me || me.isEmpty
+        // an empty user.name would also collapse DefaultRoot to the
+        // shared "anon" suffix — trusting the root then reopens the
+        // /tmp-poisoning vector the gate exists to close (r21 ADVICE):
+        // no identity, no persistence.
+        me.nonEmpty && owner == me
       }
       if (!ok) System.err.println(s"[artifact-store] root $r is a symlink or " +
         "owned by another user; persistence disabled for this session")
@@ -379,10 +406,16 @@ object ArtifactStore {
     * but the files it is still writing carry fresh mtimes — so freshness
     * must be judged on the tree, not the dir (r20 ADVICE).
     */
-  private def newestMtime(p: Path): Long =
-    try {
-      var newest = Files.getLastModifiedTime(p,
+  private def newestMtime(p: Path): Long = {
+    // r21 ADVICE: an unreadable tree must not read as PERMANENTLY fresh
+    // (Long.MaxValue never ages → a crashed writer's dir leaks forever);
+    // fall back to the dir's own mtime, which does age past the cutoff.
+    val own =
+      try Files.getLastModifiedTime(p,
         java.nio.file.LinkOption.NOFOLLOW_LINKS).toMillis
+      catch { case _: Throwable => Long.MaxValue } // truly unstatable: keep
+    try {
+      var newest = own
       if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         val stream = Files.list(p)
         try {
@@ -391,7 +424,8 @@ object ArtifactStore {
         } finally stream.close()
       }
       newest
-    } catch { case _: Throwable => Long.MaxValue } // unreadable: treat as fresh
+    } catch { case _: Throwable => own }
+  }
 
   private def pruneStaleFingerprints(): Unit =
     try {

@@ -41,17 +41,33 @@ import graft.functions.TextFunctions.ngrams
   */
 object CopyMass {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q197_copy_mass_matrix" -> ((s, d) => {
+  /** The df-capped per-(source, 5-gram-digest) mass table as a FrameMemo
+    * STORED ARTIFACT (r22) — the same stored-asset discipline its
+    * curation siblings already stand on (q65/q66 read fiveGramPosting,
+    * q155 reads the kept fingerprint posting): the 5-gram explode + md5
+    * + per-doc count + df-cap window is the snapshot-build step, not
+    * per-query work, and q197 was the one curation matrix still
+    * re-running it inside every timed run. Persistable class: md5 digest
+    * strings + exact integer sums (partition-order-independent; the q197
+    * oracle hash-gates the identical derivation). Priced in Bench's
+    * dsir_gram chain (the lightest chain — it reads no gram-family memo,
+    * only `documents`).
+    */
+  private[graft] def cappedMass(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "copyMassCnt") {
       val perDoc = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(ngrams(col("text"), 5)).as("g"))
         .select(col("doc_id"), col("source"), md5(col("g").cast("binary")).as("gd"))
         .groupBy("gd", "doc_id", "source").agg(count(lit(1)).as("c"))
-      val cnt = perDoc
+      perDoc
         .withColumn("df", count(lit(1)).over(Window.partitionBy("gd")))
         .filter(col("df") <= Winnowing.MaxDf)
         .groupBy("source", "gd").agg(sum(col("c")).as("c"))
-        .localCheckpoint()
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_copy_mass_matrix" -> ((s, d) => {
+      val cnt = cappedMass(s, d)
       val totals = cnt.groupBy("source").agg(sum(col("c")).as("total_mass"))
       cnt.as("a")
         .join(cnt.as("b"),

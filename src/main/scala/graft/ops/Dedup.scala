@@ -166,7 +166,13 @@ object Dedup {
     // ceil(a/b) = (a + b - 1) div b — because a float ceil rounding the
     // wrong way by 1 would silently drop true pairs.
     val denom = tNum + tDen
-    val docToks = filtered
+    // scratch-materialized (r22): four consumers read this frame (the
+    // prefix explode on BOTH join sides, the two verification lookups) —
+    // unmaterialized, the groupBy + its whole posting/df-cap subtree
+    // replanned and re-executed once per consumer (the 38-Exchange plan
+    // in plans/r21/q108_dedup_jaccard_prefix_before.txt); checkpointed,
+    // each consumer is a columnar scan. Guide §1.2 / §5 localCheckpoint.
+    val docToks = FrameMemo.scratch(filtered
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ts"))
       .select(col("doc_id"), col("lang"),
@@ -174,7 +180,7 @@ object Dedup {
       .withColumn("n_capped", size(col("toks")))
       .withColumn("prefix", slice(col("toks"), lit(1),
         col("n_capped") -
-          expr(s"(n_capped * $tNum + ${denom - 1}) div $denom") + lit(1)))
+          expr(s"(n_capped * $tNum + ${denom - 1}) div $denom") + lit(1))))
     val prefix = docToks.select(col("doc_id"), col("lang"),
       explode(col("prefix")).as("shingle"))
     val candidates = prefix.as("a").join(prefix.as("b"),

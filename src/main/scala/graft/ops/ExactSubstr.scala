@@ -27,15 +27,16 @@ import graft.Tables
   * collisions ≈ pairs²/2^40, and a collision only ever EXTENDS a run by
   * chance), bit-identical cross-engine, fully oracle-replayed.
   *
-  * Scale shape: the gram stream is linear in corpus bytes and the hash
-  * join is df-capped ([[MaxDfSub]] — a ubiquitous 8-gram is
+  * Scale shape: the gram stream is linear in corpus bytes and the
+  * posting is df-capped ([[MaxDfSub]] — a ubiquitous 8-gram is
   * boilerplate, the MOSS rule), so matched volume tracks contamination,
   * not corpus size; the islands pass is one shuffle keyed by (pair,
-  * diagonal) with a codegen ROW_NUMBER window. The gram frame is read
-  * twice (df table + posting sides) — the registered queries read the
-  * [[Winnowing.gramFrame]] STORED ARTIFACT (FrameMemo, priced in
-  * Bench's shared_build), so each read is a columnar checkpoint scan;
-  * only spec fixtures recompute grams inline.
+  * diagonal) with a codegen ROW_NUMBER window. The registered queries
+  * read the GROUPED [[keptGrams]] posting artifact (FrameMemo, priced
+  * in Bench's shared_build) and generate matched position pairs with
+  * two chained explodes per posting row — no per-run join, nothing
+  * broadcast (r22; the old flat-stream self-join broadcast the whole
+  * posting). Only spec fixtures recompute grams inline.
   */
 object ExactSubstr {
 
@@ -54,15 +55,23 @@ object ExactSubstr {
   /** Diagonal-run core over a matched (doc_id, test_doc_id, p_r, p_t)
     * gram-position frame: islands per diagonal → per-pair longest run,
     * its positions, and the island count. Shared by q171 (train × test)
-    * and q174 (corpus × corpus, a < b). */
+    * and q174 (corpus × corpus, a < b).
+    *
+    * r22 (guide §2.3, project before the exchange): p_t is dropped
+    * before the (pair, diag) window shuffle — it is reconstructable as
+    * p_r − diag, and diag is constant within every island group, so
+    * min(p_t) ≡ min(p_r) − diag exactly (integer arithmetic). One fewer
+    * int column through the widest exchange of the query.
+    */
   private def diagonalReport(matched: DataFrame): DataFrame = {
     val wrun = Window.partitionBy("doc_id", "test_doc_id", "diag").orderBy("p_r")
     val islands = matched
       .withColumn("diag", col("p_r") - col("p_t"))
+      .select("doc_id", "test_doc_id", "diag", "p_r")
       .withColumn("grp", col("p_r") - row_number().over(wrun))
       .groupBy("doc_id", "test_doc_id", "diag", "grp")
-      .agg(count(lit(1)).as("run"),
-        min(col("p_r")).as("p_r"), min(col("p_t")).as("p_t"))
+      .agg(count(lit(1)).as("run"), min(col("p_r")).as("p_r"))
+      .withColumn("p_t", col("p_r") - col("diag"))
       .withColumn("len", col("run") + lit(Winnowing.WinnowK - 1))
       .filter(col("len") >= MinSubLen)
     islands.groupBy("doc_id", "test_doc_id")
@@ -77,42 +86,67 @@ object ExactSubstr {
       .orderBy("doc_id", "test_doc_id")
   }
 
-  /** The df-capped gram posting frame (grams whose hash appears in ≤
-    * [[MaxDfSub]] docs) as a FrameMemo STORED ARTIFACT derived from
-    * [[Winnowing.gramFrame]] — the posting-list table a production
-    * decontamination store keeps next to the raw gram stream (the cap
-    * is corpus-global, so the filter belongs in the snapshot build,
-    * not in every query). q171 and q174 both read it: their match
-    * semantics are unchanged because a match needs BOTH sides on the
-    * same kept hash, so pre-filtering every side through `kept`
-    * excludes exactly the pairs the caps already excluded (both
-    * oracles' `g` CTEs filter both sides the same way). Priced in
-    * Bench's shared_build.
+  /** The df-capped gram POSTING LIST (one row per kept hash, holding the
+    * sorted array of its (doc_id, p, is_test) occurrences) as a FrameMemo
+    * STORED ARTIFACT derived from [[Winnowing.gramFrame]] — the
+    * posting-list table a production decontamination store keeps next to
+    * the raw gram stream (the df cap is corpus-global, so the filter
+    * belongs in the snapshot build, not in every query).
+    *
+    * r22 RESHAPE (guide §2.4 remove the join, §3.1 never broadcast the
+    * corpus): the artifact used to be the flat df-capped (doc_id, p, h)
+    * stream, and q171/q174 each SELF-JOINED it on `h` per timed run —
+    * Spark planned that as a BroadcastHashJoin whose build side was the
+    * ENTIRE posting stream (plans/r21/q174_duplicate_passages_before.txt),
+    * i.e. a driver-built multi-hundred-MB HashedRelation reconstructed
+    * inside every timed run; under host load that allocation burst is the
+    * q174 21-s pathology the r21 verdict flagged. Grouped by hash, the
+    * matched (train, test) position pairs fall out of TWO CHAINED
+    * EXPLODES over each posting row (the r21 Gram-build template) — no
+    * join, no broadcast, no driver collect in any timed run. Match
+    * semantics are unchanged: a match needs BOTH sides on the same kept
+    * hash, and every ordered occurrence pair of a hash appears exactly
+    * once in the explode product (both oracles' `g` CTEs filter both
+    * sides the same way). Priced in Bench's chargram chain.
+    *
+    * Skew note: the df cap (countDistinct(doc_id) ≤ [[MaxDfSub]]) is
+    * applied BEFORE grouping — the flat-stream pre-filter keeps a
+    * ubiquitous boilerplate gram's occurrence list from ever being
+    * collected into one row, the same reason the old join pre-filtered
+    * both sides. Kept groups are ≤ MaxDfSub docs wide.
     */
   private[graft] def keptGrams(s: SparkSession, d: String): DataFrame =
-    FrameMemo.cached(s, d, "gramStreamDf" + MaxDfSub) {
-      keptGramsOf(Winnowing.gramFrame(s, d))
+    FrameMemo.cached(s, d, "gramPostingDf" + MaxDfSub) {
+      groupedPosting(Winnowing.gramFrame(s, d))
     }
 
-  private def keptGramsOf(grams: DataFrame): DataFrame = {
+  private[graft] def groupedPosting(grams: DataFrame): DataFrame = {
     val kept = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= MaxDfSub).select("h")
     grams.join(kept, Seq("h"))
+      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
+      .groupBy("h")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("p"), col("is_test")))).as("xs"))
   }
 
   private[graft] def substringLeaks(docs: DataFrame): DataFrame =
-    substringLeaksFromKept(keptGramsOf(Winnowing.gramsOf(docs)))
+    substringLeaksFromPosting(groupedPosting(Winnowing.gramsOf(docs)))
 
-  private[graft] def substringLeaksFromKept(g: DataFrame): DataFrame = {
-    val grams = g
-      .withColumn("is_test", Sampling.splitOf(col("doc_id")) === "test")
-    val test = grams.filter(col("is_test"))
-      .select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
-    val train = grams.filter(!col("is_test"))
-      .select(col("doc_id"), col("p").as("p_r"), col("h"))
-    diagonalReport(train.join(test, Seq("h"))
-      .select("doc_id", "test_doc_id", "p_r", "p_t"))
+  private[graft] def substringLeaksFromPosting(g: DataFrame): DataFrame = {
+    // train×test pairs in-scan: explode the train occurrences, then the
+    // test occurrences of the same posting row — the early !is_test
+    // filter prunes the outer generator before the inner one runs
+    val pairs = g
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .filter(!col("a.is_test"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("b.is_test"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("test_doc_id"),
+        col("a.p").as("p_r"), col("b.p").as("p_t"))
+    diagonalReport(pairs)
   }
 
   /** q174: the SAME machinery pointed at the corpus itself — repeated
@@ -127,26 +161,30 @@ object ExactSubstr {
     * a < b so each repeated passage reports once.
     */
   private[graft] def duplicatePassages(docs: DataFrame): DataFrame =
-    duplicatePassagesFromKept(keptGramsOf(Winnowing.gramsOf(docs)))
+    duplicatePassagesFromPosting(groupedPosting(Winnowing.gramsOf(docs)))
 
-  private[graft] def duplicatePassagesFromKept(g: DataFrame): DataFrame = {
-    // both posting sides read the SAME frame; against the registered
-    // path's FrameMemo checkpoint each side is a columnar block scan,
-    // not a recompute of canon + rolling hashes + the df cap
-    val a = g.select(col("doc_id"), col("p").as("p_r"), col("h"))
-    val b = g.select(col("doc_id").as("test_doc_id"), col("p").as("p_t"), col("h"))
-    diagonalReport(a.join(b, Seq("h"))
-      .filter(col("doc_id") < col("test_doc_id"))
-      .select("doc_id", "test_doc_id", "p_r", "p_t"))
+  private[graft] def duplicatePassagesFromPosting(g: DataFrame): DataFrame = {
+    // all a<b occurrence pairs of each kept hash, generated in-scan from
+    // the posting row (each unordered doc pair passes the < filter in
+    // exactly one orientation — the same multiset the h-equi-join
+    // produced, with no join and nothing broadcast)
+    val pairs = g
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("test_doc_id"),
+        col("a.p").as("p_r"), col("b.p").as("p_t"))
+    diagonalReport(pairs)
       .withColumnsRenamed(Map("doc_id" -> "doc_a", "test_doc_id" -> "doc_b",
         "train_pos" -> "pos_a", "test_pos" -> "pos_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_decontaminate_substring" -> ((s, d) =>
-      substringLeaksFromKept(keptGrams(s, d))),
+      substringLeaksFromPosting(keptGrams(s, d))),
     "q174_duplicate_passages" -> ((s, d) =>
-      duplicatePassagesFromKept(keptGrams(s, d))))
+      duplicatePassagesFromPosting(keptGrams(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q171_decontaminate_substring" -> {

@@ -56,10 +56,16 @@ object NaiveBayes {
       explode(tokens(col("text"))).as("term"))
     val trainTok = tok.filter(col("split") === "train")
     // class-conditional token counts + totals; the two scalars (|V|,
-    // |train docs|) are collected model state
-    val cnt = trainTok.groupBy("term", "source").agg(count(lit(1)).as("c"))
+    // |train docs|) are collected model state.
+    // cnt is scratch-materialized (r22): tots, vocab, vSize and the model
+    // grid all read it — unmaterialized, each re-ran the full tokenize +
+    // (term, source) shuffle. vocab is derived from cnt, not trainTok
+    // (identical set — cnt holds every distinct train term — for one
+    // tokenize pass less; guide §1.2 don't compute things twice).
+    val cnt = FrameMemo.scratch(
+      trainTok.groupBy("term", "source").agg(count(lit(1)).as("c")))
     val tots = cnt.groupBy("source").agg(sum(col("c")).as("tot"))
-    val vocab = trainTok.select("term").distinct()
+    val vocab = cnt.select("term").distinct()
     val vSize = vocab.count()
     val priors = docs.filter(col("split") === "train")
       .groupBy("source").agg(count(lit(1)).as("nd"))

@@ -180,22 +180,47 @@ object Winnowing {
     * planted fixtures.
     */
   def overlapReport(s: SparkSession, d: String): DataFrame =
-    overlapFromFingerprints(fingerprints(s, d))
+    overlapFromPosting(keptFpPosting(s, d))
 
   private[graft] def overlapReportOf(docs: DataFrame): DataFrame =
-    overlapFromFingerprints(fingerprintsOf(docs))
+    overlapFromPosting(keptPostingOf(fingerprintsOf(docs)))
 
-  private def overlapFromFingerprints(fp: DataFrame): DataFrame = {
-    val dh = fp.select("doc_id", "fp_hash").distinct()
-    val kept = dh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp_hash")))
-      .filter(col("df") <= MaxDf)
-      .select("doc_id", "fp_hash")
-    val nfp = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val a = kept.as("a"); val b = kept.as("b")
-    a.join(b, col("a.fp_hash") === col("b.fp_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** The kept (df ≤ [[MaxDf]]) fingerprint POSTING LIST — one row per
+    * kept hash with the sorted array of docs carrying it — as a FrameMemo
+    * STORED ARTIFACT over [[fingerprints]]: the inverted index a MOSS
+    * store keeps next to the fingerprint table. r22 (guide §2.4/§3.1):
+    * q155's per-run plan used to re-derive the df cap with a full-table
+    * window and SELF-JOIN the kept stream on fp_hash — planned as a
+    * BroadcastHashJoin whose build side was the whole kept table (the
+    * q174 anti-pattern). Grouped, the shared-fingerprint pairs fall out
+    * of two chained explodes per posting row; the df cap bounds every
+    * array at MaxDf = 8 docs, so the in-scan pair fanout is ≤ 28 per
+    * hash by construction. Pair multiset is unchanged (each unordered
+    * doc pair of a hash passes the < filter once). Priced in Bench's
+    * chargram chain.
+    */
+  private[graft] def keptFpPosting(s: SparkSession, d: String): DataFrame =
+    FrameMemo.cached(s, d, "winnowKeptPosting") {
+      keptPostingOf(fingerprints(s, d))
+    }
+
+  private[graft] def keptPostingOf(fp: DataFrame): DataFrame =
+    fp.select("doc_id", "fp_hash").distinct()
+      .groupBy("fp_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= MaxDf)
+
+  private def overlapFromPosting(kp: DataFrame): DataFrame = {
+    // per-doc kept-fingerprint counts, re-derived narrowly from the
+    // posting rows (size(ds) ≡ the old per-hash df by construction)
+    val nfp = kp.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val pairs = kp
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") < col("db"))
+    pairs
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= MinShared)
       .join(nfp.withColumnRenamed("doc_id", "doc_a")

@@ -448,6 +448,13 @@ object EventsStreaming {
     * across sessions from exactly this). Results are unaffected:
     * the aggregation is decimal-exact (order-independent) and the merge
     * is keyed, so only the store/file counts change.
+    *
+    * SINGLE-THREADED assumption (r21 ADVICE): this mutates the
+    * session-global shuffle width for the duration of `body` — safe only
+    * while bench/verify drive queries sequentially, which they do. A
+    * future concurrent caller on the same session would silently plan
+    * batch queries at `n` partitions; run such work on s.cloneSession()
+    * with the conf set on the clone instead.
     */
   private[streaming] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
