@@ -172,7 +172,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stage, maxFilesPerTrigger = Some(1))
       val (_, progress) = EventsStreaming.runWithProgress(s,
         EventsStreaming.hourlyCounts(stream), "q209_stream_late_audit",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       val rows = progress.filter(_.numInputRows > 0).zipWithIndex.map {
         case (p, i) =>
           val wmMs = java.time.Instant.parse(p.eventTime.get("watermark"))
@@ -204,7 +204,7 @@ object StreamingQueries {
       val matrix = EventsStreaming.runToMemory(s,
         probes.groupBy("r", "c").agg(count(lit(1)).as("v")),
         "q172_stream_hotkey_cms", OutputMode.Complete,
-        statePartitions = Some(8))
+        statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       val events = graft.Tables.events(s, d)
       val exact = events.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(10)
@@ -239,7 +239,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stage, maxFilesPerTrigger = Some(1))
       val (_, progress) = EventsStreaming.runWithProgress(s,
         EventsStreaming.hourlyCounts(stream), "q215_stream_state_audit",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       progress.filter(_.numInputRows > 0).zipWithIndex.map { case (p, i) =>
         val st = p.stateOperators.head
         (i, st.numRowsTotal, st.numRowsUpdated, st.numRowsRemoved)
@@ -259,7 +259,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val replayed = EventsStreaming.runToMemory(s,
         EventsStreaming.hourlyCounts(stream), "q116_stream_hourly_replay",
-        OutputMode.Complete, statePartitions = Some(8))
+        OutputMode.Complete, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       replayed.orderBy("hour", "event_type")
     }),
 
@@ -279,7 +279,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val sealedWindows = EventsStreaming.runToMemory(s,
         EventsStreaming.hourlyCounts(stream), "q119_stream_hourly_append",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       sealedWindows.orderBy("hour", "event_type")
     }),
 
@@ -295,7 +295,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val sealedSessions = EventsStreaming.runToMemory(s,
         EventsStreaming.sessionWindows(stream), "q122_stream_sessions_append",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       sealedSessions.orderBy("user_id", "session_start")
     }),
 
@@ -312,7 +312,7 @@ object StreamingQueries {
       val joined = EventsStreaming.runToMemory(s,
         EventsStreaming.purchaseAttribution(stream),
         "q123_stream_attribution_replay",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       joined.orderBy("purchase_id", "click_id")
     }),
 
@@ -329,7 +329,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val closed = EventsStreaming.runToMemory(s,
         EventsStreaming.sessionize(s, stream), "q124_stream_sessionize_custom",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       closed.orderBy("user_id", "start_micros")
     }),
 
@@ -394,7 +394,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val counts = EventsStreaming.runToMemory(s,
         EventsStreaming.runningUserCounts(s, stream),
-        "q129_stream_user_counts", OutputMode.Update, statePartitions = Some(8))
+        "q129_stream_user_counts", OutputMode.Update, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       counts.orderBy("user_id")
     }),
 
@@ -410,7 +410,7 @@ object StreamingQueries {
       val stream = EventsStreaming.readEvents(s, stageEventsDir(d))
       val deduped = EventsStreaming.runToMemory(s,
         EventsStreaming.dedupEvents(stream), "q130_stream_dedup_ingest",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       deduped.orderBy("event_id")
     }),
 
@@ -432,7 +432,7 @@ object StreamingQueries {
       val joined = EventsStreaming.runToMemory(s,
         EventsStreaming.purchaseAttribution(stream, joinType = "left_outer"),
         "q126_stream_attribution_outer",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       joined.orderBy("purchase_id", "click_id")
     }),
 
@@ -441,7 +441,7 @@ object StreamingQueries {
       val enriched = EventsStreaming.runToMemory(s,
         EventsStreaming.enrichWithRegion(s, stream, d),
         "q125_stream_enrich_replay",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       enriched.orderBy("event_id")
     }),
 
@@ -457,7 +457,7 @@ object StreamingQueries {
       val joined = EventsStreaming.runToMemory(s,
         EventsStreaming.purchaseAttribution(stream, joinType = "full_outer"),
         "q143_stream_attribution_full",
-        OutputMode.Append, statePartitions = Some(8))
+        OutputMode.Append, statePartitions = Some(EventsStreaming.ReplayStatePartitions))
       joined.orderBy("purchase_id", "click_id", "user_id")
     })
   )
